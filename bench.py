@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall times.
+
+Headline set mirrors BASELINE.md's bench plan: interval collapse, salted
+skew join, usage-style agg + cumulative window + top-N, JSON shred +
+latest-dedup, windowed distinct over events — plus the LLM-pipeline
+extensions (exact dedup, minhash candidate pairs, embedding top-k).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_top_customers",
+    "q03_interval_collapse",
+    "q05_latest_order_per_customer",
+    "q06_cumulative_daily_revenue",
+    "q07_salted_join_priority_volume",
+    "q09_json_shred_events",
+    "q10_scd_latest_event_per_user",
+    "q11_sessionize_events",
+    "q12_sliding_distinct_users",
+    "q13_dedup_exact_documents",
+    "q15_embedding_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from data_pipelines_examples_spark import queries as catalog
+    from data_pipelines_examples_spark.session import get_session
+
+    spark = get_session("bench")
+    qs = catalog.queries()
+
+    # Warm the JVM/readers once with a trivial action so timings measure
+    # query execution, not session spin-up.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Data-quality rule framework: filter-expression rules evaluated against a
+table, violations logged to an audit DataFrame; plus day-over-day drift
+checks on approximate distinct counts.
+
+Reference parity:
+- rule runner + audit rows — dags/dataswm/dq_check_for_target_table.py:46-334,
+  dags/dataswm/utils/dq_utils.py:135-236 (Presto EXISTS/NOT EXISTS rules →
+  Spark filter expressions / anti-joins; audit table partitioned by
+  (ds, table_name, rule_name)).
+- APPROX_DISTINCT drift — dq_check_for_target_table.py:353-412,
+  dq_utils.py:47-111 (map-literal aggregation row → typed long columns).
+
+Scale notes: each rule is one filter over the (cached) target — Catalyst
+merges rule predicates with the scan; violation counts are cheap
+aggregates. The drift check computes all columns' approx distincts in ONE
+pass (single aggregate row), not one job per column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class DQRule:
+    """A violation rule: rows matching ``condition`` are violations."""
+
+    name: str
+    condition: str | Column
+    description: str = ""
+    severity: str = "error"
+
+
+@dataclass
+class DQResult:
+    rule: DQRule
+    n_violations: int
+    n_total: int
+
+    @property
+    def passed(self) -> bool:
+        return self.n_violations == 0
+
+
+@dataclass
+class DQReport:
+    results: list[DQResult] = field(default_factory=list)
+
+    @property
+    def passed(self) -> bool:
+        return all(r.passed for r in self.results if r.rule.severity == "error")
+
+    def summary(self) -> str:
+        return "\n".join(
+            f"[{'PASS' if r.passed else 'FAIL'}] {r.rule.name}: "
+            f"{r.n_violations}/{r.n_total} violations"
+            for r in self.results
+        )
+
+
+def run_rules(
+    df: DataFrame,
+    rules: list[DQRule],
+    audit_cols: list[str] | None = None,
+) -> tuple[DQReport, DataFrame | None]:
+    """Evaluate rules; return (report, audit DataFrame of violating rows
+    tagged with rule_name — the reference's audit-table shape).
+
+    One count() per rule but all over a cached input; the audit frame is
+    a union of tagged violation subsets, built lazily.
+    """
+    df = df.cache()
+    try:
+        n_total = df.count()
+        report = DQReport()
+        audits: list[DataFrame] = []
+        for rule in rules:
+            cond = F.expr(rule.condition) if isinstance(rule.condition, str) else rule.condition
+            violations = df.filter(cond)
+            n = violations.count()
+            report.results.append(DQResult(rule, n, n_total))
+            if n > 0:
+                tagged = violations.withColumn("rule_name", F.lit(rule.name))
+                if audit_cols:
+                    tagged = tagged.select(*audit_cols, "rule_name")
+                audits.append(tagged)
+        audit_df = None
+        if audits:
+            from functools import reduce
+
+            audit_df = reduce(DataFrame.unionByName, audits)
+        return report, audit_df
+    finally:
+        df.unpersist()
+
+
+def approx_distinct_profile(df: DataFrame, cols: list[str] | None = None) -> dict[str, int]:
+    """Approx distinct count per column in a single aggregate pass
+    (reference: dq_utils.py:47-59 MAP(names, APPROX_DISTINCT(...)))."""
+    cols = cols or df.columns
+    row = df.agg(
+        *[F.approx_count_distinct(c).alias(c) for c in cols]
+    ).first()
+    return {c: row[c] for c in cols}
+
+
+def distinct_drift(
+    today: DataFrame,
+    yesterday: DataFrame,
+    cols: list[str] | None = None,
+    max_ratio: float = 2.0,
+) -> dict[str, tuple[int, int, bool]]:
+    """Day-over-day approx-distinct drift: per column (today, yesterday,
+    ok?) where ok = ratio within [1/max_ratio, max_ratio]
+    (reference: dq_check_for_target_table.py:353-412)."""
+    t = approx_distinct_profile(today, cols)
+    y = approx_distinct_profile(yesterday, cols)
+    out = {}
+    for c in t:
+        a, b = t[c], y.get(c, 0)
+        ok = (a == b == 0) or (b > 0 and a > 0 and (1 / max_ratio) <= a / b <= max_ratio)
+        out[c] = (a, b, ok)
+    return out
+
+
+def new_values(today: DataFrame, yesterday: DataFrame, col: str) -> DataFrame:
+    """Values present today but never seen yesterday (reference:
+    dq_utils.py:97-111 EXCEPT-based new-value detection)."""
+    return today.select(col).distinct().subtract(yesterday.select(col).distinct())

@@ -1,0 +1,277 @@
+"""Deduplication operators — exact, key-based/SCD, and near-duplicate
+(MinHash-LSH, SimHash, n-gram Jaccard).
+
+Reference parity (exact/SCD shapes):
+- dropDuplicates on a business key —
+  notebooks/databricks/sql/sas_conversion_with_manual_salt_skewed_join.sql:255
+- prev∪curr latest-row dedup (SCD) —
+  dags/dataswm/servicenow_api_extract.py:2328-2350
+
+Near-dup operators extend the engine for LLM-training-data pipelines
+(BASELINE.json north star). All are expressed with built-in functions
+(xxhash64, transform/aggregate over arrays, explode + groupBy) so the hot
+path stays JVM-side; no Python UDFs.
+
+Scale notes:
+- exact dedup hashes the full text once and shuffles 1 hash+id pair per
+  row, never the document bodies.
+- MinHash-LSH: per-doc signature is a narrow map-side computation; the only
+  shuffle is the band-bucket groupBy, whose fan-out is bounded by
+  (n_docs × n_bands). Candidate verification joins only within buckets.
+- SimHash: 64-bit fingerprint per doc; near-dup lookup via banding the
+  fingerprint into k chunks (same LSH trick), not via O(n²) pairwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", keep: str = "min", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate removal on the hash of ``text_col``: keep one row
+    (min or max ``id_col``) per distinct text.
+
+    Hash-groupBy, not ``dropDuplicates(text)``: the shuffle carries a 64-bit
+    hash + id instead of full document bodies, then winners join back to
+    recover rows. At 100 TB that is the difference between shuffling
+    terabytes of text and shuffling a few GB of keys.
+    """
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    winners = (
+        df.select(F.xxhash64(text_col).alias("__h"), F.col(id_col))
+        .groupBy("__h")
+        .agg(agg.alias(id_col))
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
+def dedup_by_key(df: DataFrame, keys: list[str]) -> DataFrame:
+    """``dropDuplicates(keys)`` — the reference's SAS ``nodupkey`` analog."""
+    return df.dropDuplicates(keys)
+
+
+def scd_latest(
+    df: DataFrame,
+    keys: str | list[str],
+    version_col: str | Column,
+    tiebreak: list[str | Column] | None = None,
+) -> DataFrame:
+    """Keep the latest version per key: prev∪curr snapshots collapsed with
+    ``row_number() over (partition by keys order by version desc)`` = 1.
+
+    The union is the caller's job (``prev.unionByName(curr)``); this is the
+    collapse step of the reference's SCD dedup template.
+    """
+    parts = [keys] if isinstance(keys, str) else list(keys)
+    order = [F.col(version_col).desc() if isinstance(version_col, str) else version_col.desc()]
+    if tiebreak:
+        order += [F.col(c).desc() if isinstance(c, str) else c for c in tiebreak]
+    w = Window.partitionBy(*parts).orderBy(*order)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+# ---------------------------------------------------------------------------
+
+def shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct) from a text column — all
+    JVM-side: split → transform over index range → array_distinct."""
+    words = F.split(F.lower(text_col) if isinstance(text_col, str) else F.lower(text_col), r"\s+")
+    # ids 0..len-n; slice(words, i+1, n) builds each n-gram
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: for seed k in [0, num_hashes), min over shingles of
+    xxhash64(shingle, k). Returns array<bigint> of length num_hashes.
+
+    Pure built-ins: transform over a seed sequence, array_min of per-seed
+    hashes — vectorizable, no UDF, no shuffle.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, k))),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + banded LSH.
+
+    Pipeline: shingle → signature → split signature into ``bands`` bands →
+    hash each band → explode (doc, band_id, band_hash) → self-join on
+    (band_id, band_hash) → distinct (a < b) pairs, with the estimated
+    Jaccard (fraction of matching signature positions).
+
+    The only wide operation is the band-bucket join; band hashes are 64-bit
+    so the shuffle is tiny relative to the corpus.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("__sig"),
+    )
+    banded = sig.select(
+        id_col,
+        "__sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(F.slice("__sig", b * rows_per_band + 1, rows_per_band), ",")
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("__b"),
+    ).select(id_col, "__sig", F.col("__b.band").alias("band"), F.col("__b.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("a.__sig", "b.__sig", lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing at least
+    one shingle (inverted-index join), filtered at ``threshold``.
+
+    Exact but quadratic within a shingle's posting list — the correctness
+    baseline for MinHash. At scale, cap posting-list length (drop ubiquitous
+    shingles) before the join; here lists are small.
+    """
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh"))
+    sizes = sh.select(id_col, F.size("__sh").alias("__n"), "__sh")
+    posting = sh.select(id_col, F.explode("__sh").alias("__s"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("__inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("jaccard", F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(text_col: str | Column, num_bits: int = 64, shingle_n: int = 2) -> Column:
+    """64-bit SimHash fingerprint from word n-grams, fully JVM-side.
+
+    For each bit position, sum +1/−1 votes from each shingle's hash bit and
+    take the sign. Implemented as a transform over bit indices aggregating
+    over the shingle array.
+    """
+    sh = shingles(text_col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # One aggregate per bit position (shift amounts must be Python ints);
+    # each vote sum is a JVM-side array aggregate, no UDFs.
+    def bit_vote(i: int):
+        # closure factory: PySpark introspects lambda arity, so the merge
+        # lambda must take exactly (acc, h)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    fp = F.lit(0).cast("long")
+    for i in range(num_bits):
+        vote = F.aggregate(hashes, F.lit(0), bit_vote(i))
+        fp = F.shiftleft(fp, 1) + (vote > 0).cast("long")
+    return fp
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into ``bands``
+    16-bit chunks; docs sharing any chunk are candidates (pigeonhole: any
+    pair within hamming distance < bands shares ≥1 chunk); verify with
+    exact popcount of XOR.
+    """
+    width = 64 // bands
+    fp = df.select(F.col(id_col), simhash(F.col(text_col)).alias("__fp"))
+    banded = fp.select(
+        id_col,
+        "__fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("__fp"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select(id_col, "__fp", "__b.band", "__b.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,93 @@
+"""Interval (gaps-and-islands) operators.
+
+Capability parity: the reference solves "collapse overlapping/adjacent
+eligibility intervals" twice — once with window functions
+(reference: notebooks/databricks/sql/overlap_query_no_recursive_cte_needed.sql:36-107)
+and once with an iterative recursive-CTE emulation
+(reference: notebooks/databricks/python/slow_temp_table_write_in_palce_of_recursive_cte.py:61-198).
+
+Spark-first design: a single shuffle on the partition key, then all work
+happens inside per-key window frames (no self-joins, no iteration). At
+100 TB this is one exchange + one sort per key — the optimal shape for this
+problem; the window functions run inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def collapse_intervals(
+    df: DataFrame,
+    key: str | list[str],
+    start: str = "begindt",
+    end: str = "enddt",
+    gap_days: int = 1,
+    out_start: str = "eligeff_coll",
+    out_end: str = "eligend_coll",
+) -> DataFrame:
+    """Merge intervals per key when they overlap, touch, or are within
+    ``gap_days`` days of each other (containment included).
+
+    Algorithm (standard gaps-and-islands, one pass):
+      1. distinct input rows (the reference dedups first),
+      2. per key ordered by (start, end), compute the running max of ``end``
+         over all *previous* rows,
+      3. a row starts a new island iff its start exceeds that running max
+         plus ``gap_days``,
+      4. island id = running sum of the new-island flags,
+      5. group by (key, island) → min(start), max(end).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(start, end)
+    prev_max_end = F.max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_end.isNull()
+        | (F.col(start) > F.date_add(prev_max_end, gap_days)),
+        1,
+    ).otherwise(0)
+    islands = (
+        df.select(*keys, start, end)
+        .distinct()
+        .withColumn("__island", F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        islands.groupBy(*keys, "__island")
+        .agg(F.min(start).alias(out_start), F.max(end).alias(out_end))
+        .drop("__island")
+    )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    gap_days: int = 0,
+    how: str = "inner",
+) -> DataFrame:
+    """Theta/range self-join on interval overlap within a key.
+
+    Capability parity with the reference's date-range self-join
+    (reference: notebooks/databricks/sql/overlap_query_no_recursive_cte_needed.sql:7-17):
+    ``l.start <= r.end + gap AND r.start <= l.end + gap`` with equi-keys.
+
+    Scale note: the equi-key conjunct makes this a shuffled sort-merge join
+    on the key; the range predicate is evaluated inside the join, so the
+    cross-product is bounded per key, never global.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cond: Column | None = None
+    for k in keys:
+        c = left[k] == right[k]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (left[left_start] <= F.date_add(right[right_end], gap_days))
+        & (right[right_start] <= F.date_add(left[left_end], gap_days))
+    )
+    return left.join(right, cond, how)

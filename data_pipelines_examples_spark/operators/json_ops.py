@@ -1,0 +1,92 @@
+"""Semi-structured shredding: JSON-blob columns and map<string,string>
+payload columns → typed columns.
+
+Reference parity:
+- ``(resource_name, json_value)`` raw tables shredded by JSON path with
+  per-field casts — dags/dataswm/servicenow_api_extract.py:188-217,1706-1790
+  (Presto ``JSON_EXTRACT_SCALAR``/``TRY_CAST`` → Spark ``get_json_object``
+  + ``try_cast``).
+- ``f map<string,string>`` payload tables subscripted per key —
+  notebooks/databricks/python/hive_to_hive_cte.py:45-58,
+  notebooks/databricks/python/fmaps_from_hive_insert_mysql.py:43-69.
+- JSON string → MapType via ``from_json`` —
+  notebooks/databricks/python/usage_analysis.py:75.
+
+Scale note: get_json_object / from_json are codegen'd JVM expressions; a
+shred is a pure projection (narrow, no shuffle) and column pruning drops
+the raw blob immediately after the scan when only shredded fields are used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Presto→Spark dialect mapping used when porting reference SQL:
+#   JSON_EXTRACT_SCALAR(j, p) → get_json_object(j, p)
+#   TRY_CAST(x AS T)          → try_cast via F.expr / Column.try_cast
+#   CAST(JSON_EXTRACT(...) AS ARRAY(BIGINT)) → from_json(col, 'array<bigint>')
+#   APPROX_DISTINCT           → approx_count_distinct
+
+
+def shred_json(
+    df: DataFrame,
+    json_col: str,
+    spec: dict[str, str | tuple[str, str]],
+    keep: list[str] | None = None,
+    drop_source: bool = False,
+) -> DataFrame:
+    """Shred a JSON-string column into typed columns.
+
+    ``spec`` maps output-column → JSON path (``'$.id'``) or (path, type)
+    where type is a Spark SQL type string. Array/struct types route through
+    ``from_json`` on the extracted fragment; scalars through
+    ``get_json_object`` + ``try_cast`` (null on malformed, matching the
+    reference's TRY_CAST semantics).
+    """
+    cols: list[Column] = [F.col(c) for c in (keep if keep is not None else df.columns)]
+    for out, path_spec in spec.items():
+        if isinstance(path_spec, tuple):
+            path, typ = path_spec
+        else:
+            path, typ = path_spec, "string"
+        if typ.strip().lower().startswith(("array", "struct", "map")):
+            frag = F.get_json_object(F.col(json_col), path)
+            cols.append(F.from_json(frag, typ).alias(out))
+        else:
+            raw = F.get_json_object(F.col(json_col), path)
+            cols.append(raw.try_cast(typ).alias(out))
+    out_df = df.select(*cols)
+    if drop_source and json_col in out_df.columns:
+        out_df = out_df.drop(json_col)
+    return out_df
+
+
+def map_payload_select(
+    df: DataFrame,
+    map_col: str,
+    fields: dict[str, str | tuple[str, str]],
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Project typed columns out of a ``map<string,string>`` payload column.
+
+    ``fields`` maps output-column → map key or (key, type). Missing keys
+    yield null (map subscript semantics), bad casts yield null (try_cast).
+    """
+    cols: list[Column] = [F.col(c) for c in (keep or [])]
+    for out, key_spec in fields.items():
+        if isinstance(key_spec, tuple):
+            key, typ = key_spec
+        else:
+            key, typ = key_spec, "string"
+        c = F.col(map_col).getItem(key)
+        if typ != "string":
+            c = c.try_cast(typ)
+        cols.append(c.alias(out))
+    return df.select(*cols)
+
+
+def json_to_map(df: DataFrame, json_col: str, out_col: str | None = None) -> DataFrame:
+    """Parse a JSON-object string into ``map<string,string>``
+    (the reference's clusterCustomTags pattern)."""
+    return df.withColumn(out_col or json_col, F.from_json(F.col(json_col), "map<string,string>"))

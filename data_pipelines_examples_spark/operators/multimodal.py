@@ -1,0 +1,136 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched pandas iterators.
+
+LLM-pipeline extension (BASELINE.json north star). The Spark-side design
+is fully real — schemas, partition-aware batch iteration, mapInPandas
+signatures, metadata propagation; only the codec step is a deterministic
+stub because media libraries are not available in this environment. Swap
+``_decode_stub`` for a real decoder (PIL/ffmpeg) without touching the
+Spark plumbing.
+
+Scale notes: media bytes never leave the executor — mapInPandas streams
+Arrow record batches through Python, so per-batch memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``; metadata-only operations
+(filtering by width, sampling by duration) are pure column expressions and
+never touch the blob.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Typed metadata schema carried next to every media blob.
+MEDIA_SCHEMA = (
+    "media_id bigint, content binary, media_type string, "
+    "width int, height int, duration_ms int, codec string"
+)
+
+FEATURE_SCHEMA = (
+    "media_id bigint, media_type string, n_bytes bigint, "
+    "byte_entropy double, feature array<float>"
+)
+
+FRAME_SCHEMA = (
+    "media_id bigint, frame_idx int, frame_ms int, frame binary"
+)
+
+
+def _decode_stub(content: bytes) -> dict:
+    """Deterministic fake decode — stands in for PIL/ffmpeg (not installed
+    here). Derives stable pseudo-features from the raw bytes so tests are
+    reproducible. Replace with a real codec in production."""
+    if content is None:
+        raise NotImplementedError("real media decoding requires PIL/ffmpeg")
+    import math
+
+    counts = [0] * 256
+    for b in content:
+        counts[b] += 1
+    n = max(len(content), 1)
+    entropy = -sum((c / n) * math.log2(c / n) for c in counts if c)
+    return {"n_bytes": len(content), "byte_entropy": entropy}
+
+
+def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """Per-blob feature extraction via mapInPandas (Arrow-batched).
+
+    Emits (media_id, media_type, n_bytes, byte_entropy, feature) where
+    ``feature`` is a deterministic pseudo-embedding of the bytes.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                stats = _decode_stub(row["content"])
+                seed = int.from_bytes(
+                    (row["content"] or b"\x00")[:8].ljust(8, b"\x00"), "big"
+                )
+                feature = [
+                    ((seed >> (8 * (i % 8))) & 0xFF) / 255.0 for i in range(feature_dim)
+                ]
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "media_type": row["media_type"],
+                        "n_bytes": stats["n_bytes"],
+                        "byte_entropy": stats["byte_entropy"],
+                        "feature": feature,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video blobs: one output row per sampled frame.
+
+    The stub emits byte-slices as fake frames; the row-explosion shape,
+    schema, and batch iteration are the real production plumbing.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                duration = int(row["duration_ms"] or 0)
+                content = row["content"] or b""
+                n_frames = max(duration // every_ms, 1)
+                for i in range(n_frames):
+                    lo = (i * len(content)) // n_frames
+                    hi = ((i + 1) * len(content)) // n_frames
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": i,
+                            "frame_ms": i * every_ms,
+                            "frame": content[lo:hi],
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("media_type") == "video").mapInPandas(batches, FRAME_SCHEMA)
+
+
+def metadata_filter(
+    df: DataFrame,
+    min_width: int | None = None,
+    min_height: int | None = None,
+    max_duration_ms: int | None = None,
+) -> DataFrame:
+    """Metadata-only predicate — prunes blobs without reading them (column
+    pruning keeps ``content`` out of the scan when downstream allows)."""
+    out = df
+    if min_width is not None:
+        out = out.filter(F.col("width") >= min_width)
+    if min_height is not None:
+        out = out.filter(F.col("height") >= min_height)
+    if max_duration_ms is not None:
+        out = out.filter(F.col("duration_ms") <= max_duration_ms)
+    return out

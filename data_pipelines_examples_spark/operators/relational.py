@@ -1,0 +1,194 @@
+"""Join and projection helpers: salted skew join, wildcard rule join,
+rank-pick, outer-merge-coalesce, anti/band/theta joins.
+
+Each helper re-expresses a pattern the reference hand-codes:
+
+- salted skew join — reference:
+  notebooks/databricks/sql/sas_conversion_with_manual_salt_skewed_join.sql:161-206
+  (fact gets ``cast(rand()*N as int)`` salt, dim is replicated ×N via a
+  ``RANGE(N)`` cross join, join on (key, salt)).
+- wildcard rule join + rank pick — reference:
+  notebooks/zeppelin/bof_30_migrate.scala:58-168,525-578 (dim ``*`` matches
+  anything; ties broken by priority rank).
+- full-outer merge with per-column coalesce — reference:
+  notebooks/zeppelin/bof_30_migrate.scala:38-52, notebooks/zeppelin/sap_bw_api.scala:246-255.
+
+Scale notes: AQE skew-join handles skew automatically, but ``salted_join``
+reproduces the reference's deterministic mitigation for engines/configs
+where AQE is off, and is useful when the skew is extreme (a single key
+larger than an executor). Small dims should broadcast — the helpers call
+``F.broadcast`` when the caller marks the dim side small.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def equi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    broadcast_dim: bool = False,
+) -> DataFrame:
+    """Plain equi-join; ``broadcast_dim=True`` forces a broadcast-hash join
+    (the reference steers this via autoBroadcastJoinThreshold=50m)."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on, how)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salt_n: int = 16,
+    salt_col: str = "__salt",
+) -> DataFrame:
+    """Skew-mitigating join: salt the fact side with a uniform random int in
+    [0, salt_n), replicate the dim side ×salt_n (cross join against
+    ``spark.range(salt_n)``), and join on (keys..., salt).
+
+    Result is row-identical to the unsalted join; the hot key's rows are
+    spread over ``salt_n`` shuffle partitions. salt_n=16 matches the
+    reference's fan-out.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    spark = fact.sparkSession
+    salt_ids = spark.range(salt_n).select(F.col("id").cast("int").alias(salt_col))
+    salted_fact = fact.withColumn(salt_col, (F.rand(seed=42) * salt_n).cast("int"))
+    # Dim replication is a broadcast of a small cross product — never a shuffle.
+    salted_dim = dim.crossJoin(F.broadcast(salt_ids))
+    out = salted_fact.join(salted_dim, keys + [salt_col], how)
+    return out.drop(salt_col)
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """Rows of ``left`` with no match in ``right`` (reference:
+    notebooks/databricks/python/partiton_by_date_load_to_parquet_from_s3.py:121-169)."""
+    return left.join(right, on, "left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """EXISTS-style semi join (reference: dags/dataswm/dq_check_for_target_table.py:179-193)."""
+    return left.join(right, on, "left_semi")
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    extra: Column | None = None,
+    how: str = "inner",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Between-join: ``left.value BETWEEN right.lo AND right.hi``
+    (reference: notebooks/zeppelin/bof_30_migrate.scala:1098-1103).
+
+    Band dims are typically tiny rule tables → broadcast by default, making
+    this a broadcast-nested-loop join with a cheap range predicate instead
+    of a full shuffle.
+    """
+    cond = (left[value_col] >= right[lo_col]) & (left[value_col] <= right[hi_col])
+    if extra is not None:
+        cond = cond & extra
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, cond, how)
+
+
+def wildcard_rule_join(
+    fact: DataFrame,
+    rules: DataFrame,
+    mapping: dict[str, str],
+    priority_col: str | None = None,
+    pick_per: list[str] | None = None,
+    ascending: bool = True,
+    how: str = "inner",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Join fact rows against a rule table where a rule column value of
+    ``'*'`` matches anything; optionally keep only the best-priority rule
+    per fact row.
+
+    ``mapping`` maps rule-column → fact-column. A rule matches when every
+    rule column is either ``'*'`` or null-safe-equal to the fact column
+    (the reference's bof rules rely on ``<=>`` so null==null matches).
+    ``pick_per`` names the fact key columns the best-rule pick partitions
+    by (default: all fact columns).
+
+    Rule tables are small → broadcast, so the wildcard disjunctions never
+    force a shuffled nested-loop join.
+    """
+    conds = [
+        F.when(rules[rc] == F.lit("*"), F.lit(True)).otherwise(rules[rc].eqNullSafe(fact[fc]))
+        for rc, fc in mapping.items()
+    ]
+    cond = reduce(lambda a, b: a & b, conds)
+    r = F.broadcast(rules) if broadcast_rules else rules
+    joined = fact.join(r, cond, how)
+    if priority_col is None:
+        return joined
+    order = F.col(priority_col).asc() if ascending else F.col(priority_col).desc()
+    part_cols = pick_per if pick_per is not None else fact.columns
+    w = Window.partitionBy(*[fact[c] for c in part_cols]).orderBy(order)
+    return joined.withColumn("__rk", F.rank().over(w)).filter(F.col("__rk") == 1).drop("__rk")
+
+
+def rank_pick(
+    df: DataFrame,
+    partition_by: str | list[str],
+    order_by: str | list[str | Column],
+    keep_rank: int = 1,
+    use_row_number: bool = False,
+) -> DataFrame:
+    """Keep the rank-1 (or rank-k) row(s) per partition — the reference's
+    rule-priority pick (reference: notebooks/zeppelin/bof_30_migrate.scala:79-80,145-149)
+    and latest-snapshot dedup (dags/dataswm/servicenow_api_extract.py:2337-2342).
+
+    ``use_row_number=True`` keeps exactly one row per partition even on ties.
+    """
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    orders = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
+    fn = F.row_number if use_row_number else F.rank
+    w = Window.partitionBy(*parts).orderBy(*orders)
+    return df.withColumn("__rk", fn().over(w)).filter(F.col("__rk") == keep_rank).drop("__rk")
+
+
+def outer_merge_coalesce(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    prefer: str = "new",
+) -> DataFrame:
+    """Upsert-style merge: full outer join on null-safe keys, then per
+    shared column take ``coalesce(new, old)`` (or old-first).
+
+    Reference: notebooks/zeppelin/bof_30_migrate.scala:38-52 — a Delta
+    MERGE re-expressed as a pure DataFrame op so it works on any store.
+    """
+    cond = reduce(lambda a, b: a & b, [old[k].eqNullSafe(new[k]) for k in keys])
+    joined = old.alias("o").join(new.alias("n"), cond, "outer")
+    cols = []
+    old_cols, new_cols = set(old.columns), set(new.columns)
+    for c in old.columns:
+        if c in new_cols:
+            first, second = ("n", "o") if prefer == "new" else ("o", "n")
+            cols.append(F.coalesce(F.col(f"{first}.{c}"), F.col(f"{second}.{c}")).alias(c))
+        else:
+            cols.append(F.col(f"o.{c}").alias(c))
+    for c in new.columns:
+        if c not in old_cols:
+            cols.append(F.col(f"n.{c}").alias(c))
+    return joined.select(*cols)
+
+
+def join_condition_from_keys(a: DataFrame, b: DataFrame, keys: list[str]) -> Column:
+    """Fold a null-safe equality condition over a key list
+    (reference: notebooks/zeppelin/bof_30_migrate.scala:39-41)."""
+    return reduce(lambda x, y: x & y, [a[k].eqNullSafe(b[k]) for k in keys])

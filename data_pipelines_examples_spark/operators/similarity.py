@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+LLM-pipeline extension (BASELINE.json north star): brute-force cosine
+top-k as the exact baseline, plus an LSH-bucketed variant as the scale
+path. Embeddings are plain ``array<float>`` columns; all math uses
+built-in higher-order functions (``zip_with`` + ``aggregate``) so the dot
+products run JVM-side inside codegen — no Python in the hot path.
+
+Scale notes:
+- brute-force: query set is broadcast (it is small by construction); the
+  corpus is scanned once, scored narrowly, then top-k per query via a
+  window over (query_id) — one shuffle keyed by query_id.
+- random-hyperplane LSH: each vector maps to a bucket signature; candidate
+  pairs/lookups only join within buckets, turning O(N·Q) into
+  O(N·Q/buckets) at a recall cost controlled by (n_planes, n_tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float/double> columns, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k neighbours for each query vector.
+
+    Returns (query_id, vec_id, cosine_sim, rank) with rank 1..k per query.
+    Queries are broadcast; ties broken by corpus id for determinism.
+    """
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = sign(vec · plane_i).
+
+    ``planes`` are driver-side constants (seeded), embedded as array
+    literals — the signature computation is a pure projection.
+    """
+    bucket = F.lit(0).cast("long")
+    for plane in planes:
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (dot(vec_col, plane_col) > 0).cast("long")
+        bucket = F.shiftleft(bucket, 1) + bit
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's hyperplane
+    bucket are scored. Recall improves with fewer planes (bigger buckets)
+    or by unioning multiple plane sets (multi-table LSH)."""
+    c = corpus.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
+    q = queries.withColumn("__qbucket", hyperplane_bucket(F.col(query_vec_col), planes))
+    scored = c.join(F.broadcast(q), F.col("__bucket") == F.col("__qbucket")).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+    ).filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
+
+    Exact all-pairs — correctness baseline for LSH-bucketed dedup; at scale
+    swap the crossJoin for ``lsh_topk``-style bucketing.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

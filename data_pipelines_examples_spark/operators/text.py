@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+LLM-pipeline extension (BASELINE.json north star). Everything is built-in
+``pyspark.sql.functions`` expressions — regex, split, aggregate — so the
+whole module is narrow projections that fuse into the scan stage; zero
+shuffles, zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small multilingual stopword sample per language for the n-gram/stopword
+# language heuristic. Public knowledge lists (top function words).
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "des", "est", "pas", "pour", "dans", "une"],
+    "es": ["el", "la", "los", "que", "de", "es", "por", "con", "para", "una"],
+}
+
+# BPE-ish tokenizer regex: words, numbers, or single non-space symbols —
+# a public approximation of GPT-style pre-tokenization.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def token_count(text_col: str | Column) -> Column:
+    """Whitespace token count (size of split)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def bpe_token_count(text_col: str | Column) -> Column:
+    """BPE-ish token count: number of TOKEN_REGEX matches."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add standard quality-score features: length, token count, mean word
+    length, punctuation ratio, stopword ratio, uppercase ratio."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    tokens = F.split(F.lower(F.trim(c)), r"\s+")
+    n_tokens = F.size(tokens)
+    stop = F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop, t)))
+    n_punct = F.length(F.regexp_replace(c, r"[^\.,;:!\?'\"]", ""))
+    n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("mean_word_len", (n_chars - n_tokens + 1) / n_tokens)
+        .withColumn("punct_ratio", F.round(n_punct / n_chars, 6))
+        .withColumn("stopword_ratio", F.round(n_stop / n_tokens, 6))
+        .withColumn("upper_ratio", F.round(n_upper / n_chars, 6))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
+    """Composite heuristic quality score in [0,1]: rewards stopword presence
+    and moderate length; penalizes punctuation soup and shouting."""
+    feats = quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(F.col("upper_ratio") * 5.0, F.lit(1.0))) * 0.1
+    )
+    return feats.withColumn(out_col, F.round(score, 6))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: count marker-stopword hits per language, pick
+    the argmax (ties → 'und'). Pure array expressions, no UDF."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(tokens, lambda t: F.array_contains(arr, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def doc_fingerprints(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint", window: int = 8) -> DataFrame:
+    """Rolling-hash document fingerprint: min xxhash64 over character
+    ``window``-grams (winnowing-style robust fingerprint). Identical up to
+    small edits far from the minimizing gram."""
+    c = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - window + 1, F.lit(1))),
+        lambda i: F.xxhash64(c.substr(i, F.lit(window))),
+    )
+    return df.withColumn(out_col, F.array_min(grams))

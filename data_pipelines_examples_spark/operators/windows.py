@@ -1,0 +1,155 @@
+"""Window-function operators: cumulative sums, lag feature cascades, ntile,
+RANGE-interval distinct counts, streak detection.
+
+Reference patterns re-expressed (SURVEY.md §2.5):
+
+- cumulative/partitioned running sums —
+  notebooks/databricks/python/usage_analysis.py:173-177,380-386
+- LAG feature cascade (the reference emulates lag with N offset self-joins,
+  notebooks/databricks/python/automl_linearreg_process_stocks.py:100-213;
+  we use ``F.lag`` — one window sort instead of N shuffled joins)
+- NTILE quartiles — notebooks/databricks/python/mlflow_pymatch_single_node.py:113-114
+- 10-minute RANGE frame + approx distinct —
+  notebooks/databricks/python/windowed_lagN_awskms_postgres_date_partition.py:142-145
+- streak detection via conditional cumulative sums —
+  notebooks/databricks/python/automl_linearreg_process_stocks.py:327-375
+
+Scale notes: every helper is a single window spec → one shuffle+sort per
+distinct (partitionBy, orderBy) pair; stacking N lags or N running sums on
+the *same* spec reuses one sort. That is the property that makes the lag
+cascade O(1 shuffle) instead of the reference's O(N joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def cumulative_sum(
+    df: DataFrame,
+    value_cols: str | list[str],
+    order_by: str | list[str],
+    partition_by: str | list[str] | None = None,
+    suffix: str = "_cum",
+) -> DataFrame:
+    """Running total(s) ordered by ``order_by``, optionally per partition."""
+    values = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    orders = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.orderBy(*orders)
+    if partition_by:
+        parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = Window.partitionBy(*parts).orderBy(*orders)
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for v in values:
+        df = df.withColumn(f"{v}{suffix}", F.sum(v).over(w))
+    return df
+
+
+def lag_features(
+    df: DataFrame,
+    value_col: str,
+    order_by: str | list[str],
+    offsets: list[int],
+    partition_by: str | list[str] | None = None,
+    prefix: str | None = None,
+) -> DataFrame:
+    """Add ``lag(value, n)`` columns for each offset on ONE window sort.
+
+    The reference builds the same features with a cascade of offset
+    self-joins (one shuffle each); a shared window spec does it with a
+    single exchange regardless of len(offsets).
+    """
+    orders = [order_by] if isinstance(order_by, str) else list(order_by)
+    if partition_by:
+        parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = Window.partitionBy(*parts).orderBy(*orders)
+    else:
+        w = Window.orderBy(*orders)
+    prefix = prefix or f"{value_col}_lag"
+    for n in offsets:
+        df = df.withColumn(f"{prefix}{n}", F.lag(value_col, n).over(w))
+    return df
+
+
+def ntile_bucket(
+    df: DataFrame,
+    order_by: str | list[str | Column],
+    n: int = 4,
+    partition_by: str | list[str] | None = None,
+    out_col: str = "ntile",
+) -> DataFrame:
+    """NTILE(n) bucket assignment. Order by a unique key (or include a
+    tiebreaker) for deterministic buckets."""
+    orders = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
+    if partition_by:
+        parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = Window.partitionBy(*parts).orderBy(*orders)
+    else:
+        w = Window.orderBy(*orders)
+    return df.withColumn(out_col, F.ntile(n).over(w))
+
+
+def sliding_range_agg(
+    df: DataFrame,
+    ts_col: str,
+    agg: Column,
+    out_col: str,
+    partition_by: str | list[str] | None = None,
+    preceding_seconds: int = 600,
+) -> DataFrame:
+    """Aggregate over a trailing event-time RANGE frame (e.g. distinct users
+    in the last 10 minutes), the reference's ``RANGE BETWEEN INTERVAL '10'
+    MINUTE PRECEDING AND CURRENT ROW`` window.
+
+    Implementation: order by the epoch-microseconds of ``ts_col`` with
+    ``rangeBetween(-preceding_seconds·1e6, 0)`` — the documented PySpark
+    way to get interval RANGE frames, at full timestamp precision.
+    """
+    order = F.unix_micros(F.col(ts_col))
+    if partition_by:
+        parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = Window.partitionBy(*parts).orderBy(order)
+    else:
+        w = Window.orderBy(order)
+    w = w.rangeBetween(-preceding_seconds * 1_000_000, Window.currentRow)
+    return df.withColumn(out_col, agg.over(w))
+
+
+def streaks(
+    df: DataFrame,
+    flag_col: str,
+    order_by: str | list[str],
+    partition_by: str | list[str] | None = None,
+    group_col: str = "streak_id",
+    len_col: str = "streak_len",
+) -> DataFrame:
+    """Detect runs of consecutive ``flag_col == 1`` rows and number the rows
+    within each run.
+
+    Composition (one window spec, reused): lag(flag) → streak-start marker
+    (0→1 edge) → running sum of markers = streak id → rank within
+    (partition, streak id) = position in streak. Rows with flag==0 get
+    streak_len = 0.
+    """
+    orders = [order_by] if isinstance(order_by, str) else list(order_by)
+    parts = (
+        ([partition_by] if isinstance(partition_by, str) else list(partition_by))
+        if partition_by
+        else []
+    )
+    w = Window.partitionBy(*parts).orderBy(*orders) if parts else Window.orderBy(*orders)
+    started = (
+        (F.coalesce(F.lag(flag_col).over(w), F.lit(0)) == 0) & (F.col(flag_col) == 1)
+    ).cast("int")
+    df = df.withColumn("__start", started)
+    df = df.withColumn(
+        group_col,
+        F.sum("__start").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    w2 = Window.partitionBy(*parts, group_col).orderBy(*orders)
+    df = df.withColumn(
+        len_col,
+        F.when(F.col(flag_col) == 1, F.row_number().over(w2)).otherwise(F.lit(0)),
+    )
+    return df.drop("__start")

@@ -1,0 +1,635 @@
+"""Query catalog: every implemented operator expressed as a (Spark
+DataFrame query, DuckDB oracle SQL) pair over the driver's testdata tables.
+
+Each entry exercises one operator cluster from SURVEY.md §2 through the
+engine's public API. The driver runs the Spark query and the oracle SQL
+side-by-side at sf=0.01 and hash-compares values, so:
+
+- every computed column is aliased identically on both sides;
+- floating-point aggregates are summed as DECIMAL (element-wise cast
+  before SUM) so results are exact and independent of partition/order —
+  double sums would differ between engines in the low bits;
+- every ordering used for ranks/limits has a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.dedup import dedup_exact, scd_latest
+from .operators.intervals import collapse_intervals
+from .operators.json_ops import shred_json
+from .operators.relational import band_join, rank_pick, salted_join, wildcard_rule_join
+from .operators.similarity import cosine
+from .operators.unpivot import unpivot
+from .operators.windows import cumulative_sum, sliding_range_agg
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _ensure_confs(spark: SparkSession) -> None:
+    """The driver runs the catalog under its own vanilla SparkSession, so
+    the confs correctness depends on must be (re)applied at query time:
+    nanos parquet reading, permissive casts, UTC so timestamp values align
+    with the DuckDB oracle."""
+    for k, v in {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.ansi.enabled": "false",
+        "spark.sql.session.timeZone": "UTC",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — conf may be static on some builds
+            pass
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) parquet read as long nanos (session conf
+        # nanosAsLong). Floor-convert to microsecond TimestampType with
+        # integer division — float division would lose precision at 1e18.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def _dsum(col, scale_in: int = 4, scale_out: int = 4):
+    """Order-independent money sum: elementwise cast to DECIMAL(18,4)
+    (exact for 2-decimal money values), exact decimal SUM, final
+    precision-only cast. Never downscales — DuckDB truncates on decimal
+    downcasts while Spark rounds half-up, so any scale reduction would
+    desync the engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale_in})")).cast(f"decimal(18,{scale_out})")
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4) — pricing summary, TPC-H Q1 shape
+# ---------------------------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by + multi-aggregate + order-by (reference cluster:
+    notebooks/databricks/python/usage_analysis.py:185-188)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(18,4)")
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q02_top_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join + group-by + top-N (reference:
+    notebooks/databricks/python/usage_analysis.py:181-207 top-N battery)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(_dsum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands interval collapse (SURVEY §2.5 W8) — flagship
+# ---------------------------------------------------------------------------
+
+_ORACLE_COLLAPSE = """
+    WITH base AS (
+      SELECT DISTINCT o_custkey AS memnum,
+             CAST(o_orderdate AS DATE) AS begindt,
+             CAST(o_orderdate AS DATE) + 30 AS enddt
+      FROM orders
+    ), marked AS (
+      SELECT memnum, begindt, enddt,
+        CASE WHEN MAX(enddt) OVER w IS NULL
+               OR date_diff('day', MAX(enddt) OVER w, begindt) > 1
+             THEN 1 ELSE 0 END AS new_island
+      FROM base
+      WINDOW w AS (PARTITION BY memnum ORDER BY begindt, enddt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), grp AS (
+      SELECT memnum, begindt, enddt,
+        SUM(new_island) OVER (PARTITION BY memnum ORDER BY begindt, enddt
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    )
+    SELECT memnum, MIN(begindt) AS eligeff_coll, MAX(enddt) AS eligend_coll
+    FROM grp GROUP BY memnum, island
+"""
+
+
+def _order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_custkey").alias("memnum"),
+        F.to_date("o_orderdate").alias("begindt"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("enddt"),
+    )
+
+
+@query("q03_interval_collapse", _ORACLE_COLLAPSE)
+def q03_interval_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: collapse overlapping/adjacent member intervals (reference:
+    notebooks/databricks/sql/overlap_query_no_recursive_cte_needed.sql:36-107).
+    Single shuffle on the member key; all logic in window frames."""
+    return collapse_intervals(_order_intervals(spark, sf_dir), "memnum")
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q04_customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q04_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (reference:
+    notebooks/databricks/python/partiton_by_date_load_to_parquet_from_s3.py:121-169)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q05_latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q05_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-pick / latest-snapshot (reference:
+    dags/dataswm/servicenow_api_extract.py:2337-2342, bof rank-1 pick)."""
+    o = _t(spark, sf_dir, "orders")
+    return rank_pick(
+        o,
+        "o_custkey",
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+        use_row_number=True,
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@query(
+    "q06_cumulative_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_date,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS daily_rev,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT order_date, daily_rev, n_orders,
+           CAST(SUM(daily_rev) OVER (ORDER BY order_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS cum_rev
+    FROM daily
+    """,
+)
+def q06_cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total (reference: notebooks/databricks/python/usage_analysis.py:173-177)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(_dsum("o_totalprice").alias("daily_rev"), F.count("*").alias("n_orders"))
+    )
+    out = cumulative_sum(daily, "daily_rev", "order_date", suffix="_cum")
+    return out.select(
+        "order_date",
+        "daily_rev",
+        "n_orders",
+        F.col("daily_rev_cum").cast("decimal(18,4)").alias("cum_rev"),
+    )
+
+
+@query(
+    "q07_salted_join_priority_volume",
+    """
+    SELECT o.o_orderpriority,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q07_salted_join_priority_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join — row-identical to the plain join, hot keys spread
+    over 16 salt partitions (reference:
+    notebooks/databricks/sql/sas_conversion_with_manual_salt_skewed_join.sql:161-206)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, o, "o_orderkey", salt_n=16)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(_dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_items"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q08_part_unpivot",
+    """
+    WITH long AS (
+      SELECT p_partkey, 'p_retailprice' AS key, CAST(p_retailprice AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_size' AS key, CAST(p_size AS DOUBLE) AS value FROM part
+    )
+    SELECT key, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+    FROM long WHERE value IS NOT NULL
+    GROUP BY key ORDER BY key
+    """,
+)
+def q08_part_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stack() wide→long unpivot (reference:
+    notebooks/databricks/sql/sas_conversion_with_manual_salt_skewed_join.sql:240)."""
+    p = _t(spark, sf_dir, "part").withColumn(
+        "p_size", F.col("p_size").cast("double")
+    )
+    long_df = unpivot(p, ["p_partkey"], ["p_retailprice", "p_size"])
+    return (
+        long_df.groupBy("key")
+        .agg(F.count("*").alias("n"), _dsum("value").alias("total"))
+        .orderBy("key")
+    )
+
+
+@query(
+    "q09_json_shred_events",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q09_json_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-blob shred + aggregate (reference:
+    dags/dataswm/servicenow_api_extract.py:188-217 JSON_EXTRACT_SCALAR + TRY_CAST)."""
+    e = _t(spark, sf_dir, "events")
+    shredded = shred_json(e, "props", {"k": ("$.k", "bigint")}, keep=["event_type"])
+    return (
+        shredded.groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q10_scd_latest_event_per_user",
+    """
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q10_scd_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD latest-row dedup (reference:
+    dags/dataswm/servicenow_api_extract.py:2328-2350 prev∪curr ROW_NUMBER)."""
+    e = _t(spark, sf_dir, "events")
+    return scd_latest(e, "user_id", "ts", tiebreak=["event_id"]).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+    )
+
+
+@query(
+    "q11_sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id,
+        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q11_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization — the gaps-and-islands composition on event time
+    (reference pattern: overlap_query_no_recursive_cte_needed.sql:36-107
+    applied to a 30-minute inactivity gap)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sess = e.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q12_sliding_distinct_users",
+    """
+    SELECT event_id,
+           COUNT(DISTINCT user_id) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)
+                RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS users_10m
+    FROM events
+    """,
+)
+def q12_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 10-minute distinct-user count over an event-time RANGE frame
+    (reference: windowed_lagN_awskms_postgres_date_partition.py:142-145;
+    exact collect_set variant so the oracle can verify values — the approx
+    variant is the same window with approx_count_distinct)."""
+    e = _t(spark, sf_dir, "events")
+    out = sliding_range_agg(
+        e,
+        "ts",
+        F.collect_set("user_id"),
+        "users_set_10m",
+        partition_by="event_type",
+        preceding_seconds=600,
+    )
+    return out.select("event_id", F.size("users_set_10m").cast("bigint").alias("users_10m"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text / similarity (LLM-pipeline extensions)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q13_dedup_exact_documents",
+    """
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text) k
+      ON d.doc_id = k.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q13_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy keeping min id — shuffles 8-byte hashes,
+    not document bodies."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_exact(d, "text", keep="min", id_col="doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    ).orderBy("doc_id")
+
+
+@query(
+    "q14_text_stats",
+    r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpe_tokens,
+           length(text) AS n_chars_calc
+    FROM documents
+    """,
+)
+def q14_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) — narrow projections that
+    fuse into the scan."""
+    from .operators.text import TOKEN_REGEX, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), 0)).cast("bigint").alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+    )
+
+
+@query(
+    "q15_embedding_topk",
+    """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  list_dot_product(c.v, q.qv) /
+                  (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+           FROM c CROSS JOIN q
+           WHERE c.vec_id <> q.query_id
+         )
+    SELECT query_id, vec_id, CAST(ROUND(sim, 6) AS DECIMAL(10,6)) AS cosine_sim, rank FROM (
+      SELECT query_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q15_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: JVM-side zip_with/aggregate dot
+    products, broadcast query set, one shuffle keyed by query_id."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    from .operators.similarity import brute_force_topk
+
+    out = brute_force_topk(emb, queries_df, k=10, exclude_self=True)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine_sim", 6).cast("decimal(10,6)").alias("cosine_sim"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Band join + wildcard rule join (SURVEY §2.3 J8/J9)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q16_size_band_join",
+    """
+    WITH bands(band, lo, hi) AS (VALUES ('small', 0, 15), ('medium', 16, 35), ('large', 36, 100))
+    SELECT b.band, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_price
+    FROM part p JOIN bands b ON p.p_size >= b.lo AND p.p_size <= b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+)
+def q16_size_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (between) join against a broadcast rule dim (reference:
+    notebooks/zeppelin/bof_30_migrate.scala:1098-1103)."""
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("small", 0, 15), ("medium", 16, 35), ("large", 36, 100)],
+        "band string, lo int, hi int",
+    )
+    joined = band_join(p, bands, "p_size", "lo", "hi")
+    return (
+        joined.groupBy("band")
+        .agg(F.count("*").alias("n_parts"), _dsum("p_retailprice").alias("total_price"))
+        .orderBy("band")
+    )
+
+
+@query(
+    "q17_wildcard_rule_tiering",
+    """
+    WITH fact AS (
+      SELECT c.c_custkey, c.c_mktsegment, n.n_name
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    rules(priority, seg, nat, tier) AS (VALUES
+      (10, 'BUILDING', '*', 'gold'),
+      (20, '*', 'GERMANY', 'silver'),
+      (90, '*', '*', 'bronze')
+    ),
+    matched AS (
+      SELECT f.c_custkey, r.tier, r.priority,
+             ROW_NUMBER() OVER (PARTITION BY f.c_custkey ORDER BY r.priority) AS rn
+      FROM fact f JOIN rules r
+        ON (r.seg = '*' OR r.seg = f.c_mktsegment)
+       AND (r.nat = '*' OR r.nat = f.n_name)
+    )
+    SELECT c_custkey, tier FROM matched WHERE rn = 1 ORDER BY c_custkey
+    """,
+)
+def q17_wildcard_rule_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard-predicate rule join + priority rank-pick (reference:
+    notebooks/zeppelin/bof_30_migrate.scala:58-168,525-578)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    fact = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_mktsegment", "n_name"
+    )
+    rules = spark.createDataFrame(
+        [
+            (10, "BUILDING", "*", "gold"),
+            (20, "*", "GERMANY", "silver"),
+            (90, "*", "*", "bronze"),
+        ],
+        "priority int, seg string, nat string, tier string",
+    )
+    out = wildcard_rule_join(
+        fact,
+        rules,
+        {"seg": "c_mktsegment", "nat": "n_name"},
+        priority_col="priority",
+        pick_per=["c_custkey"],
+    )
+    return out.select("c_custkey", "tier").orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q18_open_not_fulfilled_custkeys",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_custkey
+    """,
+)
+def q18_open_not_fulfilled_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / subtract diff-validation (reference:
+    notebooks/databricks/python/from_api_call_to_columnar_db.py:688-703)."""
+    o = _t(spark, sf_dir, "orders")
+    open_k = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_k = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_k.subtract(done_k).orderBy("o_custkey")

@@ -1,0 +1,112 @@
+"""Sinks (SURVEY §2.1 K1-K10): partitioned, idempotent, count-validated.
+
+Reference parity:
+- date-partitioned parquet sink — cloudtrail_etl.scala:130-138,
+  partiton_by_date_load_to_parquet_from_s3.py:266-272
+- idempotent partition overwrite — hive_to_hive_cte.py:164-175
+  (INSERT OVERWRITE PARTITION), windowed_lagN...py:208-217 (replaceWhere)
+- count-validated writes — windowed_lagN...py:189-199,316-344,
+  fmaps_from_hive_insert_mysql.py:155-177
+- single-file export — usage_analysis.py:604
+- capped write parallelism — from_api_call_to_columnar_db.py:506-521
+  (repartition(5) before JDBC)
+
+Scale notes: dynamic partition overwrite (set in the session profile)
+makes per-partition re-runs idempotent without delete-then-append races.
+``target_parallelism`` caps file counts / connection fan-out the way the
+reference hand-tunes repartition before constrained sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class WriteValidationError(RuntimeError):
+    pass
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    df.write.format(fmt).mode(mode).partitionBy(*parts).save(path)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Idempotently replace exactly the partitions present in ``df``
+    (dynamic partition overwrite — the INSERT OVERWRITE PARTITION /
+    replaceWhere idiom). Other partitions are untouched."""
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    (
+        df.write.format(fmt)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*parts)
+        .save(path)
+    )
+
+
+def write_validated(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: str | list[str] | None = None,
+    target_parallelism: int | None = None,
+) -> int:
+    """Write then re-read and assert count equality — the reference's
+    post-write validation idiom. Returns the validated row count.
+
+    The source is counted from a cached plan so write+count don't recompute
+    differently; the sink is counted from the files actually written.
+    """
+    df = df.cache()
+    try:
+        expected = df.count()
+        out = df
+        if target_parallelism is not None:
+            out = out.repartition(target_parallelism)
+        writer = out.write.format(fmt).mode(mode)
+        if partition_by:
+            parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            writer = writer.partitionBy(*parts)
+        writer.save(path)
+        actual = df.sparkSession.read.format(fmt).load(path).count()
+        if actual != expected:
+            raise WriteValidationError(
+                f"wrote {actual} rows to {path}, expected {expected}"
+            )
+        return actual
+    finally:
+        df.unpersist()
+
+
+def write_single_file(df: DataFrame, path: str, fmt: str = "csv", header: bool = True) -> None:
+    """coalesce(1) export for handoff files — never for large data."""
+    w = df.coalesce(1).write.mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", str(header).lower())
+    w.format(fmt).save(path)
+
+
+def register_table(
+    spark,
+    name: str,
+    path: str,
+    fmt: str = "parquet",
+) -> None:
+    """Register an external path as a catalog table (the reference's Glue
+    register loop, glue_catolog_copy_register_tables.py:11-35)."""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} USING {fmt} LOCATION '{path}'"
+    )

@@ -1,0 +1,118 @@
+"""File-source streaming ETL — the CloudTrail shape, generalized.
+
+Reference parity (notebooks/databricks/scala/cloudtrail_etl.scala):
+- ST1 file-source stream with maxFilesPerTrigger (:95-98)
+- ST2 stream transform: explode nested records + timestamp parse (:110-114)
+- ST3 parquet sink, partitionBy(date), processing-time trigger, checkpoint (:128-138)
+- ST4 concurrent batch reads over the live sink path (:158-162)
+- ST5 + watermarked sliding-window aggregates — the idiomatic upgrade of the
+  reference's "reprocess two partition dates per run" late-data pattern
+  (windowed_lagN_awskms_postgres_date_partition.py:32-52; SURVEY §2.9 note).
+
+Scale notes: the stream transform is identical DataFrame code to batch —
+Catalyst plans it incrementally. State for windowed distinct aggregation is
+bounded by the watermark; partitionBy(date) on the sink keeps downstream
+batch scans partition-pruned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    fmt: str = "json",
+    max_files_per_trigger: int = 100,
+) -> DataFrame:
+    """ST1: rate-limited file-source stream with an explicit schema
+    (streams require one — no inference)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def flatten_records(
+    df: DataFrame,
+    records_col: str = "Records",
+    event_time_col: str = "eventTime",
+    ts_format: str = "yyyy-MM-dd'T'HH:mm:ss",
+) -> DataFrame:
+    """ST2: explode a nested array-of-struct payload into one row per
+    record, parse event time, and derive the partition date."""
+    exploded = df.select(F.explode(F.col(records_col)).alias("record"))
+    flat = exploded.select("record.*")
+    return flat.withColumn(
+        "timestamp", F.to_timestamp(F.col(event_time_col), ts_format)
+    ).withColumn("date", F.to_date("timestamp"))
+
+
+def write_partitioned_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: str = "date",
+    trigger_seconds: int = 10,
+    fmt: str = "parquet",
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """ST3: partitioned file sink with processing-time trigger + checkpoint."""
+    return (
+        df.writeStream.format(fmt)
+        .partitionBy(partition_by)
+        .option("checkpointLocation", checkpoint)
+        .option("path", path)
+        .outputMode(output_mode)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def windowed_distinct_users(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    user_col: str = "user_id",
+    window: str = "10 minutes",
+    slide: str = "1 minute",
+    watermark: str = "15 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """ST5: sliding-window approx-distinct with a watermark — the streaming
+    analog of the batch RANGE-frame distinct (SURVEY §2.9). Late rows beyond
+    the watermark are dropped instead of reprocessing whole partition dates."""
+    groups = [F.window(F.col(ts_col), window, slide)] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*groups)
+        .agg(F.approx_count_distinct(user_col).alias("approx_users"))
+    )
+
+
+def run_stream_to_completion(
+    query: StreamingQuery, timeout_seconds: float = 60.0
+) -> None:
+    """Drive a file-source stream until all currently-available input is
+    processed, then stop — the pattern batch tests use to validate
+    streaming pipelines deterministically."""
+    import time
+
+    deadline = time.time() + timeout_seconds
+    while time.time() < deadline:
+        progress = query.lastProgress
+        if progress is not None and progress["numInputRows"] == 0 and query.status[
+            "isTriggerActive"
+        ] is False:
+            break
+        time.sleep(0.5)
+    query.stop()
+    query.awaitTermination(10)

@@ -1,0 +1,92 @@
+"""Tests for dedup (exact, SCD, minhash/simhash/jaccard) and text operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipelines_examples_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    scd_latest,
+    simhash_pairs,
+)
+from data_pipelines_examples_spark.operators.text import (
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog again and again tomorrow"),  # near dup
+    (4, "completely different content about spark query engines and shuffles"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_dedup_exact(spark):
+    out = dedup_exact(_docs(spark), "text", id_col="doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3, 4]
+
+
+def test_scd_latest(spark):
+    df = spark.createDataFrame(
+        [(1, "2020-01-01", "old"), (1, "2020-01-02", "new"), (2, "2020-01-01", "only")],
+        "k int, v string, payload string",
+    )
+    out = scd_latest(df, "k", "v")
+    assert {(r.k, r.payload) for r in out.collect()} == {(1, "new"), (2, "only")}
+
+
+def test_minhash_finds_near_dup(spark):
+    pairs = minhash_lsh_pairs(_docs(spark), num_hashes=32, bands=16, shingle_n=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always collides
+    assert (1, 3) in got or (2, 3) in got  # near dup should band-collide
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    assert est[(1, 2)] == 1.0
+
+
+def test_ngram_jaccard_exact(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), shingle_n=2, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert any(k in got for k in [(1, 3), (2, 3)])
+    assert all(v >= 0.5 for v in got.values())
+
+
+def test_simhash_pairs(spark):
+    pairs = simhash_pairs(_docs(spark), max_hamming=6)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 2)] == 0  # identical text → identical fingerprint
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("single",)], "text string")
+    got = [r[0] for r in df.select(token_count("text")).collect()]
+    assert got == [3, 1]
+
+
+def test_quality_score_range(spark):
+    out = quality_score(_docs(spark), "text")
+    for r in out.select("quality").collect():
+        assert 0.0 <= r.quality <= 1.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and the dog is not"),
+            (2, "der hund ist nicht in das haus und die katze"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}

@@ -1,0 +1,61 @@
+"""Plan-shape assertions: the physical plans we designed for actually
+materialize — broadcasts broadcast, filters push down to parquet, window
+stacks reuse one sort. Row-equality tests can't catch 100 TB regressions;
+these can."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from data_pipelines_examples_spark.operators.windows import lag_features
+from data_pipelines_examples_spark.plans.inspect import (
+    count_shuffles,
+    has_broadcast_join,
+    physical_plan,
+    pushed_filters,
+)
+
+
+def test_dim_join_broadcasts(spark):
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    assert has_broadcast_join(joined)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    pf = pushed_filters(q)
+    assert "l_quantity" in pf, f"no pushed filter found: {pf!r}"
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    q = li.select("l_orderkey")
+    plan = physical_plan(q)
+    # the scan should read only the projected column
+    assert "l_extendedprice" not in plan
+
+
+def test_lag_cascade_single_shuffle(spark):
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    df = lag_features(o, "o_totalprice", "o_orderdate", [1, 2, 3, 5, 10], partition_by="o_custkey")
+    # N lags over one window spec = one exchange, not N
+    assert count_shuffles(df) == 1
+
+
+def test_wildcard_rule_join_broadcasts(spark):
+    from data_pipelines_examples_spark.operators.relational import wildcard_rule_join
+
+    fact = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    rules = spark.createDataFrame(
+        [(1, "BUILDING", "gold"), (9, "*", "bronze")],
+        "priority int, seg string, tier string",
+    )
+    out = wildcard_rule_join(
+        fact, rules, {"seg": "c_mktsegment"}, priority_col="priority",
+        pick_per=["c_custkey"],
+    )
+    assert has_broadcast_join(out)

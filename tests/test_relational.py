@@ -1,0 +1,85 @@
+"""Unit tests for join helpers: salted join equivalence, wildcard rules,
+rank pick, outer-merge-coalesce, band join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipelines_examples_spark.operators.relational import (
+    band_join,
+    outer_merge_coalesce,
+    rank_pick,
+    salted_join,
+    wildcard_rule_join,
+)
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(i % 3, f"v{i}") for i in range(100)], "k int, v string"
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, name string")
+    plain = fact.join(dim, "k").groupBy("name").count()
+    salted = salted_join(fact, dim, "k", salt_n=8).groupBy("name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    fact = spark.createDataFrame([(1, "x"), (9, "y")], "k int, v string")
+    dim = spark.createDataFrame([(1, "a")], "k int, name string")
+    out = salted_join(fact, dim, "k", how="left", salt_n=4)
+    rows = {(r.k, r.name) for r in out.collect()}
+    assert rows == {(1, "a"), (9, None)}
+
+
+def test_wildcard_rule_join_priority(spark):
+    fact = spark.createDataFrame(
+        [(1, "A", "X"), (2, "B", "Y"), (3, "C", "Z")], "id int, f1 string, f2 string"
+    )
+    rules = spark.createDataFrame(
+        [(10, "A", "*", "r1"), (20, "*", "Y", "r2"), (99, "*", "*", "fallback")],
+        "priority int, r1 string, r2 string, tag string",
+    )
+    out = wildcard_rule_join(
+        fact, rules, {"r1": "f1", "r2": "f2"}, priority_col="priority", pick_per=["id"]
+    )
+    got = {(r.id, r.tag) for r in out.collect()}
+    assert got == {(1, "r1"), (2, "r2"), (3, "fallback")}
+
+
+def test_wildcard_rule_join_null_safe(spark):
+    fact = spark.createDataFrame([(1, None)], "id int, f1 string")
+    rules = spark.createDataFrame(
+        [(1, None, "null-rule"), (2, "*", "star-rule")],
+        "priority int, r1 string, tag string",
+    )
+    out = wildcard_rule_join(
+        fact, rules, {"r1": "f1"}, priority_col="priority", pick_per=["id"]
+    )
+    assert [r.tag for r in out.collect()] == ["null-rule"]
+
+
+def test_rank_pick_row_number(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 5.0)], "k string, id int, v double"
+    )
+    out = rank_pick(df, "k", [F.col("v").desc()], use_row_number=True)
+    assert {(r.k, r.id) for r in out.collect()} == {("a", 2), ("b", 3)}
+
+
+def test_outer_merge_coalesce_prefers_new(spark):
+    old = spark.createDataFrame([(1, "old1", "x"), (2, "old2", "y")], "k int, a string, b string")
+    new = spark.createDataFrame([(2, "new2", None), (3, "new3", "z")], "k int, a string, b string")
+    out = outer_merge_coalesce(old, new, ["k"])
+    got = {(r.k, r.a, r.b) for r in out.collect()}
+    assert got == {(1, "old1", "x"), (2, "new2", "y"), (3, "new3", "z")}
+
+
+def test_band_join(spark):
+    vals = spark.createDataFrame([(5,), (20,), (99,)], "v int")
+    bands = spark.createDataFrame(
+        [("lo", 0, 9), ("mid", 10, 50)], "band string, lo int, hi int"
+    )
+    out = band_join(vals, bands, "v", "lo", "hi", how="left")
+    got = {(r.v, r.band) for r in out.collect()}
+    assert got == {(5, "lo"), (20, "mid"), (99, None)}

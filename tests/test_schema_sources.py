@@ -1,0 +1,158 @@
+"""Tests for schema compilers, readers, writers, DQ rules, and scalar functions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipelines_examples_spark.dq.rules import (
+    DQRule,
+    distinct_drift,
+    new_values,
+    run_rules,
+)
+from data_pipelines_examples_spark.functions.udfs import (
+    add_days_str,
+    fiscal_yyyymm,
+    has_unallowable_chars,
+    julian_to_date,
+    last_day_of_month,
+    parse_date_strict,
+    parse_log_record,
+)
+from data_pipelines_examples_spark.schema import (
+    align_to_schema,
+    schema_from_ddl,
+    schema_from_fields,
+)
+from data_pipelines_examples_spark.sources.readers import read_paginated_api
+from data_pipelines_examples_spark.sources.writers import (
+    overwrite_partitions,
+    write_validated,
+)
+
+
+def test_schema_from_fields():
+    s = schema_from_fields("id,name,amount", "bigint,string,decimal(10,2)", keys="id")
+    assert s["id"].dataType == T.LongType() and not s["id"].nullable
+    assert s["amount"].dataType == T.DecimalType(10, 2)
+    assert s["name"].nullable
+
+
+def test_align_to_schema(spark):
+    df = spark.createDataFrame([(1, "x")], "id int, name string")
+    target = schema_from_ddl("id bigint, name string, extra double")
+    out = align_to_schema(df, target)
+    assert [f.dataType for f in out.schema.fields] == [
+        T.LongType(), T.StringType(), T.DoubleType()
+    ]
+    assert out.first().extra is None
+
+
+def test_paginated_api_reader(spark):
+    pages = {0: [{"id": 1}, {"id": 2}], 1: [{"id": 3}]}
+
+    def fetch(page):
+        return pages[page], page < 1
+
+    df = read_paginated_api(spark, fetch, "id bigint")
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+
+
+def test_paginated_api_retries(spark):
+    attempts = []
+
+    def fetch(page):
+        attempts.append(page)
+        if len(attempts) < 3:
+            raise RuntimeError("flaky")
+        return [{"id": 7}], False
+
+    df = read_paginated_api(spark, fetch, "id bigint", backoff_seconds=0.01)
+    assert [r.id for r in df.collect()] == [7]
+    assert len(attempts) == 3
+
+
+def test_write_validated_roundtrip(spark, tmp_path):
+    df = spark.range(100).withColumn("p", (F.col("id") % 3).cast("int"))
+    n = write_validated(df, str(tmp_path / "out"), partition_by="p")
+    assert n == 100
+
+
+def test_overwrite_partitions_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "v int, p string")
+    base.write.partitionBy("p").parquet(path)
+    # replace only partition p=a with new content
+    repl = spark.createDataFrame([(10, "a")], "v int, p string")
+    overwrite_partitions(repl, path, "p")
+    got = {(r.v, r.p) for r in spark.read.parquet(path).collect()}
+    assert got == {(10, "a"), (2, "b")}
+
+
+def test_dq_rules(spark):
+    df = spark.createDataFrame(
+        [(1, 5, 3), (2, 2, 4), (3, None, 1)], "id int, shipped int, ordered int"
+    )
+    report, audit = run_rules(
+        df,
+        [
+            DQRule("shipped_gt_ordered", "shipped > ordered"),
+            DQRule("null_shipped", "shipped IS NULL"),
+            DQRule("never_fires", "id < 0"),
+        ],
+        audit_cols=["id"],
+    )
+    by_name = {r.rule.name: r.n_violations for r in report.results}
+    assert by_name == {"shipped_gt_ordered": 1, "null_shipped": 1, "never_fires": 0}
+    assert not report.passed
+    assert {(r.id, r.rule_name) for r in audit.collect()} == {
+        (1, "shipped_gt_ordered"), (3, "null_shipped")
+    }
+
+
+def test_distinct_drift_and_new_values(spark):
+    today = spark.createDataFrame([(i % 10,) for i in range(100)], "v int")
+    yesterday = spark.createDataFrame([(i % 9,) for i in range(100)], "v int")
+    drift = distinct_drift(today, yesterday, ["v"])
+    a, b, ok = drift["v"]
+    assert ok and abs(a - 10) <= 1 and abs(b - 9) <= 1
+    nv = new_values(today, yesterday, "v")
+    assert [r.v for r in nv.collect()] == [9]
+
+
+def test_scalar_functions(spark):
+    df = spark.createDataFrame(
+        [("20231115", "3100", "na#me")], "d string, jul string, s string"
+    )
+    row = df.select(
+        fiscal_yyyymm("d").alias("fy"),
+        parse_date_strict("d").alias("pd"),
+        parse_date_strict(F.lit("20230230")).alias("bad"),
+        julian_to_date("jul").alias("jd"),
+        add_days_str("d", 17).alias("plus"),
+        last_day_of_month("d", "yyyyMMdd").alias("eom"),
+        has_unallowable_chars("s").alias("ua"),
+    ).first()
+    assert row.fy == "202402"  # Nov 2023 → FY month 2
+    assert row.pd == dt.date(2023, 11, 15)
+    assert row.bad is None
+    assert row.jd == dt.date(2023, 4, 10)  # '3' → 2023, day 100
+    assert row.plus == "20231202"
+    assert row.eom == dt.date(2023, 11, 30)
+    assert row.ua is True
+
+
+def test_parse_log_record(spark):
+    line = (
+        '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /index.html HTTP/1.0" '
+        '200 2326 "http://ref.example" "Mozilla/4.08"'
+    )
+    df = spark.createDataFrame([(line,), ("malformed junk",)], "value string")
+    rows = parse_log_record(df).collect()
+    ok = next(r for r in rows if r.ip == "127.0.0.1")
+    assert ok.status == 200 and ok.bytes == 2326 and ok.request.startswith("GET")
+    bad = next(r for r in rows if r.ip != "127.0.0.1")
+    assert bad.status is None

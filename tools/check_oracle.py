@@ -1,0 +1,100 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same sf dir, then
+compare row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(df_pandas):
+    """Sort columns by name, sort rows, stringify values for comparison."""
+    import pandas as pd
+
+    df = df_pandas.reindex(sorted(df_pandas.columns), axis=1)
+
+    import decimal
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        if isinstance(v, (float, decimal.Decimal)):
+            return f"{float(v):.6f}"
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        return str(v)
+
+    rows = sorted(tuple(norm(v) for v in row) for row in df.itertuples(index=False))
+    return list(df.columns), rows
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from data_pipelines_examples_spark.session import get_session
+
+    spark = get_session("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).arrow().to_pandas(date_as_object=True)
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: oracle error: {e}")
+            continue
+        scols, srows = normalize(sdf)
+        ocols, orows = normalize(odf)
+        status = []
+        if [c.lower() for c in scols] != [c.lower() for c in ocols]:
+            status.append(f"cols spark={scols} oracle={ocols}")
+        if len(srows) != len(orows):
+            status.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        elif srows != orows:
+            n_bad = sum(1 for a, b in zip(srows, orows) if a != b)
+            diff = next((a, b) for a, b in zip(srows, orows) if a != b)
+            status.append(f"values ({n_bad}/{len(srows)} rows differ; first: {diff[0]} vs {diff[1]})")
+        if status:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(status))
+        else:
+            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+    spark.stop()
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
