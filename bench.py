@@ -30,6 +30,11 @@ BENCH_QUERIES = [
     "q12_sliding_distinct_users",
     "q13_dedup_exact_documents",
     "q15_embedding_topk",
+    "q08_part_unpivot",
+    "q19_customer_running_spend",
+    "q22_user_value_streaks",
+    "q24_region_revenue_rollup",
+    "q31_ngram_jaccard_pairs",
 ]
 
 

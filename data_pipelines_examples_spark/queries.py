@@ -81,11 +81,19 @@ def query(name: str, oracle: str | None):
     return deco
 
 
+def _load_all() -> None:
+    # import for decorator side effects; must be lazy (queries_ext imports
+    # this module)
+    from . import queries_ext  # noqa: F401
+
+
 def queries() -> dict[str, QueryFn]:
+    _load_all()
     return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_all()
     return dict(_ORACLES)
 
 
