@@ -48,9 +48,11 @@ def main() -> None:
     spark = get_session("bench")
     qs = catalog.queries()
 
-    # Warm the JVM/readers once with a trivial action so timings measure
-    # query execution, not session spin-up.
+    # Warm the JVM/readers once (session spin-up, codegen compiler, parquet
+    # footers) so timings measure query execution, not first-job overhead.
     spark.range(1).count()
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings", "part"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -31,13 +31,19 @@ def collapse_intervals(
     ``gap_days`` days of each other (containment included).
 
     Algorithm (standard gaps-and-islands, one pass):
-      1. distinct input rows (the reference dedups first),
-      2. per key ordered by (start, end), compute the running max of ``end``
+      1. per key ordered by (start, end), compute the running max of ``end``
          over all *previous* rows,
-      3. a row starts a new island iff its start exceeds that running max
+      2. a row starts a new island iff its start exceeds that running max
          plus ``gap_days``,
-      4. island id = running sum of the new-island flags,
-      5. group by (key, island) → min(start), max(end).
+      3. island id = running sum of the new-island flags,
+      4. group by (key, island) → min(start), max(end).
+
+    Unlike the reference's +1/−1 event-count formulation, the running-max
+    formulation is duplicate-tolerant — a duplicate row can never open an
+    island, so no pre-``distinct`` is needed. That saves a full-width
+    shuffle: the whole operator is ONE exchange on the key (the final
+    group-by reuses the window's hash partitioning, and duplicates
+    collapse in the same island's min/max).
     """
     keys = [key] if isinstance(key, str) else list(key)
     w = Window.partitionBy(*keys).orderBy(start, end)
@@ -47,10 +53,8 @@ def collapse_intervals(
         | (F.col(start) > F.date_add(prev_max_end, gap_days)),
         1,
     ).otherwise(0)
-    islands = (
-        df.select(*keys, start, end)
-        .distinct()
-        .withColumn("__island", F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands = df.select(*keys, start, end).withColumn(
+        "__island", F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return (
         islands.groupBy(*keys, "__island")

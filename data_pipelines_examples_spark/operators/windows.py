@@ -116,6 +116,40 @@ def sliding_range_agg(
     return df.withColumn(out_col, agg.over(w))
 
 
+def approx_distinct_over_range(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    out_col: str,
+    partition_by: str | list[str] | None = None,
+    preceding_seconds: int = 600,
+) -> DataFrame:
+    """``approx_count_distinct`` over an event-time RANGE frame — the
+    reference's exact window (windowed_lagN_awskms_postgres_date_partition.py:142-145).
+
+    Routed through a SQL ``expr`` because approx aggregates over RANGE
+    frames aren't expressible via the PySpark ``.over()`` builder in all
+    versions (SURVEY §7.3 hard part 2). Sub-linear state per frame (HLL
+    sketch) — at 100 TB this is the only viable form of the query; the
+    exact collect_set variant (``sliding_range_agg``) is for oracle checks.
+    """
+    parts = (
+        ([partition_by] if isinstance(partition_by, str) else list(partition_by))
+        if partition_by
+        else []
+    )
+    part_sql = f"PARTITION BY {', '.join(parts)} " if parts else ""
+    micros = preceding_seconds * 1_000_000
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"approx_count_distinct({value_col}) OVER ({part_sql}"
+            f"ORDER BY unix_micros({ts_col}) "
+            f"RANGE BETWEEN {micros} PRECEDING AND CURRENT ROW)"
+        ),
+    )
+
+
 def streaks(
     df: DataFrame,
     flag_col: str,

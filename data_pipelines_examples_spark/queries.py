@@ -82,9 +82,9 @@ def query(name: str, oracle: str | None):
 
 
 def _load_all() -> None:
-    # import for decorator side effects; must be lazy (queries_ext imports
-    # this module)
-    from . import queries_ext  # noqa: F401
+    # import for decorator side effects; must be lazy (the ext modules
+    # import this module)
+    from . import queries_ext, queries_ext2  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,192 @@
+"""Query catalog, part 3: predicate/scalar-function coverage and composite
+pipeline shapes (SURVEY §2.2, §2.8; BASELINE bench shape 2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import dedup_by_key
+from .operators.json_ops import json_to_map
+from .operators.relational import salted_join
+from .operators.unpivot import unpivot
+from .operators.windows import approx_distinct_over_range
+from .queries import _dsum, _t, query
+
+
+@query(
+    "q36_map_key_filter",
+    """
+    SELECT event_type, COUNT(*) AS n_high
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q36_map_key_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-key predicates over a parsed JSON map (reference:
+    usage_analysis.py:95-100,392 — array_contains(map_keys(...)) + typed
+    subscript filter). The oracle is the direct-JSON equivalent."""
+    e = _t(spark, sf_dir, "events")
+    m = json_to_map(e, "props", "f")
+    return (
+        m.filter(
+            F.array_contains(F.map_keys("f"), "k")
+            & (F.col("f").getItem("k").cast("bigint") > 50)
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_high"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q37_string_functions",
+    """
+    SELECT p_partkey,
+           upper(substring(p_name, 1, 8)) AS name_prefix,
+           regexp_extract(p_type, '([A-Z]+)$', 1) AS type_last,
+           length(p_name) AS name_len,
+           reverse(p_brand) AS brand_rev,
+           concat(p_brand, ':', p_type) AS brand_type
+    FROM part
+    WHERE p_type LIKE '%OMY' OR p_name LIKE 'red%'
+    """,
+)
+def q37_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery + LIKE predicates (SURVEY §2.8:
+    substr/length/reverse/concat/regexp_extract; P9 LIKE —
+    hive_to_hive_cte.py:46-59)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%OMY") | F.col("p_name").like("red%")
+    ).select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_last"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "q38_null_safe_join",
+    """
+    WITH a AS (
+      SELECT event_id, nullif(event_type, 'click') AS et FROM events WHERE event_id < 500
+    ), b AS (
+      SELECT nullif(event_type, 'click') AS et, COUNT(*) AS n_type
+      FROM events GROUP BY 1
+    )
+    SELECT a.event_id, a.et, b.n_type
+    FROM a JOIN b ON a.et IS NOT DISTINCT FROM b.et
+    """,
+)
+def q38_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join — null keys match null keys (reference:
+    bof_30_migrate.scala:40,1223 ``<=>`` joins; Spark eqNullSafe)."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_id") < 500).select(
+        "event_id", F.nullif("event_type", F.lit("click")).alias("et")
+    )
+    b = (
+        e.select(F.nullif("event_type", F.lit("click")).alias("bt"))
+        .groupBy("bt")
+        .agg(F.count("*").alias("n_type"))
+    )
+    return a.join(b, a["et"].eqNullSafe(b["bt"])).select("event_id", "et", "n_type")
+
+
+@query(
+    "q39_one_hot_segments",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS seg_building,
+           CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS seg_machinery,
+           CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS seg_automobile,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_bucket
+    FROM customer
+    """,
+)
+def q39_one_hot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE one-hot encoding battery + chained when/otherwise (reference:
+    mlflow_pymatch_single_node.py:33-112; usage_analysis.py:76-82)."""
+    c = _t(spark, sf_dir, "customer")
+    one_hot = [
+        F.when(F.col("c_mktsegment") == seg, 1).otherwise(0).alias(f"seg_{seg.lower()}")
+        for seg in ("BUILDING", "MACHINERY", "AUTOMOBILE")
+    ]
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_bucket")
+    )
+    return c.select("c_custkey", *one_hot, bucket)
+
+
+@query(
+    "q40_sas_composite_shape",
+    """
+    WITH joined AS (
+      SELECT o.o_orderpriority, l.l_orderkey, l.l_linenumber,
+             l.l_returnflag, l.l_linestatus
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), long AS (
+      SELECT o_orderpriority, l_orderkey, l_linenumber, 'l_returnflag' AS key, l_returnflag AS flag FROM joined
+      UNION ALL
+      SELECT o_orderpriority, l_orderkey, l_linenumber, 'l_linestatus' AS key, l_linestatus AS flag FROM joined
+    ), deduped AS (
+      SELECT DISTINCT o_orderpriority, key, flag FROM long WHERE flag IS NOT NULL
+    )
+    SELECT o_orderpriority, key, COUNT(*) AS n_distinct_flags
+    FROM deduped GROUP BY o_orderpriority, key
+    ORDER BY o_orderpriority, key
+    """,
+)
+def q40_sas_composite_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAS-conversion composite: salted skew join → stack unpivot →
+    dropDuplicates on the business key → aggregate (reference:
+    sas_conversion_with_manual_salt_skewed_join.sql:161-255; BASELINE bench
+    shape 2). Filters apply before the unpivot fan-out."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, o, "o_orderkey", salt_n=16).withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    long_df = unpivot(
+        joined,
+        ["o_orderpriority", "l_orderkey", "l_linenumber"],
+        ["l_returnflag", "l_linestatus"],
+        value_col="flag",
+    )
+    deduped = dedup_by_key(
+        long_df.select("o_orderpriority", "key", "flag"),
+        ["o_orderpriority", "key", "flag"],
+    )
+    return (
+        deduped.groupBy("o_orderpriority", "key")
+        .agg(F.count("*").alias("n_distinct_flags"))
+        .orderBy("o_orderpriority", "key")
+    )
+
+
+@query("q41_approx_sliding_distinct", None)  # HLL sketch values are engine-specific → rows-only
+def q41_approx_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx distinct users over a trailing 10-minute RANGE frame — the
+    scale path for q12 (reference: windowed_lagN...py:142-145). HLL values
+    differ across engines, so the exact q12 is the oracle-checked twin."""
+    e = _t(spark, sf_dir, "events")
+    out = approx_distinct_over_range(
+        e, "ts", "user_id", "approx_users_10m",
+        partition_by="event_type", preceding_seconds=600,
+    )
+    return out.select("event_id", "approx_users_10m")

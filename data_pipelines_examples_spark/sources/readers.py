@@ -137,6 +137,37 @@ def read_paginated_api(
     return spark.createDataFrame(all_rows, schema)
 
 
+def copy_into(
+    spark: SparkSession,
+    target_path: str,
+    source_glob: str,
+    schema: T.StructType | str,
+    fmt: str = "csv",
+    pattern: str | None = None,
+    delimiter: str = ",",
+    header: bool = True,
+) -> int:
+    """Bulk-load files matching a glob (and optional regex ``pattern`` on
+    the file name) into a parquet target — the COPY INTO idiom
+    (reference: copy_into_command_gzip_splittable.sql:47-63, including the
+    PATTERN= file filter). Returns rows loaded.
+
+    Splittable formats parallelize per file split; gzip inputs fall back to
+    one task per file, so many medium files beat one giant archive (the
+    reference ships a splittable-gzip codec for exactly this reason).
+    """
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .schema(schema)
+    )
+    if pattern is not None:
+        reader = reader.option("pathGlobFilter", pattern)
+    df = reader.format(fmt).load(source_glob)
+    df.write.mode("append").parquet(target_path)
+    return spark.read.parquet(target_path).count()
+
+
 def range_table(spark: SparkSession, n: int, col: str = "id") -> DataFrame:
     """``RANGE(n)`` generator table (reference: sas_conversion...sql:30 salt ids)."""
     return spark.range(n).withColumnRenamed("id", col)

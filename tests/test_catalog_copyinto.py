@@ -1,0 +1,74 @@
+"""Tests for catalog/DDL helpers and the COPY INTO analog."""
+
+from __future__ import annotations
+
+from data_pipelines_examples_spark.sources.catalog import (
+    create_database,
+    create_table,
+    drop_table,
+    register_parquet_tables,
+    show_tables,
+    table_row_counts,
+)
+from data_pipelines_examples_spark.sources.readers import copy_into
+
+
+def test_catalog_register_and_probe(spark, tmp_path):
+    p1 = str(tmp_path / "t1")
+    p2 = str(tmp_path / "t2")
+    spark.range(10).write.parquet(p1)
+    spark.range(5).write.parquet(p2)
+    names = register_parquet_tables(spark, {"reg_t1": p1, "reg_t2": p2})
+    try:
+        assert set(names) <= set(show_tables(spark))
+        counts = table_row_counts(spark, names)
+        assert counts == {"reg_t1": 10, "reg_t2": 5}
+    finally:
+        for n in names:
+            drop_table(spark, n)
+
+
+def test_create_table_ddl(spark, tmp_path):
+    create_database(spark, "dq_test_db")
+    create_table(
+        spark,
+        "dq_test_db.audit",
+        "ds string, rule_name string, n_violations bigint",
+        partitioned_by=["ds"],
+        location=str(tmp_path / "audit"),
+        properties={"pipeline": "dq"},
+    )
+    try:
+        assert "audit" in show_tables(spark, "dq_test_db")
+        spark.sql(
+            "INSERT INTO dq_test_db.audit PARTITION (ds='2024-01-01') "
+            "SELECT 'r1', 3"
+        )
+        got = spark.table("dq_test_db.audit").collect()
+        assert [(r.ds, r.rule_name, r.n_violations) for r in got] == [
+            ("2024-01-01", "r1", 3)
+        ]
+    finally:
+        drop_table(spark, "dq_test_db.audit")
+
+
+def test_copy_into_with_pattern(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a_enc_prov_1.txt").write_text("id,v\n1,x\n2,y\n")
+    (src / "a_enc_prov_2.txt").write_text("id,v\n3,z\n")
+    (src / "skipme.csv").write_text("id,v\n99,n\n")
+    target = str(tmp_path / "out")
+    n = copy_into(
+        spark,
+        target,
+        str(src),
+        "id bigint, v string",
+        pattern="*_enc_prov_*.txt",
+    )
+    assert n == 3
+    # idempotency caveat: append mode — a second run doubles rows
+    n2 = copy_into(
+        spark, target, str(src), "id bigint, v string", pattern="*_enc_prov_*.txt"
+    )
+    assert n2 == 6

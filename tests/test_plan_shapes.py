@@ -46,6 +46,19 @@ def test_lag_cascade_single_shuffle(spark):
     assert count_shuffles(df) == 1
 
 
+def test_interval_collapse_single_shuffle(spark):
+    """The whole collapse is ONE exchange on the key: no pre-distinct
+    shuffle, and the final group-by reuses the window's partitioning."""
+    from data_pipelines_examples_spark.operators.intervals import collapse_intervals
+
+    df = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").selectExpr(
+        "o_custkey as memnum",
+        "cast(o_orderdate as date) as begindt",
+        "date_add(cast(o_orderdate as date), 30) as enddt",
+    )
+    assert count_shuffles(collapse_intervals(df, "memnum")) == 1
+
+
 def test_wildcard_rule_join_broadcasts(spark):
     from data_pipelines_examples_spark.operators.relational import wildcard_rule_join
 
