@@ -190,3 +190,97 @@ def q41_approx_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by="event_type", preceding_seconds=600,
     )
     return out.select("event_id", "approx_users_10m")
+
+
+@query(
+    "q44_hourly_rollup",
+    """
+    WITH minutely AS (
+      SELECT date_trunc('minute', ts) AS minute_ts, event_type,
+             COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT date_trunc('hour', minute_ts) AS hour_ts, event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(v) AS DECIMAL(18,4)) AS max_minute_value,
+           CAST(SUM(v) AS DECIMAL(18,4)) AS sum_value
+    FROM minutely GROUP BY 1, 2
+    """,
+)
+def q44_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute→hour re-aggregation rollup (reference:
+    windowed_lagN_awskms_postgres_date_partition.py:228-238). The hour agg
+    reuses the minute agg's partitioning when AQE allows — partial
+    aggregation makes the second pass nearly free."""
+    e = _t(spark, sf_dir, "events")
+    minutely = e.groupBy(
+        F.date_trunc("minute", "ts").alias("minute_ts"), "event_type"
+    ).agg(F.count("*").alias("n"), _dsum("value").alias("v"))
+    return minutely.groupBy(
+        F.date_trunc("hour", "minute_ts").alias("hour_ts"), "event_type"
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.max("v").cast("decimal(18,4)").alias("max_minute_value"),
+        F.sum("v").cast("decimal(18,4)").alias("sum_value"),
+    )
+
+
+@query(
+    "q45_schema_evolution_union",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), v2 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """,
+)
+def q45_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union across schema versions: the old version lacks a column; it is
+    aligned to the target schema with typed nulls then unioned (reference:
+    from_raw_to_hive_with_glue.py:44-88 lit(None) + reduce-union)."""
+    from functools import reduce
+
+    from .schema import align_to_schema, schema_from_ddl
+
+    o = _t(spark, sf_dir, "orders")
+    target = schema_from_ddl(
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double, o_orderpriority string"
+    )
+    v1 = align_to_schema(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        target,
+    )
+    v2 = align_to_schema(
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        ),
+        target,
+    )
+    return reduce(DataFrame.unionByName, [v1, v2])
+
+
+@query(
+    "q46_right_outer_fill",
+    """
+    SELECT c.c_custkey, c.c_name,
+           COALESCE(o.n_orders, 0) AS n_orders
+    FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q46_right_outer_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join keeping all dim rows + coalesce fill (reference:
+    sap_bw_api.scala:318-319 rightouter archive merge)."""
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count("*").alias("__n"))
+    c = _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right_outer").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_orders"),
+    )
