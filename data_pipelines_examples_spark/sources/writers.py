@@ -99,6 +99,33 @@ def write_single_file(df: DataFrame, path: str, fmt: str = "csv", header: bool =
     w.format(fmt).save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str | list[str],
+    num_buckets: int = 32,
+    sort_by: str | list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sorted) catalog table.
+
+    The 100 TB join strategy: two tables bucketed on the same key with the
+    same bucket count join WITHOUT any shuffle — each bucket pairs off
+    directly (sorted buckets also skip the sort). This replaces the
+    reference's hand-tuned ``repartition(n)`` + shuffle-heavy joins for
+    repeatedly-joined fact tables (SURVEY §4 shuffle-partition tuning).
+    Requires a catalog table (``saveAsTable``) — bucketing metadata lives
+    in the catalog.
+    """
+    keys = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *keys)
+    if sort_by is not None:
+        sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*sorts)
+    writer.saveAsTable(table)
+
+
 def register_table(
     spark,
     name: str,

@@ -1,0 +1,86 @@
+"""Stateful streaming operators: cross-micro-batch dedup and running counts."""
+
+from __future__ import annotations
+
+import json
+
+from data_pipelines_examples_spark.streaming.stateful import (
+    stream_dedup_by_key,
+    stream_running_counts,
+)
+
+SCHEMA = "k string, v string, seq int"
+
+
+def _write_batches(path):
+    """Two files → two micro-batches (maxFilesPerTrigger=1); key 'a'
+    appears in both with different values."""
+    path.mkdir(parents=True)
+    (path / "b0.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": "a", "v": "first", "seq": 0},
+                {"k": "b", "v": "first", "seq": 1},
+            ]
+        )
+    )
+    (path / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": "a", "v": "second", "seq": 2},
+                {"k": "c", "v": "first", "seq": 3},
+            ]
+        )
+    )
+
+
+def test_stream_dedup_by_key(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_batches(src)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    deduped = stream_dedup_by_key(stream, ["k"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [(r.k, r.v) for r in spark.table("dedup_out").collect()]
+    # each key emitted exactly ONCE across micro-batches — key 'a' appears
+    # in both batches but only one of its rows survives (which one depends
+    # on file pickup order, so assert the dedup property, not the value)
+    assert sorted(k for k, _ in rows) == ["a", "b", "c"]
+
+
+def test_stream_running_counts(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_batches(src)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    counts = stream_running_counts(stream, ["k"])
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("counts_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last update per key reflects lifetime count: a=2, b=1, c=1
+    latest = {}
+    for r in spark.table("counts_out").collect():
+        latest[r.k] = r.n_events  # memory sink appends updates in order
+    assert latest == {"a": 2, "b": 1, "c": 1}
