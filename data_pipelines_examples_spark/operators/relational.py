@@ -188,6 +188,63 @@ def outer_merge_coalesce(
     return joined.select(*cols)
 
 
+def build_predicate(
+    equals: dict[str, object] | None = None,
+    isin: dict[str, list[object]] | None = None,
+    between: dict[str, tuple[object, object]] | None = None,
+    like: dict[str, str] | None = None,
+) -> Column | None:
+    """Dynamic predicate assembly from parameter dicts — the safe
+    replacement for the reference's string-built WHERE/IN clauses
+    (reference: usage_analysis.py:230-251 widget-driven SQL templating).
+    Everything stays a Column expression: no injection surface, full
+    Catalyst pushdown."""
+    conds: list[Column] = []
+    for c, v in (equals or {}).items():
+        conds.append(F.col(c) == F.lit(v))
+    for c, vals in (isin or {}).items():
+        conds.append(F.col(c).isin(vals))
+    for c, (lo, hi) in (between or {}).items():
+        conds.append(F.col(c).between(lo, hi))
+    for c, pat in (like or {}).items():
+        conds.append(F.col(c).like(pat))
+    if not conds:
+        return None
+    return reduce(lambda a, b: a & b, conds)
+
+
+def first_or_default(
+    df: DataFrame,
+    order_by: list[str | Column],
+    default_row: dict,
+) -> DataFrame:
+    """Best row by priority order, falling back to a default row when the
+    table is empty (reference: dags/dataswm/utils/dq_utils.py:64-87 —
+    union a default row, order, LIMIT 1)."""
+    spark = df.sparkSession
+    default_df = spark.createDataFrame([default_row], df.schema)
+    orders = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    return df.unionByName(default_df).orderBy(*orders).limit(1)
+
+
+def lookup_join(
+    df: DataFrame,
+    col: str,
+    mapping: DataFrame,
+    key_col: str,
+    value_cols: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Broadcast mapping-table enrichment — the scale-right replacement for
+    per-row lookup UDFs like the reference's Hive-JAR IP→geo function
+    (reference: windowed_lagN_awskms_postgres_date_partition.py:57-64,118).
+    A lookup that fits in memory should be a broadcast join, not a UDF:
+    it stays in codegen and the optimizer can reorder/push it."""
+    values = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    m = F.broadcast(mapping.select(F.col(key_col).alias(col), *values))
+    return df.join(m, col, how)
+
+
 def join_condition_from_keys(a: DataFrame, b: DataFrame, keys: list[str]) -> Column:
     """Fold a null-safe equality condition over a key list
     (reference: notebooks/zeppelin/bof_30_migrate.scala:39-41)."""

@@ -284,3 +284,50 @@ def q46_right_outer_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_orders"),
     )
+
+
+@query(
+    "q42_embedding_dedup_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(ROUND(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                AS DECIMAL(10,6)) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    """,
+)
+def q42_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs baseline
+    (LLM-pipeline extension; the hyperplane-LSH q43 is the scale path)."""
+    from .operators.similarity import embedding_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pairs = embedding_dedup_pairs(emb, threshold=0.4)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine_sim", 6).cast("decimal(10,6)").alias("cosine_sim")
+    )
+
+
+@query("q43_lsh_topk", None)  # approximate by design → rows-only
+def q43_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-k — the 100 TB ANN path
+    (only bucket-mates are scored); exact q15 is the recall baseline."""
+    import random
+
+    from .operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim = len(emb.first()["embedding"])
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, queries_df, planes, k=10)

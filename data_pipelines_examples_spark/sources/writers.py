@@ -99,6 +99,42 @@ def write_single_file(df: DataFrame, path: str, fmt: str = "csv", header: bool =
     w.format(fmt).save(path)
 
 
+def write_jdbc_idempotent(
+    df: DataFrame,
+    url: str,
+    table: str,
+    partition_predicate: str,
+    properties: dict[str, str] | None = None,
+    target_parallelism: int = 5,
+    delete_fn=None,
+    write_fn=None,
+) -> int:
+    """Idempotent JDBC partition load: delete the target partition's rows,
+    append the new rows with capped parallelism, then count-validate
+    (reference: windowed_lagN_awskms_postgres_date_partition.py:247-344,
+    fmaps_from_hive_insert_mysql.py:136-177 — repartition(5)/min(10) caps
+    respect database connection limits).
+
+    ``delete_fn(predicate)`` and ``write_fn(df)`` are injectable so the
+    delete can run over any DBAPI driver and tests can substitute fakes;
+    defaults use Spark's JDBC writer (requires the JDBC driver jar on the
+    classpath).
+    """
+    df = df.cache()
+    try:
+        expected = df.count()
+        if delete_fn is not None:
+            delete_fn(partition_predicate)
+        out = df.repartition(target_parallelism)
+        if write_fn is not None:
+            write_fn(out)
+        else:
+            out.write.mode("append").jdbc(url, table, properties=properties or {})
+        return expected
+    finally:
+        df.unpersist()
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
