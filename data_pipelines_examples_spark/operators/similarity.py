@@ -105,6 +105,85 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Train IVF centroids with MLlib KMeans (optionally on a sample).
+
+    Training is the only MLlib touchpoint; assignment and search stay in
+    pure column expressions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
+    vecs = train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed).fit(vecs)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _nearest_centroids(vec_col: Column, centroids: list[list[float]], n: int) -> Column:
+    """Array of the ``n`` nearest centroid ids (by squared L2) — pure
+    expressions: per-centroid distance structs, array_sort, slice."""
+    dists = []
+    for i, c in enumerate(centroids):
+        cc = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(vec_col, cc, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("cid")))
+    ordered = F.array_sort(F.array(*dists))
+    return F.transform(F.slice(ordered, 1, n), lambda s: s["cid"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid; each query scores only the ``n_probe`` closest buckets.
+
+    With ``n_probe == len(centroids)`` this is EXACTLY brute force (the
+    invariant the tests pin); smaller n_probe trades recall for a
+    1/(k/n_probe) scan reduction. At 100 TB the corpus assignment is a
+    narrow projection computed once and persisted alongside the vectors;
+    queries broadcast.
+    """
+    c = corpus.withColumn(
+        "__bucket", _nearest_centroids(F.col(vec_col), centroids, 1)[0]
+    )
+    q = queries.withColumn(
+        "__probes", _nearest_centroids(F.col(query_vec_col), centroids, n_probe)
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            F.array_contains(F.col("__probes"), F.col("__bucket")),
+        )
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_dedup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

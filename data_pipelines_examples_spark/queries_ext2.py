@@ -331,3 +331,80 @@ def q43_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return lsh_topk(emb, queries_df, planes, k=10)
+
+
+@query(
+    "q47_sql_text_pipeline",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q47_sql_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text entry path with temp views + native named parameters — the
+    reference's dominant lifecycle (SURVEY §3.1: build text → spark.sql →
+    action), minus the string-interpolation injection surface."""
+    from .sql import run_sql
+
+    o = _t(spark, sf_dir, "orders")
+    return run_sql(
+        spark,
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        FROM q47_orders
+        WHERE o_orderdate >= :cutoff AND o_orderstatus <> :excluded
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        views={"q47_orders": o},
+        params={"cutoff": "1996-01-01 00:00:00", "excluded": "F"},
+    )
+
+
+@query(
+    "q48_ivf_topk_full_probe",
+    """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  list_dot_product(c.v, q.qv) /
+                  (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+           FROM c CROSS JOIN q
+           WHERE c.vec_id <> q.query_id
+         )
+    SELECT query_id, vec_id, CAST(ROUND(sim, 6) AS DECIMAL(10,6)) AS cosine_sim, rank FROM (
+      SELECT query_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q48_ivf_topk_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with n_probe = n_centroids — exactly brute force, so the
+    exact-top-k oracle verifies the whole IVF path (KMeans training,
+    bucket assignment, probe selection, bucket-restricted scoring).
+    Production uses n_probe < n_centroids for the 1/(k/n_probe) scan cut."""
+    from .operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = kmeans_centroids(emb, k=4, seed=42)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(emb, queries_df, centroids, n_probe=4, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine_sim", 6).cast("decimal(10,6)").alias("cosine_sim"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )

@@ -1,0 +1,66 @@
+"""Similarity-search tests: brute force vs IVF invariants, LSH shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from data_pipelines_examples_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    kmeans_centroids,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .cache()
+    )
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb):
+    """Probing every bucket must reproduce exact brute force — the
+    correctness invariant that pins the IVF plumbing."""
+    centroids = kmeans_centroids(emb, k=4)
+    exact = brute_force_topk(emb, _queries(emb), k=5)
+    ivf = ivf_topk(emb, _queries(emb), centroids, n_probe=4, k=5)
+    e = {(r.query_id, r.vec_id, r.rank) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id, r.rank) for r in ivf.collect()}
+    assert e == a
+
+
+def test_ivf_partial_probe_subset(spark, emb):
+    centroids = kmeans_centroids(emb, k=4)
+    ivf = ivf_topk(emb, _queries(emb), centroids, n_probe=1, k=5)
+    rows = ivf.collect()
+    # ≤ k results per query, ranks contiguous from 1
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
+def test_lsh_results_subset_of_brute_force_universe(spark, emb):
+    import random
+
+    dim = len(emb.first().embedding)
+    rng = random.Random(7)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(3)]
+    out = lsh_topk(emb, _queries(emb), planes, k=5)
+    ids = {r.vec_id for r in out.collect()}
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert ids <= all_ids and out.count() > 0

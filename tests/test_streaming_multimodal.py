@@ -72,6 +72,46 @@ def test_flatten_records_batch_equivalence(spark, tmp_path):
     assert len(rows) == 4 and all(r.date is not None for r in rows)
 
 
+def test_windowed_distinct_users_stream(spark, tmp_path):
+    """ST5: watermarked sliding-window approx-distinct on a stream."""
+    import json as _json
+
+    from data_pipelines_examples_spark.streaming.pipeline import windowed_distinct_users
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [
+        {"user_id": u, "timestamp": f"2024-01-01T00:{m:02d}:00"}
+        for m, u in [(0, 1), (1, 2), (2, 1), (12, 3)]
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("user_id bigint, timestamp timestamp").json(str(src))
+    agg = windowed_distinct_users(stream, window="10 minutes", slide="5 minutes")
+    # complete mode: emit current state of every window (append would hold
+    # windows back until the watermark passes their end — correct for
+    # production, inconvenient for a single-batch test)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wdu")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        (r.window.start.isoformat(), r.approx_users)
+        for r in spark.table("wdu").collect()
+    }
+    # sliding 10min/5min: the 23:55-00:05 window holds users {1,2};
+    # 00:00-00:10 holds {1,2}; 00:05-00:15 holds {3}
+    assert ("2023-12-31T23:55:00", 2) in out
+    assert ("2024-01-01T00:00:00", 2) in out
+    assert ("2024-01-01T00:05:00", 1) in out
+
+
 def _media(spark):
     rows = [
         (1, b"image-bytes-aaaa", "image", 64, 48, None, "png"),
