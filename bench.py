@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "q22_user_value_streaks",
     "q24_region_revenue_rollup",
     "q31_ngram_jaccard_pairs",
+    "q49_asof_latest_event_value",
+    "q55_shipping_priority",
 ]
 
 

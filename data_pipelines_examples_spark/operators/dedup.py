@@ -97,29 +97,33 @@ def shingles(text_col: str | Column, n: int = 3) -> Column:
 def shingle_rows(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, gram) rows of distinct word n-grams — the codegen shingler.
+    """(id, gram) rows of distinct word n-grams — the map-side shingler.
 
-    posexplode the words, window-``lead`` the next n−1 words per doc,
-    concat — every step whole-stage-codegen (~5× faster than the
-    higher-order-function array path). Gram values are identical to
-    ``shingles``: concat_ws skips nulls, so docs shorter than n yield one
+    Grams are built per-row from the words array (transform over an index
+    range + slice + array_join), deduplicated with array_distinct, then
+    exploded — the whole gram generation is a NARROW projection with ZERO
+    shuffles, so at corpus scale the only exchanges are the ones consumers
+    add (groupBy doc or gram). A window-``lead`` formulation produces the
+    same values but costs a full shuffle+sort of every word by doc id
+    before the first gram exists.
+
+    Gram values match ``shingles``: docs shorter than ``n`` yield one
     truncated gram, and empty text yields the single gram "".
-
-    One shuffle (window by doc id) + one for the trailing distinct; gram
-    rows are exactly the posting-list shape every consumer needs next.
     """
-    words = df.select(
+    warr = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("__ws")
+    )
+    return warr.select(
         F.col(id_col),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__pos", "__w"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("__ws") - n, F.lit(0))),
+                    lambda i: F.array_join(F.slice("__ws", i + 1, n), " "),
+                )
+            )
+        ).alias("__g"),
     )
-    w_doc = Window.partitionBy(id_col).orderBy("__pos")
-    parts = [F.col("__w")] + [F.lead("__w", j).over(w_doc) for j in range(1, n)]
-    grams = (
-        words.withColumn("__sz", F.count("*").over(Window.partitionBy(id_col)))
-        .withColumn("__g", F.concat_ws(" ", *parts))
-        .filter(F.col("__pos") <= F.greatest(F.col("__sz") - n, F.lit(0)))
-    )
-    return grams.select(id_col, "__g").distinct()
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
@@ -252,47 +256,67 @@ def ngram_jaccard_pairs(
     concentrates candidates on whichever common grams hash low — measured
     4× more candidates than frequency order on the test corpus.)
 
-    Shuffle profile: codegen shingler → DF count (groupBy gram) →
-    rank-within-doc (window by id) → candidate join on prefix grams →
-    gram-join verification restricted to candidates. Every exchange
-    carries (id, gram) pairs or counts — never document bodies.
+    Shuffle profile (5 exchanges total, none carrying document bodies):
+    gram DF count (groupBy gram) → per-doc sorted-gram-array aggregation
+    (groupBy id; the sort/prefix-slice happen INSIDE the agg row, replacing
+    two window passes) → candidate join on prefix grams (size-ratio filter
+    applied inline before the pair dedup — Jaccard ≥ t forces
+    min(|A|,|B|) ≥ ⌈t·max(|A|,|B|)⌉, which kills most spurious
+    candidates before they cost anything) → two keyed joins that attach
+    the gram arrays for exact array_intersect verification.
     """
     p = shingle_rows(df, id_col, text_col, shingle_n).cache()
-    sizes = p.groupBy(id_col).agg(F.count("*").alias("__n"))
     gram_df = p.groupBy("__g").agg(F.count("*").alias("__df"))
-    ranked = (
+    docs = (
         p.join(gram_df, "__g")
-        .withColumn("__rn", F.row_number().over(Window.partitionBy(id_col).orderBy("__df", "__g")))
-        .withColumn("__nd", F.count("*").over(Window.partitionBy(id_col)))
-    )
-    prefix_len = F.col("__nd") - F.ceil(F.col("__nd") * F.lit(threshold)) + 1
-    posting = ranked.filter(F.col("__rn") <= prefix_len).select(id_col, "__g")
-    a, b = posting.alias("a"), posting.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.__g") == F.col("b.__g"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df").alias("d"), F.col("__g").alias("g")))
+            ).alias("__sorted")
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            id_col,
+            F.transform("__sorted", lambda s: s["g"]).alias("__gs"),
+            F.size("__sorted").alias("__n"),
         )
+        .withColumn(
+            "__prefix",
+            F.slice(
+                "__gs",
+                1,
+                (F.col("__n") - F.ceil(F.col("__n") * F.lit(threshold)) + 1).cast("int"),
+            ),
+        )
+        .cache()
+    )
+    posting = docs.select(id_col, "__n", F.explode("__prefix").alias("__g"))
+    a = posting.select(
+        F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__g"
+    )
+    b = posting.select(
+        F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__g"
+    )
+    cand = (
+        a.join(b, "__g")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("__na", "__nb")
+                >= F.ceil(F.greatest("__na", "__nb") * F.lit(threshold))
+            )
+        )
+        .select("id_a", "id_b", "__na", "__nb")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact intersection counts, computed only for candidate pairs
-    pa = p.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
-    pb = p.select(F.col(id_col).alias("__idb"), F.col("__g").alias("__gb"))
-    inter = (
-        cand.join(pa, "id_a")
-        .join(pb, (F.col("id_b") == F.col("__idb")) & (F.col("__ga") == F.col("__gb")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("__inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        cand.join(
+            docs.select(F.col(id_col).alias("id_a"), F.col("__gs").alias("__ga")), "id_a"
+        )
+        .join(
+            docs.select(F.col(id_col).alias("id_b"), F.col("__gs").alias("__gb")), "id_b"
+        )
+        .withColumn("__inter", F.size(F.array_intersect("__ga", "__gb")))
         .withColumn(
             "jaccard", F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
         )

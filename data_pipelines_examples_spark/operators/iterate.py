@@ -68,18 +68,20 @@ def transitive_reachability(
     canonical recursive-CTE workload, used to validate ``iterate_until_fixpoint``
     against a DuckDB ``WITH RECURSIVE`` oracle.
 
-    Each step: paths ∪ (paths ⋈ edges) → distinct. Iterations = graph
-    diameter; each is one shuffled join + distinct.
+    Each step doubles path length: paths ∪ (paths ⋈ paths) → distinct, so
+    convergence takes ⌈log2(diameter)⌉ iterations instead of diameter
+    (a diameter-1000 graph closes in ~10 rounds). Each iteration is one
+    shuffled self-join + distinct over materialized state.
     """
     paths = edges.select(src, dst).distinct()
 
     def step(state: DataFrame, _i: int) -> DataFrame:
-        e = edges.select(
-            edges[src].alias("__via_src"), edges[dst].alias("__via_dst")
+        hop = state.select(
+            state[src].alias("__via_src"), state[dst].alias("__via_dst")
         )
         extended = (
-            state.join(e, state[dst] == e["__via_src"])
-            .select(state[src].alias(src), e["__via_dst"].alias(dst))
+            state.join(hop, state[dst] == hop["__via_src"])
+            .select(state[src].alias(src), hop["__via_dst"].alias(dst))
         )
         return state.unionByName(extended).distinct()
 

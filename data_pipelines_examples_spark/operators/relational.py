@@ -249,3 +249,76 @@ def join_condition_from_keys(a: DataFrame, b: DataFrame, keys: list[str]) -> Col
     """Fold a null-safe equality condition over a key list
     (reference: notebooks/zeppelin/bof_30_migrate.scala:39-41)."""
     return reduce(lambda x, y: x & y, [a[k].eqNullSafe(b[k]) for k in keys])
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: for each left row, attach the single right row with the
+    greatest ``right_ts`` satisfying ``right_ts <= left_ts`` (``<`` when
+    ``strict``) within the same ``key`` — the point-in-time lookup every
+    market-data / feature-backfill pipeline needs (the reference emulates
+    the shape with group-max + join-back, partiton_by_date_load_to_parquet_from_s3.py:198-219).
+
+    NOT implemented as a theta join: ``l.key = r.key AND r.ts <= l.ts``
+    + max-pick explodes into a per-key cross product before filtering
+    (O(n·m) per key). Instead both sides are UNIONED, tagged, and sorted
+    once per key — each left row then reads the running ``last_value(...,
+    ignorenulls)`` of the right columns. Left columns ride through the
+    union inside a struct, so there is no join-back: ONE shuffle (the
+    window by key), linear work, no cross product; this is the plan that
+    survives a 100× fact table.
+
+    Tie semantics at equal timestamps: non-strict includes the tied right
+    row (tag orders right-before-left); strict excludes it. If several
+    right rows share (key, ts), the last one in (ts, tiebreak-free) order
+    wins — pre-dedup the right side if that matters.
+
+    Returns all left columns plus ``value_cols`` (default: every right
+    column except key/ts) and ``asof_ts`` (the matched right timestamp,
+    null when nothing preceded).
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (key, right_ts)]
+    # tag: right rows sort before left at equal ts for <=, after for <
+    right_tag, left_tag = (0, 1) if not strict else (1, 0)
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        F.lit(right_tag).alias("__tag"),
+        F.struct(
+            F.col(right_ts).cast("timestamp").alias("__asof_ts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("__payload"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{c}`:{left.schema[c].dataType.simpleString()}" for c in left.columns) + ">"
+        ).alias("__lrow"),
+    )
+    lt = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).cast("timestamp").alias("__ts"),
+        F.lit(left_tag).alias("__tag"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        r.unionByName(lt)
+        .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__lrow").isNotNull())
+        .select(
+            *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+            F.col("__match.__asof_ts").alias("asof_ts"),
+            *[F.col(f"__match.{c}").alias(c) for c in value_cols],
+        )
+    )

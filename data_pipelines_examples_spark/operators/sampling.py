@@ -1,0 +1,75 @@
+"""Deterministic sampling / data-mixing operators for training-data
+pipelines (BASELINE.json north star: LLM-data operators beyond the
+reference's surface; the reference's own sampling is driver-side Python
+``random`` over schema metadata, notebooks/zeppelin/bof_30_migrate.scala:857-877).
+
+Two families:
+
+- **Modulo sampling** (``hash_mod_sample`` / ``stratified_mod_sample``):
+  membership decided by ``id % buckets < rate``. Fully deterministic,
+  re-runnable, and expressible in ANY engine — which is exactly what a
+  training-data pipeline wants: the same mix can be recomputed months
+  later, audited in SQL, and incrementally extended (new rows join the
+  sample iff their id lands in the window; existing rows never flip).
+  For ids with correlated low bits, pass a multiplicative ``spread``
+  (odd constant) — still deterministic.
+
+- **Seeded random sampling** (``sample_by``): thin wrapper over Spark's
+  ``sampleBy`` — per-stratum Bernoulli with a seed. Statistically
+  cleaner (no id-structure sensitivity) but reproducible only within
+  Spark: partition-order dependent engines can't replicate it, so use
+  the modulo family when a cross-engine audit trail matters.
+
+Both are narrow, zero-shuffle filters: sampling 100 TB costs one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_mod_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: int,
+    buckets: int = 100,
+    spread: int | None = None,
+) -> DataFrame:
+    """Keep rows whose ``id % buckets`` falls in [0, rate). ``rate=5,
+    buckets=100`` ≈ a deterministic 5% sample. ``spread`` (odd constant,
+    e.g. 2654435761) decorrelates sequential ids before the modulo."""
+    key = F.col(id_col)
+    if spread is not None:
+        key = key * F.lit(spread)
+    return df.filter(F.pmod(key, F.lit(buckets)) < rate)
+
+
+def stratified_mod_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, int],
+    id_col: str,
+    buckets: int = 100,
+    default_rate: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix operator:
+    ``rates`` maps stratum value → kept buckets out of ``buckets``
+    (e.g. {"en": 100, "zh": 25} keeps all English, a quarter of Chinese).
+    Unlisted strata get ``default_rate``. One narrow filter, no shuffle."""
+    rate = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
+    return df.filter(F.pmod(F.col(id_col), F.lit(buckets)) < rate)
+
+
+def sample_by(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded per-stratum Bernoulli sampling (Spark-native ``sampleBy``).
+    Reproducible for a fixed seed + partitioning WITHIN Spark; use the
+    modulo family when other engines must reproduce the sample."""
+    return df.sampleBy(strata_col, fractions, seed)

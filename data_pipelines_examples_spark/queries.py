@@ -84,7 +84,7 @@ def query(name: str, oracle: str | None):
 def _load_all() -> None:
     # import for decorator side effects; must be lazy (the ext modules
     # import this module)
-    from . import queries_ext, queries_ext2  # noqa: F401
+    from . import queries_ext, queries_ext2, queries_ext3  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

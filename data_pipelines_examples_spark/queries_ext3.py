@@ -1,0 +1,341 @@
+"""Query catalog, part 4: as-of join, multidimensional aggregation
+(ROLLUP / grouping id), pivot, exact percentiles, window value frames,
+and filtered aggregates.
+
+These extend the catalog past the reference's literal surface with the
+operators a point-in-time feature pipeline needs (SURVEY §2.3 J15's
+group-max join-back is the reference's hand-rolled as-of; ROLLUP-class
+support is called out as free in SURVEY §2.4 — these entries pin that
+claim to an oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.relational import asof_join
+from .queries import _dsum, _t, query
+
+
+@query(
+    "q49_asof_latest_event_value",
+    """
+    WITH e AS (
+      SELECT user_id, ts, max_by(value, event_id) AS value
+      FROM events GROUP BY user_id, ts
+    )
+    SELECT o.o_orderkey, o.o_custkey, e.ts AS asof_ts, e.value AS asof_value
+    FROM orders o
+    ASOF LEFT JOIN e ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    """,
+)
+def q49_asof_latest_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each order picks up the latest event (ts <= orderdate)
+    for its customer — the point-in-time lookup the reference emulates
+    with group-max + join-back (partiton_by_date_load_to_parquet_from_s3.py:198-219).
+    Implemented as union + tag + running last_value (one shuffle, no
+    per-key cross product); the oracle is DuckDB's native ASOF JOIN.
+    """
+    e = _t(spark, sf_dir, "events")
+    # one event per (user_id, ts) so the as-of winner is deterministic
+    e1 = e.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("value")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    out = asof_join(
+        o.withColumnRenamed("o_custkey", "user_id"),
+        e1,
+        key="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        value_cols=["value"],
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("user_id").alias("o_custkey"),
+        "asof_ts",
+        F.col("value").alias("asof_value"),
+    )
+
+
+@query(
+    "q50_region_nation_rollup",
+    """
+    SELECT r.r_name, n.n_name,
+           GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS gid,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q50_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (region → nation → grand total) with grouping id.
+    SURVEY §2.4 notes GROUPING SETS-class aggregation comes free with
+    Spark SQL; this pins the claim (subtotal rows, NULL group keys, and
+    the grouping-id bit vector all hash-compared against DuckDB)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_customers"),
+        _dsum("c_acctbal").alias("total_acctbal"),
+    ).select("r_name", "n_name", "gid", "n_customers", "total_acctbal")
+
+
+@query(
+    "q51_status_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS total_F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS total_O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS total_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q51_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide), the inverse of the reference's stack unpivot
+    (sas_conversion_with_manual_salt_skewed_join.sql:240). Explicit value
+    list so the output schema is static — at scale an unlisted pivot
+    triggers an extra distinct-values job."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(_dsum("o_totalprice"))
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("total_F"),
+            F.col("O").alias("total_O"),
+            F.col("P").alias("total_P"),
+        )
+    )
+
+
+@query(
+    "q52_price_percentiles",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q52_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group. Spark's
+    ``percentile`` matches DuckDB ``quantile_cont`` bit-for-bit on doubles;
+    at 100 TB swap for ``percentile_approx`` (t-digest, mergeable sketch,
+    no per-group sort) — kept exact here because the oracle gate needs
+    determinism."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+
+
+@query(
+    "q53_first_last_order_value",
+    """
+    SELECT DISTINCT o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q53_first_last_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over an explicit full-partition frame —
+    completes the window-frame battery (SURVEY §2.5; the reference uses
+    lag/rank/ntile but never value-position frames). The default
+    last_value frame (.. CURRENT ROW) is a classic wrong answer; the
+    explicit UNBOUNDED FOLLOWING frame is the point."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q54_filtered_aggregates",
+    """
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) FILTER (WHERE l_tax > 0.04) AS DECIMAL(18,4)) AS taxed_price,
+           CAST(AVG(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,4)) AS avg_qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q54_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation battery — count_if + conditional
+    sums in one pass over the fact table (the reference's CASE one-hot
+    battery, mlflow_pymatch_single_node.py:33-112, is the same shape).
+    One scan, one shuffle; never N filtered subqueries re-scanning."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+        F.sum(
+            F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice").cast("decimal(18,4)"))
+        ).cast("decimal(18,4)").alias("taxed_price"),
+        F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")))
+        .cast("decimal(18,4)")
+        .alias("avg_qty_f"),
+    )
+
+
+@query(
+    "q55_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q55_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (multi-way selective star join + agg + top-N) — the
+    canonical join-order/pushdown probe. Filters sit on all three tables
+    so Catalyst must push each below the joins; the dimension side
+    (filtered customer) broadcasts."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (1 - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("decimal(18,4)").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q56_vocab_top_tokens",
+    """
+    SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+      FROM documents
+    )
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 50
+    """,
+)
+def q56_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: corpus-wide token frequencies + document
+    frequencies, top-50. explode is narrow; the only exchange is the
+    token groupBy (map-side combine collapses each partition's counts
+    first), then a TakeOrdered — no global sort materializes."""
+    d = _t(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token"),
+    )
+    return (
+        tokens.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(50)
+    )
+
+
+@query(
+    "q57_doclen_histogram",
+    """
+    SELECT n_chars // 50 AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY bucket
+    """,
+)
+def q57_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (50-char integer-division buckets) — the
+    standard corpus-profiling pass before length filtering. Integer
+    division keeps bucket edges engine-exact (width_bucket is not
+    portable)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.expr("n_chars div 50").alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "q58_training_mix",
+    """
+    WITH sampled AS (
+      SELECT * FROM documents
+      WHERE doc_id % 100 < CASE lang
+        WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+        WHEN 'es' THEN 25 WHEN 'zh' THEN 25 ELSE 0 END
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM sampled GROUP BY lang ORDER BY lang
+    """,
+)
+def q58_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified training mix: per-language keep rates via
+    modulo sampling (operators/sampling.py) — re-runnable, auditable in
+    any engine, zero-shuffle. The mix here downsamples non-English
+    languages the way a data-curation pipeline balances sources."""
+    from .operators.sampling import stratified_mod_sample
+
+    d = _t(spark, sf_dir, "documents")
+    mixed = stratified_mod_sample(
+        d,
+        "lang",
+        {"en": 100, "de": 50, "fr": 50, "es": 25, "zh": 25},
+        id_col="doc_id",
+    )
+    return (
+        mixed.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )

@@ -66,6 +66,82 @@ def stream_dedup_by_key(
     )
 
 
+def stream_sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful sessionization: group events into sessions separated
+    by > ``gap_seconds`` of inactivity, across micro-batches.
+
+    The batch twin is the windowed gaps-and-islands composition (catalog
+    q11); this is its streaming upgrade — state carries the OPEN session
+    (start, last_ts, count) per key, closed sessions are emitted as soon
+    as a later event proves the gap, and a processing-time timeout flushes
+    sessions that never see another event. State per key is one triple.
+    """
+    out_schema = (
+        f"{key_col} bigint, session_start timestamp, session_end timestamp, n_events bigint"
+    )
+
+    def sessionize(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        key_col: key[0],
+                        "session_start": pd.Timestamp(start_us, unit="us"),
+                        "session_end": pd.Timestamp(last_us, unit="us"),
+                        "n_events": n,
+                    }
+                ]
+            )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+        closed = []
+        for ts in rows[ts_col]:
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if start_us is None:
+                start_us, last_us, n = ts_us, ts_us, 1
+            elif ts_us - last_us > gap_seconds * 1_000_000:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = ts_us, ts_us, 1
+            else:
+                last_us, n = ts_us, n + 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        key_col: key[0],
+                        "session_start": pd.Timestamp(s, unit="us"),
+                        "session_end": pd.Timestamp(e, unit="us"),
+                        "n_events": c,
+                    }
+                    for s, e, c in closed
+                ]
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        sessionize,
+        out_schema,
+        "start_us bigint, last_us bigint, n bigint",
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def stream_running_counts(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Per-key lifetime event count, updated each micro-batch — the
     minimal custom stateful aggregate (count survives across triggers in

@@ -1,0 +1,47 @@
+"""Deterministic sampling operators: exact membership, rerun stability,
+stratified rates."""
+
+from __future__ import annotations
+
+from data_pipelines_examples_spark.operators.sampling import (
+    hash_mod_sample,
+    sample_by,
+    stratified_mod_sample,
+)
+
+
+def _docs(spark):
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_hash_mod_sample_exact_membership(spark):
+    df = _docs(spark)
+    got = {r.doc_id for r in hash_mod_sample(df, "doc_id", rate=10).collect()}
+    assert got == {i for i in range(200) if i % 100 < 10}
+    # rerun → identical sample (determinism is the point)
+    again = {r.doc_id for r in hash_mod_sample(df, "doc_id", rate=10).collect()}
+    assert got == again
+
+
+def test_stratified_mod_sample_rates(spark):
+    df = _docs(spark)
+    out = stratified_mod_sample(df, "lang", {"en": 100, "zh": 25}, id_col="doc_id")
+    by_lang = {
+        r.lang: r.n for r in out.groupBy("lang").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()
+    }
+    assert by_lang["en"] == 100  # all kept
+    # zh ids are odd; odd ids with id % 100 < 25 → 13 of 100
+    assert by_lang["zh"] == sum(1 for i in range(200) if i % 2 == 1 and i % 100 < 25)
+    # unlisted strata default to dropped
+    out2 = stratified_mod_sample(df, "lang", {"en": 50}, id_col="doc_id")
+    assert out2.filter("lang = 'zh'").count() == 0
+
+
+def test_sample_by_seeded(spark):
+    df = _docs(spark)
+    a = sample_by(df, "lang", {"en": 0.5, "zh": 0.1}, seed=7).count()
+    b = sample_by(df, "lang", {"en": 0.5, "zh": 0.1}, seed=7).count()
+    assert a == b  # same seed, same partitioning → same sample

@@ -84,3 +84,58 @@ def test_stream_running_counts(spark, tmp_path):
     for r in spark.table("counts_out").collect():
         latest[r.k] = r.n_events  # memory sink appends updates in order
     assert latest == {"a": 2, "b": 1, "c": 1}
+
+
+def test_stream_sessionize(spark, tmp_path):
+    """Sessions split on >30min gaps across TWO micro-batches; the still-open
+    session is withheld until timeout."""
+    import json as _json
+
+    from data_pipelines_examples_spark.streaming.stateful import stream_sessionize
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    # batch files: user 7 has events at 00:00, 00:10 (one session), then
+    # 02:00, 02:05 (a second session, still open at end of input)
+    (src / "s0.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"user_id": 7, "ts": "2024-01-01T00:00:00"},
+                {"user_id": 7, "ts": "2024-01-01T00:10:00"},
+            ]
+        )
+    )
+    (src / "s1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"user_id": 7, "ts": "2024-01-01T02:00:00"},
+                {"user_id": 7, "ts": "2024-01-01T02:05:00"},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream_sessionize(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [
+        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(), r.n_events)
+        for r in spark.table("sess_out").collect()
+    ]
+    # the first (closed) session was emitted when the 02:00 event proved the
+    # gap; the open 02:00-02:05 session is withheld (timeout not reached)
+    assert rows == [(7, "2024-01-01T00:00:00", "2024-01-01T00:10:00", 2)]
