@@ -61,14 +61,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def _dsum(col, scale_in: int = 4, scale_out: int = 4):
+def _dsum(col, scale_in: int = 4):
     """Order-independent money sum: elementwise cast to DECIMAL(18,4)
-    (exact for 2-decimal money values), exact decimal SUM, final
-    precision-only cast. Never downscales — DuckDB truncates on decimal
-    downcasts while Spark rounds half-up, so any scale reduction would
-    desync the engines."""
+    (exact for 2-decimal money values), exact decimal SUM, then a FINAL
+    cast to DOUBLE. The internal decimal arithmetic is what makes the sum
+    independent of partition/merge order; the final double cast is what
+    makes the two clients materialize the same thing — the driver hashes
+    raw materialized values, and a Spark Decimal('138014.0000') never
+    hash-matches the float64 138014.0 DuckDB's client returns even though
+    the values are equal. Exact-decimal→double conversion is the same
+    correctly-rounded operation in both engines, so it is deterministic."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(18,{scale_in})")).cast(f"decimal(18,{scale_out})")
+    return F.sum(c.cast(f"decimal(18,{scale_in})")).cast("double")
 
 
 def query(name: str, oracle: str | None):
@@ -105,9 +109,9 @@ def oracle_sql() -> dict[str, str]:
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -129,7 +133,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _dsum("l_quantity").alias("sum_qty"),
             _dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -140,7 +144,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_top_customers",
     """
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_orders
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name
@@ -262,29 +266,36 @@ def q05_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS order_date,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS daily_rev,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev_dec,
              COUNT(*) AS n_orders
       FROM orders GROUP BY 1
     )
-    SELECT order_date, daily_rev, n_orders,
-           CAST(SUM(daily_rev) OVER (ORDER BY order_date
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS cum_rev
+    SELECT order_date, CAST(rev_dec AS DOUBLE) AS daily_rev, n_orders,
+           CAST(CAST(SUM(rev_dec) OVER (ORDER BY order_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS DOUBLE) AS cum_rev
     FROM daily
     """,
 )
 def q06_cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running total (reference: notebooks/databricks/python/usage_analysis.py:173-177)."""
     o = _t(spark, sf_dir, "orders")
+    # the running total must accumulate DECIMAL (order-independent exact
+    # sum); only the final projection converts to double for the driver
     daily = (
         o.groupBy(F.to_date("o_orderdate").alias("order_date"))
-        .agg(_dsum("o_totalprice").alias("daily_rev"), F.count("*").alias("n_orders"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("rev_dec"),
+            F.count("*").alias("n_orders"),
+        )
     )
-    out = cumulative_sum(daily, "daily_rev", "order_date", suffix="_cum")
+    out = cumulative_sum(daily, "rev_dec", "order_date", suffix="_cum")
     return out.select(
         "order_date",
-        "daily_rev",
+        F.col("rev_dec").cast("double").alias("daily_rev"),
         "n_orders",
-        F.col("daily_rev_cum").cast("decimal(18,4)").alias("cum_rev"),
+        F.col("rev_dec_cum").cast("decimal(18,4)").cast("double").alias("cum_rev"),
     )
 
 
@@ -292,7 +303,7 @@ def q06_cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q07_salted_join_priority_volume",
     """
     SELECT o.o_orderpriority,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n_items
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
@@ -324,7 +335,7 @@ def q07_salted_join_priority_volume(spark: SparkSession, sf_dir: str) -> DataFra
       SELECT p_partkey, 'p_size' AS key, CAST(p_size AS DOUBLE) AS value FROM part
     )
     SELECT key, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
     FROM long WHERE value IS NOT NULL
     GROUP BY key ORDER BY key
     """,
@@ -516,7 +527,7 @@ def q14_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM c CROSS JOIN q
            WHERE c.vec_id <> q.query_id
          )
-    SELECT query_id, vec_id, CAST(ROUND(sim, 6) AS DECIMAL(10,6)) AS cosine_sim, rank FROM (
+    SELECT query_id, vec_id, ROUND(sim, 6) AS cosine_sim, rank FROM (
       SELECT query_id, vec_id, sim,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
       FROM scored
@@ -538,7 +549,7 @@ def q15_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id",
         "vec_id",
-        F.round("cosine_sim", 6).cast("decimal(10,6)").alias("cosine_sim"),
+        F.round("cosine_sim", 6).alias("cosine_sim"),
         F.col("rank").cast("bigint").alias("rank"),
     )
 
@@ -552,7 +563,7 @@ def q15_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH bands(band, lo, hi) AS (VALUES ('small', 0, 15), ('medium', 16, 35), ('large', 36, 100))
     SELECT b.band, COUNT(*) AS n_parts,
-           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_price
+           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
     FROM part p JOIN bands b ON p.p_size >= b.lo AND p.p_size <= b.hi
     GROUP BY b.band ORDER BY b.band
     """,

@@ -24,10 +24,10 @@ from .queries import _dsum, _t, query
     "q19_customer_running_spend",
     """
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(18,4)) AS spend_cum
+                AS DECIMAL(18,4)) AS DOUBLE) AS spend_cum
     FROM orders
     """,
 )
@@ -43,7 +43,7 @@ def q19_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_custkey",
         "o_orderkey",
-        F.col("spend_cum").cast("decimal(18,4)").alias("spend_cum"),
+        F.col("spend_cum").cast("decimal(18,4)").cast("double").alias("spend_cum"),
     )
 
 
@@ -170,7 +170,7 @@ def q23_overlapping_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT r.r_name,
            CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
                 (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)))
-                AS DECIMAL(18,4)) AS revenue,
+                AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -199,7 +199,7 @@ def q24_region_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
-        .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"), F.count("*").alias("n_items"))
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
         .orderBy("r_name")
     )
 
@@ -208,7 +208,7 @@ def q24_region_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q25_map_payload_roundtrip",
     """
     SELECT event_type AS etype, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM events
     WHERE event_type IN ('click', 'purchase')
     GROUP BY event_type ORDER BY etype

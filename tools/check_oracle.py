@@ -27,12 +27,19 @@ def normalize(df_pandas):
     import decimal
 
     def norm(v):
+        """Type-sensitive normalization replicating the driver's hash
+        compare: a Decimal('1.0000') must NOT equal float 1.0, and a
+        nanosecond timestamp must not equal its microsecond truncation —
+        the driver hashes raw materialized values, so any type skew
+        between the Spark and DuckDB clients is a real failure."""
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "NULL"
-        if isinstance(v, (float, decimal.Decimal)):
-            return f"{float(v):.6f}"
+        if isinstance(v, decimal.Decimal):
+            return f"decimal:{v}"
+        if isinstance(v, float):
+            return f"float:{v!r}"
         if hasattr(v, "isoformat"):
-            return v.isoformat()
+            return f"ts:{v.isoformat()}"
         return str(v)
 
     rows = sorted(tuple(norm(v) for v in row) for row in df.itertuples(index=False))
