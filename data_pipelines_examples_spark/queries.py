@@ -54,10 +54,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) parquet read as long nanos (session conf
-        # nanosAsLong). Floor-convert to microsecond TimestampType with
-        # integer division — float division would lose precision at 1e18.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # Normalize ts to session-TZ TimestampType regardless of how the
+        # parquet stores it: TIMESTAMP(NANOS) files arrive as long nanos
+        # under the nanosAsLong conf (floor-convert with integer division
+        # — float division would lose precision at 1e18); TIMESTAMP(MICROS)
+        # files arrive as timestamp/timestamp_ntz and only need a cast.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
