@@ -71,6 +71,7 @@ def stream_sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Custom stateful sessionization: group events into sessions separated
     by > ``gap_seconds`` of inactivity, across micro-batches.
@@ -78,12 +79,17 @@ def stream_sessionize(
     The batch twin is the windowed gaps-and-islands composition (catalog
     q11); this is its streaming upgrade — state carries the OPEN session
     (start, last_ts, count) per key, closed sessions are emitted as soon
-    as a later event proves the gap, and a processing-time timeout flushes
-    sessions that never see another event. State per key is one triple.
+    as a later event proves the gap, and an EVENT-time timeout flushes
+    sessions once the watermark passes last_ts + gap. Event-time (not
+    processing-time) timeouts keep the query quiescent when no data
+    arrives: a processing-time timer would re-arm every invocation and
+    keep scheduling micro-batches, so ``processAllAvailable()`` would
+    never return on a drained source. State per key is one triple.
     """
     out_schema = (
         f"{key_col} bigint, session_start timestamp, session_end timestamp, n_events bigint"
     )
+    gap_ms = gap_seconds * 1000
 
     def sessionize(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -119,7 +125,11 @@ def stream_sessionize(
             else:
                 last_us, n = ts_us, n + 1
         state.update((start_us, last_us, n))
-        state.setTimeoutDuration(gap_seconds * 1000)
+        # Event-time timeouts must be strictly beyond the current watermark.
+        timeout_ms = max(
+            last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1
+        )
+        state.setTimeoutTimestamp(timeout_ms)
         if closed:
             yield pd.DataFrame(
                 [
@@ -133,12 +143,16 @@ def stream_sessionize(
                 ]
             )
 
-    return df.groupBy(key_col).applyInPandasWithState(
-        sessionize,
-        out_schema,
-        "start_us bigint, last_us bigint, n bigint",
-        "append",
-        GroupStateTimeout.ProcessingTimeTimeout,
+    return (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            sessionize,
+            out_schema,
+            "start_us bigint, last_us bigint, n bigint",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

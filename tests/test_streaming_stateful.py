@@ -115,6 +115,14 @@ def test_stream_sessionize(spark, tmp_path):
             ]
         )
     )
+    # FileStreamSource picks files up in modification-time order; pin
+    # distinct mtimes so batch order (and thus the watermark progression)
+    # is deterministic — if s1 ran first, s0's events would be dropped as
+    # late against the advanced watermark.
+    import os as _os
+
+    _os.utime(src / "s0.json", (1_700_000_000, 1_700_000_000))
+    _os.utime(src / "s1.json", (1_700_000_100, 1_700_000_100))
     stream = (
         spark.readStream.schema("user_id bigint, ts timestamp")
         .option("maxFilesPerTrigger", 1)
