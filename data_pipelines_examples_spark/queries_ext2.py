@@ -202,8 +202,8 @@ def q41_approx_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT date_trunc('hour', minute_ts) AS hour_ts, event_type,
            CAST(SUM(n) AS BIGINT) AS n_events,
-           CAST(MAX(v) AS DECIMAL(18,4)) AS max_minute_value,
-           CAST(SUM(v) AS DECIMAL(18,4)) AS sum_value
+           CAST(MAX(v) AS DOUBLE) AS max_minute_value,
+           CAST(SUM(v) AS DOUBLE) AS sum_value
     FROM minutely GROUP BY 1, 2
     """,
 )
@@ -213,15 +213,21 @@ def q44_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the minute agg's partitioning when AQE allows — partial
     aggregation makes the second pass nearly free."""
     e = _t(spark, sf_dir, "events")
+    # Keep v EXACT decimal through both agg levels (a double intermediate
+    # would make the hour-level re-sum order-dependent); only the final
+    # projection casts to DOUBLE for driver-hash parity.
     minutely = e.groupBy(
         F.date_trunc("minute", "ts").alias("minute_ts"), "event_type"
-    ).agg(F.count("*").alias("n"), _dsum("value").alias("v"))
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,4)").alias("v"),
+    )
     return minutely.groupBy(
         F.date_trunc("hour", "minute_ts").alias("hour_ts"), "event_type"
     ).agg(
         F.sum("n").cast("bigint").alias("n_events"),
-        F.max("v").cast("decimal(18,4)").alias("max_minute_value"),
-        F.sum("v").cast("decimal(18,4)").alias("sum_value"),
+        F.max("v").cast("double").alias("max_minute_value"),
+        F.sum("v").cast("double").alias("sum_value"),
     )
 
 
@@ -291,9 +297,9 @@ def q46_right_outer_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           CAST(ROUND(list_dot_product(a.v, b.v) /
-                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-                AS DECIMAL(10,6)) AS cosine_sim
+           CAST(CAST(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v) /
           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
@@ -308,8 +314,13 @@ def q42_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     pairs = embedding_dedup_pairs(emb, threshold=0.4)
+    # Round via exact decimal conversion, then materialize as DOUBLE on
+    # both sides — the driver hashes raw client values, and a Spark
+    # Decimal never hash-matches DuckDB's materialization (see _dsum).
     return pairs.select(
-        "id_a", "id_b", F.round("cosine_sim", 6).cast("decimal(10,6)").alias("cosine_sim")
+        "id_a",
+        "id_b",
+        F.col("cosine_sim").cast("decimal(10,6)").cast("double").alias("cosine_sim"),
     )
 
 
@@ -338,7 +349,7 @@ def q43_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderstatus <> 'F'
     GROUP BY o_orderpriority
@@ -357,7 +368,7 @@ def q47_sql_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM q47_orders
         WHERE o_orderdate >= :cutoff AND o_orderstatus <> :excluded
         GROUP BY o_orderpriority
@@ -380,7 +391,7 @@ def q47_sql_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM c CROSS JOIN q
            WHERE c.vec_id <> q.query_id
          )
-    SELECT query_id, vec_id, CAST(ROUND(sim, 6) AS DECIMAL(10,6)) AS cosine_sim, rank FROM (
+    SELECT query_id, vec_id, CAST(CAST(sim AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim, rank FROM (
       SELECT query_id, vec_id, sim,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
       FROM scored
@@ -405,6 +416,6 @@ def q48_ivf_topk_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id",
         "vec_id",
-        F.round("cosine_sim", 6).cast("decimal(10,6)").alias("cosine_sim"),
+        F.col("cosine_sim").cast("decimal(10,6)").cast("double").alias("cosine_sim"),
         F.col("rank").cast("bigint").alias("rank"),
     )

@@ -65,7 +65,7 @@ def q49_asof_latest_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.r_name, n.n_name,
            GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS gid,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_acctbal
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -94,9 +94,9 @@ def q50_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q51_status_pivot",
     """
     SELECT o_orderpriority,
-           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS total_F,
-           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS total_O,
-           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS total_P
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_P
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -184,8 +184,8 @@ def q53_first_last_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
            count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) FILTER (WHERE l_tax > 0.04) AS DECIMAL(18,4)) AS taxed_price,
-           CAST(AVG(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,4)) AS avg_qty_f
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price,
+           CAST(CAST(AVG(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,4)) AS DOUBLE) AS avg_qty_f
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -200,9 +200,12 @@ def q54_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
         F.sum(
             F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice").cast("decimal(18,4)"))
-        ).cast("decimal(18,4)").alias("taxed_price"),
+        ).cast("double").alias("taxed_price"),
+        # avg of doubles is order-dependent in the low bits; round through
+        # DECIMAL(18,4) on both sides so the materialized double is stable.
         F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")))
         .cast("decimal(18,4)")
+        .cast("double")
         .alias("avg_qty_f"),
     )
 
@@ -211,7 +214,7 @@ def q54_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q55_shipping_priority",
     """
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -244,7 +247,7 @@ def q55_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
