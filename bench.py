@@ -56,15 +56,22 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings", "part"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
-    timings: dict[str, float] = {}
+    # Per-query isolation: one failing query must cost one null data
+    # point, never the whole benchmark artifact (the JSON line below must
+    # always print).
+    timings: dict[str, float | None] = {}
     for name in BENCH_QUERIES:
-        fn = qs[name]
         t0 = time.time()
-        n = fn(spark, sf_dir).count()
+        try:
+            n = qs[name](spark, sf_dir).count()
+        except Exception as e:  # noqa: BLE001
+            timings[name] = None
+            print(f"# {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
         json.dumps(
             {
