@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash64
+
 
 def dedup_exact(df: DataFrame, text_col: str = "text", keep: str = "min", id_col: str = "doc_id") -> DataFrame:
     """Exact-duplicate removal on the hash of ``text_col``: keep one row
@@ -146,6 +148,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    hash_how: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature array<bigint>) via explode → groupBy(id) → one
     ``min(xxhash64(shingle, k))`` per seed.
@@ -161,7 +164,7 @@ def minhash_signatures(
     )
     mins = exploded.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.col("__s"), F.lit(k))).alias(f"__m{k}")
+            F.min(hash64(F.col("__s"), seed=k, how=hash_how)).alias(f"__m{k}")
             for k in range(num_hashes)
         ]
     )
@@ -177,6 +180,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    hash_how: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + banded LSH.
 
@@ -189,7 +193,7 @@ def minhash_lsh_pairs(
     so the shuffle is tiny relative to the corpus.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_how)
     banded = sig.select(
         id_col,
         "__sig",
@@ -198,8 +202,11 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(F.slice("__sig", b * rows_per_band + 1, rows_per_band), ",")
+                    hash64(
+                        F.array_join(
+                            F.slice("__sig", b * rows_per_band + 1, rows_per_band), ","
+                        ),
+                        how=hash_how,
                     ).alias("bh"),
                 ),
             )
@@ -331,6 +338,7 @@ def simhash_fingerprints(
     text_col: str = "text",
     num_bits: int = 64,
     shingle_n: int = 2,
+    hash_how: str = "xxhash64",
 ) -> DataFrame:
     """(id, 64-bit SimHash fingerprint) via explode → groupBy(id) → one
     ±1-vote SUM per bit → sign-fold into a long.
@@ -343,7 +351,7 @@ def simhash_fingerprints(
     single "" gram, so all empty docs share one constant fingerprint and
     are flagged as mutual duplicates — which is the semantics we want."""
     exploded = shingle_rows(df, id_col, text_col, shingle_n).withColumn(
-        "__h", F.xxhash64("__g")
+        "__h", hash64(F.col("__g"), how=hash_how)
     )
     votes = exploded.groupBy(id_col).agg(
         *[
@@ -367,14 +375,16 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    num_bits: int = 64,
+    hash_how: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into ``bands``
-    16-bit chunks; docs sharing any chunk are candidates (pigeonhole: any
+    """Near-dup pairs by SimHash: band the ``num_bits`` fingerprint into
+    ``bands`` chunks; docs sharing any chunk are candidates (pigeonhole: any
     pair within hamming distance < bands shares ≥1 chunk); verify with
     exact popcount of XOR.
     """
-    width = 64 // bands
-    fp = simhash_fingerprints(df, id_col, text_col)
+    width = num_bits // bands
+    fp = simhash_fingerprints(df, id_col, text_col, num_bits, hash_how=hash_how)
     banded = fp.select(
         id_col,
         "__fp",

@@ -192,13 +192,68 @@ def embedding_dedup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
 
-    Exact all-pairs — correctness baseline for LSH-bucketed dedup; at scale
-    swap the crossJoin for ``lsh_topk``-style bucketing.
+    Exact all-pairs — the small-input correctness baseline that pins
+    ``embedding_dedup_pairs_lsh``'s verification step in tests. NEVER the
+    scale path: the O(n²) crossJoin is quadratic in corpus size. Production
+    dedup at 100 TB goes through the LSH variant below.
     """
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def embedding_dedup_pairs_lsh(
+    df: DataFrame,
+    planes_tables: list[list[list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs via multi-table hyperplane LSH — the 100 TB
+    dedup path (mirrors ``minhash_lsh_pairs``' bucketed shape).
+
+    Each of the L tables maps every vector to a bucket (sign bits against
+    that table's hyperplanes); only bucket-mates within a table become
+    candidates. Candidates carry IDS ONLY through the join + distinct —
+    vectors join back once per verified pair side, so document-scale
+    payloads never multiply by L. Exact cosine verification within
+    candidates means zero false positives; recall is controlled by
+    (n_tables, planes_per_table).
+
+    Returns (id_a, id_b, cosine_sim) with id_a < id_b, cosine ≥ threshold.
+    """
+    sigs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        hyperplane_bucket(F.col(vec_col), planes).alias("bkt"),
+                    )
+                    for t, planes in enumerate(planes_tables)
+                ]
+            )
+        ).alias("__tb"),
+    ).select(F.col(id_col), F.col("__tb.t").alias("t"), F.col("__tb.bkt").alias("bkt"))
+    a = sigs.select(F.col(id_col).alias("id_a"), "t", "bkt")
+    b = sigs.select(F.col(id_col).alias("id_b"), "t", "bkt")
+    cand = (
+        a.join(b, ["t", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")

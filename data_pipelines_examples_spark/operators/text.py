@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash64
+
 # A small multilingual stopword sample per language for the n-gram/stopword
 # language heuristic. Public knowledge lists (top function words).
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -38,10 +40,21 @@ def bpe_token_count(text_col: str | Column) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", round_digits: int | None = 6
+) -> DataFrame:
     """Add standard quality-score features: length, token count, mean word
-    length, punctuation ratio, stopword ratio, uppercase ratio."""
+    length, punctuation ratio, stopword ratio, uppercase ratio.
+
+    ``round_digits=None`` leaves ratios unrounded — required when an oracle
+    recomputes them (both engines produce identical IEEE doubles from the
+    same integer divisions, whereas round() implementations may differ in
+    the last ulp)."""
     c = F.col(text_col)
+
+    def _r(col: Column) -> Column:
+        return F.round(col, round_digits) if round_digits is not None else col
+
     n_chars = F.length(c)
     tokens = F.split(F.lower(F.trim(c)), r"\s+")
     n_tokens = F.size(tokens)
@@ -53,23 +66,30 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.withColumn("n_chars_calc", n_chars)
         .withColumn("n_tokens", n_tokens)
         .withColumn("mean_word_len", (n_chars - n_tokens + 1) / n_tokens)
-        .withColumn("punct_ratio", F.round(n_punct / n_chars, 6))
-        .withColumn("stopword_ratio", F.round(n_stop / n_tokens, 6))
-        .withColumn("upper_ratio", F.round(n_upper / n_chars, 6))
+        .withColumn("punct_ratio", _r(n_punct / F.nullif(n_chars, F.lit(0))))
+        .withColumn("stopword_ratio", _r(n_stop / F.nullif(n_tokens, F.lit(0))))
+        .withColumn("upper_ratio", _r(n_upper / F.nullif(n_chars, F.lit(0))))
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "quality",
+    round_digits: int | None = 6,
+) -> DataFrame:
     """Composite heuristic quality score in [0,1]: rewards stopword presence
     and moderate length; penalizes punctuation soup and shouting."""
-    feats = quality_features(df, text_col)
+    feats = quality_features(df, text_col, round_digits)
     score = (
         F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.4
         + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3
         + (1.0 - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.2
         + (1.0 - F.least(F.col("upper_ratio") * 5.0, F.lit(1.0))) * 0.1
     )
-    return feats.withColumn(out_col, F.round(score, 6))
+    return feats.withColumn(
+        out_col, F.round(score, round_digits) if round_digits is not None else score
+    )
 
 
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
@@ -91,13 +111,19 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     )
 
 
-def doc_fingerprints(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint", window: int = 8) -> DataFrame:
-    """Rolling-hash document fingerprint: min xxhash64 over character
+def doc_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fingerprint",
+    window: int = 8,
+    hash_how: str = "xxhash64",
+) -> DataFrame:
+    """Rolling-hash document fingerprint: min hash over character
     ``window``-grams (winnowing-style robust fingerprint). Identical up to
     small edits far from the minimizing gram."""
     c = F.col(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(c) - window + 1, F.lit(1))),
-        lambda i: F.xxhash64(c.substr(i, F.lit(window))),
+        lambda i: hash64(c.substr(i, F.lit(window)), how=hash_how),
     )
     return df.withColumn(out_col, F.array_min(grams))

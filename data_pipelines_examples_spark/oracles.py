@@ -1,0 +1,209 @@
+"""DuckDB oracle-SQL builders for the hash-structured operators.
+
+The catalog's correctness gate runs each Spark query against an ANSI-SQL
+oracle on DuckDB. For minhash/simhash/hyperplane-LSH operators the oracle
+must reproduce the FULL algorithm — candidate generation included — so
+these builders emit SQL that recomputes the same signatures DuckDB-side
+from the same portable md5-prefix hash (functions/hashing.py) and the
+same driver-side hyperplane constants. Since both engines hash identical
+UTF-8 bytes and fold identical IEEE doubles, the oracle output matches
+the Spark output exactly, approximation and all — no "rows-only" checks.
+
+Text parity notes (pinned by the gate at sf0.01):
+- word tokens: Spark ``split(lower(text), '\\s+')`` == DuckDB
+  ``string_split_regex(lower(text), '\\s+')``;
+- word n-grams: Spark ``slice(ws, i+1, n)`` over i in 0..max(size-n, 0)
+  == DuckDB ``w[i:i+n-1]`` over generate_series(1, greatest(len-n+1, 1))
+  (both truncate the last grams of short docs the same way);
+- 60-bit hash: ``conv(substr(md5(s),1,15),16,10)`` ==
+  ``('0x'||substr(md5(s),1,15))::BIGINT``.
+"""
+
+from __future__ import annotations
+
+import random
+
+from .functions.hashing import sql_hash64, sql_hash64_seeded
+
+
+def gauss_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Seeded random hyperplanes — driver-side constants shared verbatim by
+    the Spark expression tree and the oracle SQL text."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def gauss_plane_tables(
+    n_tables: int, n_planes: int, dim: int, seed: int
+) -> list[list[list[float]]]:
+    return [gauss_planes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)]
+
+
+def _sql_plane(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+
+
+def sql_bucket_expr(vec_expr: str, planes: list[list[float]]) -> str:
+    """Bucket id from sign bits: plane 0 is the MSB, matching the Spark
+    ``hyperplane_bucket`` shiftleft fold."""
+    n = len(planes)
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_expr}, {_sql_plane(p)}) > 0"
+        f" THEN {1 << (n - 1 - i)} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _grams_cte(table: str, id_col: str, text_col: str, n: int) -> str:
+    """CTE producing (id, g) distinct word n-gram rows, matching
+    ``operators.dedup.shingle_rows``."""
+    return f"""
+    toks AS (
+      SELECT {id_col}, string_split_regex(lower({text_col}), '\\s+') AS w FROM {table}
+    ),
+    grams AS (
+      SELECT {id_col},
+             unnest(list_distinct([
+               array_to_string(w[i:i+{n - 1}], ' ')
+               FOR i IN generate_series(1, greatest(len(w)-{n - 1}, 1))
+             ])) AS g
+      FROM toks
+    )"""
+
+
+def minhash_lsh_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> str:
+    """Full MinHash+banded-LSH replication: signatures, band hashes,
+    bucket join, est_jaccard — mirrors ``minhash_lsh_pairs(hash_how='portable')``."""
+    rpb = num_hashes // bands
+    mins = ",\n             ".join(
+        f"MIN({sql_hash64_seeded('g', k)}) AS m{k}" for k in range(num_hashes)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'bh': %s}"
+        % (b, sql_hash64("concat_ws(','," + ",".join(f"m{b * rpb + j}" for j in range(rpb)) + ")"))
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END)" for k in range(num_hashes)
+    )
+    return f"""
+    WITH {_grams_cte(table, id_col, "text", shingle_n)},
+    sigs AS (
+      SELECT {id_col}, {mins}
+      FROM grams GROUP BY {id_col}
+    ),
+    banded AS (
+      SELECT {id_col}, unnest([{band_structs}], recursive := true) FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+                                  AND a.{id_col} < b.{id_col}
+    )
+    SELECT cand.id_a, cand.id_b,
+           CAST({matches} AS DOUBLE) / CAST({num_hashes} AS DOUBLE) AS est_jaccard
+    FROM cand
+    JOIN sigs sa ON sa.{id_col} = cand.id_a
+    JOIN sigs sb ON sb.{id_col} = cand.id_b
+    """
+
+
+def simhash_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    num_bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 6,
+    shingle_n: int = 2,
+) -> str:
+    """Full SimHash replication: per-gram hash, ±1 bit votes, sign-folded
+    fingerprint, pigeonhole banding, exact hamming — mirrors
+    ``simhash_pairs(num_bits=60, hash_how='portable')``."""
+    width = num_bits // bands
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(num_bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {num_bits - 1 - i}) ELSE 0::BIGINT END)"
+        for i in range(num_bits)
+    )
+    chunk_structs = ", ".join(
+        "{'band': %d, 'chunk': (fp >> %d) & %d}" % (b, b * width, (1 << width) - 1)
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_grams_cte(table, id_col, "text", shingle_n)},
+    hs AS (SELECT {id_col}, {sql_hash64("g")} AS h FROM grams),
+    votes AS (
+      SELECT {id_col}, {votes}
+      FROM hs GROUP BY {id_col}
+    ),
+    fps AS (SELECT {id_col}, ({fp}) AS fp FROM votes),
+    banded AS (
+      SELECT {id_col}, fp, unnest([{chunk_structs}], recursive := true) FROM fps
+    )
+    SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
+                                AND a.{id_col} < b.{id_col}
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+def lsh_topk_sql(planes: list[list[float]], k: int = 10, query_max_id: int = 5) -> str:
+    """Hyperplane-LSH top-k replication over the embeddings table."""
+    bucket = sql_bucket_expr("v", planes)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bkt FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bkt AS qbkt FROM b WHERE vec_id < {query_max_id}),
+    scored AS (
+      SELECT q.query_id, b.vec_id,
+             list_dot_product(b.v, q.qv) /
+             (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      FROM b JOIN q ON b.bkt = q.qbkt
+      WHERE b.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, CAST(CAST(sim AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim, rank
+    FROM (
+      SELECT query_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def embedding_dedup_lsh_sql(
+    planes_tables: list[list[list[float]]], threshold: float
+) -> str:
+    """Multi-table hyperplane-LSH dedup replication: per-table buckets,
+    candidate union, exact cosine verification at ``threshold``."""
+    tb_structs = ", ".join(
+        "{'t': %d, 'bkt': %s}" % (t, sql_bucket_expr("v", planes))
+        for t, planes in enumerate(planes_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    tb AS (SELECT vec_id, unnest([{tb_structs}], recursive := true) FROM e),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM tb a JOIN tb b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+    ),
+    verified AS (
+      SELECT cand.id_a, cand.id_b,
+             list_dot_product(ea.v, eb.v) /
+             (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS sim
+      FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                JOIN e eb ON eb.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, CAST(CAST(sim AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
+    FROM verified WHERE sim >= {threshold!r}
+    """

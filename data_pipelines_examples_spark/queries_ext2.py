@@ -11,6 +11,12 @@ from .operators.json_ops import json_to_map
 from .operators.relational import salted_join
 from .operators.unpivot import unpivot
 from .operators.windows import approx_distinct_over_range
+from .oracles import (
+    embedding_dedup_lsh_sql,
+    gauss_plane_tables,
+    gauss_planes,
+    lsh_topk_sql,
+)
 from .queries import _dsum, _t, query
 
 
@@ -292,31 +298,36 @@ def q46_right_outer_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q42_embedding_dedup_pairs",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           CAST(CAST(list_dot_product(a.v, b.v) /
-                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) /
-          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
-    """,
-)
-def q42_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, exact all-pairs baseline
-    (LLM-pipeline extension; the hyperplane-LSH q43 is the scale path)."""
-    from .operators.similarity import embedding_dedup_pairs
+# Hyperplane constants shared verbatim between the Spark expression trees
+# and the generated oracle SQL: the embeddings tables are 64-dim at every
+# SF (TESTDATA.md), so the planes are import-time constants.
+_EMB_DIM = 64
+_Q42_PLANE_TABLES = gauss_plane_tables(n_tables=8, n_planes=6, dim=_EMB_DIM, seed=7)
+_Q43_PLANES = gauss_planes(n_planes=4, dim=_EMB_DIM, seed=42)
 
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    pairs = embedding_dedup_pairs(emb, threshold=0.4)
-    # Round via exact decimal conversion, then materialize as DOUBLE on
-    # both sides — the driver hashes raw client values, and a Spark
-    # Decimal never hash-matches DuckDB's materialization (see _dsum).
+    return emb
+
+
+@query(
+    "q42_embedding_dedup_pairs",
+    embedding_dedup_lsh_sql(_Q42_PLANE_TABLES, threshold=0.4),
+)
+def q42_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table hyperplane LSH
+    + exact in-bucket verification — the 100 TB dedup path (no all-pairs
+    crossJoin anywhere). The oracle replicates the full algorithm from the
+    same plane constants, so the approximation itself is hash-verified;
+    the exact all-pairs baseline is pytest-pinned (test_similarity)."""
+    from .operators.similarity import embedding_dedup_pairs_lsh
+
+    pairs = embedding_dedup_pairs_lsh(
+        _emb(spark, sf_dir), _Q42_PLANE_TABLES, threshold=0.4
+    )
     return pairs.select(
         "id_a",
         "id_b",
@@ -324,24 +335,25 @@ def q42_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q43_lsh_topk", None)  # approximate by design → rows-only
+@query("q43_lsh_topk", lsh_topk_sql(_Q43_PLANES, k=10, query_max_id=5))
 def q43_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed approximate top-k — the 100 TB ANN path
-    (only bucket-mates are scored); exact q15 is the recall baseline."""
-    import random
-
+    (only bucket-mates are scored); exact q15 is the recall baseline. The
+    oracle recomputes the same buckets from the same plane literals, so
+    the approximate result is hash-verified, not rows-only."""
     from .operators.similarity import lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    dim = len(emb.first()["embedding"])
-    rng = random.Random(42)
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_topk(emb, queries_df, planes, k=10)
+    out = lsh_topk(emb, queries_df, _Q43_PLANES, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("cosine_sim").cast("decimal(10,6)").cast("double").alias("cosine_sim"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
 @query(
