@@ -56,7 +56,17 @@ def salted_join(
     Result is row-identical to the unsalted join; the hot key's rows are
     spread over ``salt_n`` shuffle partitions. salt_n=16 matches the
     reference's fan-out.
+
+    Only fact-preserving join types are allowed: with the dim replicated
+    ×salt_n, right/full outer would emit every UNMATCHED dim row once per
+    salt value. For those, salt the other side or use AQE skew handling.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only, got how={how!r}: "
+            "the replicated dim side would duplicate unmatched dim rows "
+            "salt_n times under right/full outer"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     spark = fact.sparkSession
     salt_ids = spark.range(salt_n).select(F.col("id").cast("int").alias(salt_col))

@@ -164,8 +164,9 @@ def copy_into(
     if pattern is not None:
         reader = reader.option("pathGlobFilter", pattern)
     df = reader.format(fmt).load(source_glob)
+    loaded = df.count()
     df.write.mode("append").parquet(target_path)
-    return spark.read.parquet(target_path).count()
+    return loaded
 
 
 def range_table(spark: SparkSession, n: int, col: str = "id") -> DataFrame:

@@ -65,11 +65,19 @@ def write_validated(
     target_parallelism: int | None = None,
 ) -> int:
     """Write then re-read and assert count equality — the reference's
-    post-write validation idiom. Returns the validated row count.
+    post-write validation idiom. Returns the validated count of rows
+    WRITTEN BY THIS CALL (for append: target delta, not target total).
 
     The source is counted from a cached plan so write+count don't recompute
     differently; the sink is counted from the files actually written.
     """
+    spark = df.sparkSession
+    pre_existing = 0
+    if mode == "append":
+        try:
+            pre_existing = spark.read.format(fmt).load(path).count()
+        except Exception:  # noqa: BLE001 — first append to a fresh path
+            pre_existing = 0
     df = df.cache()
     try:
         expected = df.count()
@@ -81,7 +89,7 @@ def write_validated(
             parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
             writer = writer.partitionBy(*parts)
         writer.save(path)
-        actual = df.sparkSession.read.format(fmt).load(path).count()
+        actual = spark.read.format(fmt).load(path).count() - pre_existing
         if actual != expected:
             raise WriteValidationError(
                 f"wrote {actual} rows to {path}, expected {expected}"

@@ -67,8 +67,9 @@ def test_copy_into_with_pattern(spark, tmp_path):
         pattern="*_enc_prov_*.txt",
     )
     assert n == 3
-    # idempotency caveat: append mode — a second run doubles rows
+    # returns rows loaded BY THIS CALL; append mode still doubles the target
     n2 = copy_into(
         spark, target, str(src), "id bigint, v string", pattern="*_enc_prov_*.txt"
     )
-    assert n2 == 6
+    assert n2 == 3
+    assert spark.read.parquet(target).count() == 6

@@ -32,6 +32,17 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert rows == {(1, "a"), (9, None)}
 
 
+def test_salted_join_rejects_dim_preserving_outer(spark):
+    import pytest
+
+    fact = spark.createDataFrame([(1, "x")], "k int, v string")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string")
+    # right/full outer would emit unmatched dim rows once per salt value
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(fact, dim, "k", how=how, salt_n=4)
+
+
 def test_wildcard_rule_join_priority(spark):
     fact = spark.createDataFrame(
         [(1, "A", "X"), (2, "B", "Y"), (3, "C", "Z")], "id int, f1 string, f2 string"

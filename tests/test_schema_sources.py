@@ -81,6 +81,15 @@ def test_write_validated_roundtrip(spark, tmp_path):
     assert n == 100
 
 
+def test_write_validated_append_counts_delta(spark, tmp_path):
+    """Append validates (and returns) the rows written by THIS call, not
+    the cumulative target count."""
+    path = str(tmp_path / "appendable")
+    assert write_validated(spark.range(40), path, mode="append") == 40
+    assert write_validated(spark.range(25), path, mode="append") == 25
+    assert spark.read.parquet(path).count() == 65
+
+
 def test_overwrite_partitions_is_idempotent(spark, tmp_path):
     path = str(tmp_path / "t")
     base = spark.createDataFrame([(1, "a"), (2, "b")], "v int, p string")

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 from conftest import SF_SMOKE
 from data_pipelines_examples_spark.operators.similarity import (
     brute_force_topk,
+    embedding_dedup_pairs,
+    embedding_dedup_pairs_lsh,
     ivf_topk,
     kmeans_centroids,
     lsh_topk,
@@ -64,3 +66,24 @@ def test_lsh_results_subset_of_brute_force_universe(spark, emb):
     ids = {r.vec_id for r in out.collect()}
     all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
     assert ids <= all_ids and out.count() > 0
+
+
+def test_embedding_dedup_lsh_subset_of_exact(spark, emb):
+    """The LSH dedup path has zero false positives (exact in-bucket
+    verification): its pairs are a non-empty subset of the all-pairs
+    baseline at the same threshold, with identical cosines."""
+    from data_pipelines_examples_spark.oracles import gauss_plane_tables
+
+    dim = len(emb.first().embedding)
+    tables = gauss_plane_tables(n_tables=8, n_planes=4, dim=dim, seed=3)
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_dedup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_dedup_pairs_lsh(emb, tables, threshold=0.4).collect()
+    }
+    assert lsh and set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]
