@@ -1,0 +1,53 @@
+"""Usage-report export: golden HTML rendering + executions audit table."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from data_pipelines_examples_spark.reporting import (
+    ReportTooLargeError,
+    record_execution,
+    save_html_report,
+    to_html_report,
+)
+
+GOLDEN = (
+    "<html><body><h2>Usage &amp; cost</h2>"
+    '<table border="1"><thead><tr><th>bu</th><th>n_jobs</th><th>note</th></tr></thead>'
+    "<tbody><tr><td>finance</td><td>3</td><td>&lt;ok&gt;</td></tr>"
+    "<tr><td>ops</td><td>1</td><td></td></tr></tbody></table></body></html>"
+)
+
+
+def _agg(spark):
+    return spark.createDataFrame(
+        [("finance", 3, "<ok>"), ("ops", 1, None)], "bu string, n_jobs int, note string"
+    ).orderBy("bu")
+
+
+def test_to_html_report_golden(spark):
+    assert to_html_report(_agg(spark), title="Usage & cost") == GOLDEN
+
+
+def test_save_html_report_writes_artifact(spark, tmp_path):
+    path = save_html_report(_agg(spark), str(tmp_path / "rpt"), title="Usage & cost")
+    assert open(path, encoding="utf-8").read() == GOLDEN
+
+
+def test_report_rejects_unaggregated_input(spark):
+    with pytest.raises(ReportTooLargeError):
+        to_html_report(spark.range(100), max_rows=10)
+
+
+def test_record_execution_appends_and_registers(spark, tmp_path):
+    t0 = datetime.datetime(2024, 1, 1, 8, 0, 0)
+    t1 = datetime.datetime(2024, 1, 1, 8, 5, 0)
+    path = str(tmp_path / "exec_audit")
+    record_execution(spark, path, "usage_report", "s3://x/r.html", 1, t0, t1)
+    record_execution(spark, path, "usage_report", "s3://x/r2.html", 2, t0, t1)
+    got = spark.table("report_executions")
+    assert got.count() == 2
+    assert {r.run_id for r in got.collect()} == {1, 2}
+    spark.sql("DROP TABLE report_executions")
