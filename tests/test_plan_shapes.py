@@ -59,6 +59,51 @@ def test_interval_collapse_single_shuffle(spark):
     assert count_shuffles(collapse_intervals(df, "memnum")) == 1
 
 
+def test_asof_join_single_shuffle(spark):
+    """The union+last_value as-of formulation costs ONE exchange on the
+    key — never a theta-join cross product and never a per-side sort+merge
+    pair (the naive range-join formulation shuffles both inputs and
+    explodes candidates at scale)."""
+    from data_pipelines_examples_spark.operators.relational import asof_join
+
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet").selectExpr(
+        "user_id", "cast(ts as timestamp) as ts", "value"
+    )
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").selectExpr(
+        "o_custkey as user_id", "cast(o_orderdate as timestamp) as ots", "o_orderkey"
+    )
+    out = asof_join(o, e, key="user_id", left_ts="ots", right_ts="ts", value_cols=["value"])
+    assert count_shuffles(out) == 1
+
+
+def test_minhash_lsh_shuffles_bounded(spark):
+    """Signature agg + band-bucket join: the only exchanges are the
+    signature groupBy and the band join/distinct — document BODIES are
+    dropped before the first exchange (the shuffle carries 8-byte mins),
+    so shuffle volume is O(docs × num_hashes), not O(corpus bytes)."""
+    from data_pipelines_examples_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    pairs = minhash_lsh_pairs(d, num_hashes=8, bands=2)
+    assert count_shuffles(pairs) <= 3
+
+
+def test_embedding_dedup_lsh_no_crossjoin(spark):
+    """The LSH dedup path must never degenerate into a cartesian product —
+    candidates come from bucket-equality joins only."""
+    from data_pipelines_examples_spark.operators.similarity import (
+        embedding_dedup_pairs_lsh,
+    )
+    from data_pipelines_examples_spark.oracles import gauss_plane_tables
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    tables = gauss_plane_tables(n_tables=2, n_planes=4, dim=64, seed=1)
+    plan = physical_plan(embedding_dedup_pairs_lsh(emb, tables, threshold=0.4))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_wildcard_rule_join_broadcasts(spark):
     from data_pipelines_examples_spark.operators.relational import wildcard_rule_join
 
