@@ -55,6 +55,17 @@ def main() -> None:
     spark.range(1).count()
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings", "part"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    # Compile each query's generated code against the smallest SF first:
+    # Janino whole-stage compilation is a one-time per-plan-shape cost
+    # (measured 5s on the jaccard pipeline, ~1s steady-state) and would
+    # otherwise be attributed to whichever query runs first.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in BENCH_QUERIES:
+            try:
+                qs[name](spark, warm_dir).count()
+            except Exception:  # noqa: BLE001 — failures surface in the timed run
+                pass
 
     # Per-query isolation: one failing query must cost one null data
     # point, never the whole benchmark artifact (the JSON line below must

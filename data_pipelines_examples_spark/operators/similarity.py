@@ -21,6 +21,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _rebalance(df: DataFrame) -> DataFrame:
+    """Under-parallelism guard for the map-side scoring stages: a corpus
+    arriving in fewer splits than the cluster's parallelism would score
+    on those few cores. No-op at production scale (splits >> cores)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<float/double> columns, JVM-side."""
     return F.aggregate(
@@ -53,7 +63,7 @@ def brute_force_topk(
     Returns (query_id, vec_id, cosine_sim, rank) with rank 1..k per query.
     Queries are broadcast; ties broken by corpus id for determinism.
     """
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
+    scored = _rebalance(corpus).crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col),
         cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
@@ -94,7 +104,7 @@ def lsh_topk(
     """Approximate top-k: only corpus vectors in the query's hyperplane
     bucket are scored. Recall improves with fewer planes (bigger buckets)
     or by unioning multiple plane sets (multi-table LSH)."""
-    c = corpus.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
+    c = _rebalance(corpus).withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
     q = queries.withColumn("__qbucket", hyperplane_bucket(F.col(query_vec_col), planes))
     scored = c.join(F.broadcast(q), F.col("__bucket") == F.col("__qbucket")).select(
         F.col(query_id_col),
@@ -162,7 +172,7 @@ def ivf_topk(
     narrow projection computed once and persisted alongside the vectors;
     queries broadcast.
     """
-    c = corpus.withColumn(
+    c = _rebalance(corpus).withColumn(
         "__bucket", _nearest_centroids(F.col(vec_col), centroids, 1)[0]
     )
     q = queries.withColumn(
@@ -227,6 +237,7 @@ def embedding_dedup_pairs_lsh(
 
     Returns (id_a, id_b, cosine_sim) with id_a < id_b, cosine ≥ threshold.
     """
+    df = _rebalance(df)
     sigs = df.select(
         F.col(id_col),
         F.explode(
