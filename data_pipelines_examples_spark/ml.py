@@ -68,3 +68,93 @@ def time_split(
     train = df.filter(F.col(ts_col) < F.lit(split_point))
     test = df.filter(F.col(ts_col) >= F.lit(split_point))
     return train, test
+
+
+def quartile_strata(
+    df: DataFrame, cols: list[str], n: int = 4, suffix: str = "_qtile"
+) -> DataFrame:
+    """Add NTILE(n) stratum columns per feature — the reference builds
+    these as covariate strata for propensity matching
+    (mlflow_pymatch_single_node.py:113-115, HH_INCOME_QTILE /
+    COLLEGE_EDUC_QTILE). NULLs coalesce to 0 before ranking, matching the
+    reference's COALESCE. One window sort per column; at scale prefer
+    ``approxQuantile``-derived bucket edges (one pass, no global sort)."""
+    from pyspark.sql import Window
+
+    out = df
+    for c in cols:
+        w = Window.orderBy(F.coalesce(F.col(c), F.lit(0)))
+        out = out.withColumn(f"{c}{suffix}", F.ntile(n).over(w))
+    return out
+
+
+def propensity_match(
+    df: DataFrame,
+    treatment_col: str,
+    score_col: str,
+    id_col: str,
+    strata: list[str] | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Nearest-propensity-score matching of treatment rows to control rows
+    (with replacement), optionally within covariate strata and within a
+    max score distance — the distributed re-expression of the reference's
+    single-node pymatch ``m.match(...)`` driver loop
+    (mlflow_pymatch_single_node.py:268-289).
+
+    Spark-first shape: matching on a 1-D score is an AS-OF JOIN on the
+    score axis. Union treatments and controls, sort once per stratum by
+    (score, tiebreak), and take the running last control at-or-below and
+    first control at-or-above each treatment via one window pass each
+    direction; the nearest of the two wins. Two exchanges total,
+    no per-case driver loop, no cross join — scales to any cohort size.
+
+    Returns one row per matched treatment:
+    (id_col, score, match_id, match_score, score_dist).
+    """
+    from pyspark.sql import Window
+
+    parts = list(strata) if strata else []
+    t = F.col(treatment_col)
+    base = df.select(
+        *parts,
+        F.col(id_col).alias("__id"),
+        F.col(score_col).cast("double").alias("__score"),
+        t.cast("int").alias("__treated"),
+    )
+    # Controls sort ahead of treatments at equal scores so a same-score
+    # control is visible to the "at-or-below" pass (and symmetric above).
+    w_dn = Window.partitionBy(*parts).orderBy("__score", F.col("__treated").asc(), "__id")
+    w_up = (
+        Window.partitionBy(*parts)
+        .orderBy(F.col("__score").desc(), F.col("__treated").asc(), F.col("__id").desc())
+    )
+    ctl_struct = F.when(
+        F.col("__treated") == 0, F.struct("__score", "__id")
+    )
+    enriched = base.withColumn(
+        "__below", F.last(ctl_struct, ignorenulls=True).over(w_dn)
+    ).withColumn("__above", F.last(ctl_struct, ignorenulls=True).over(w_up))
+    d_below = F.abs(F.col("__score") - F.col("__below.__score"))
+    d_above = F.abs(F.col("__above.__score") - F.col("__score"))
+    best = F.when(
+        F.col("__above").isNull()
+        | (F.col("__below").isNotNull() & (d_below <= d_above)),
+        F.col("__below"),
+    ).otherwise(F.col("__above"))
+    out = (
+        enriched.filter(F.col("__treated") == 1)
+        .withColumn("__match", best)
+        .filter(F.col("__match").isNotNull())
+        .select(
+            *parts,
+            F.col("__id").alias(id_col),
+            F.col("__score").alias(score_col),
+            F.col("__match.__id").alias("match_id"),
+            F.col("__match.__score").alias("match_score"),
+            F.abs(F.col("__score") - F.col("__match.__score")).alias("score_dist"),
+        )
+    )
+    if threshold is not None:
+        out = out.filter(F.col("score_dist") <= threshold)
+    return out

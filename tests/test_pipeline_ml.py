@@ -76,3 +76,53 @@ def test_time_split(spark):
     )
     train, test = time_split(df, "ts", dt.datetime(2024, 1, 8))
     assert train.count() == 7 and test.count() == 3
+
+
+def test_quartile_strata(spark):
+    from data_pipelines_examples_spark.ml import quartile_strata
+
+    df = spark.createDataFrame(
+        [(i, float(i), None if i == 0 else float(100 - i)) for i in range(8)],
+        "id int, income double, educ double",
+    )
+    out = quartile_strata(df, ["income", "educ"])
+    rows = {r.id: (r.income_qtile, r.educ_qtile) for r in out.collect()}
+    assert {q for q, _ in rows.values()} == {1, 2, 3, 4}
+    # NULL educ coalesces to 0 -> lowest quartile
+    assert rows[0][1] == 1
+
+
+def test_propensity_match_nearest_and_threshold(spark):
+    from data_pipelines_examples_spark.ml import propensity_match
+
+    # stratum A: treatment 0.50 sits between controls 0.48 and 0.60 -> 0.48;
+    # treatment 0.90 has only 0.60 below -> matched at distance 0.30.
+    # stratum B: control above only. with-replacement: both B treatments
+    # match the same control.
+    df = spark.createDataFrame(
+        [
+            ("A", 1, 0.50, 1),
+            ("A", 2, 0.48, 0),
+            ("A", 3, 0.60, 0),
+            ("A", 4, 0.90, 1),
+            ("B", 5, 0.10, 1),
+            ("B", 6, 0.12, 1),
+            ("B", 7, 0.20, 0),
+        ],
+        "stratum string, pid int, score double, treated int",
+    )
+    out = propensity_match(df, "treated", "score", "pid", strata=["stratum"])
+    got = {r.pid: (r.match_id, round(r.score_dist, 6)) for r in out.collect()}
+    assert got == {1: (2, 0.02), 4: (3, 0.30), 5: (7, 0.10), 6: (7, 0.08)}
+    thr = propensity_match(df, "treated", "score", "pid", strata=["stratum"], threshold=0.1)
+    assert {r.pid for r in thr.collect()} == {1, 5, 6}
+
+
+def test_propensity_match_equal_score_control_visible(spark):
+    from data_pipelines_examples_spark.ml import propensity_match
+
+    df = spark.createDataFrame(
+        [(1, 0.5, 1), (2, 0.5, 0)], "pid int, score double, treated int"
+    )
+    got = propensity_match(df, "treated", "score", "pid").collect()
+    assert len(got) == 1 and got[0].match_id == 2 and got[0].score_dist == 0.0
