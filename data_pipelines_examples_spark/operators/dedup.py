@@ -342,6 +342,37 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 13,
+) -> DataFrame:
+    """Remove training documents that share any word ``shingle_n``-gram
+    with a benchmark/eval document — the standard n-gram decontamination
+    pass (13-gram overlap is the published convention) run before a corpus
+    becomes training data.
+
+    Scale shape: both sides shingle narrowly, grams hash to 8 bytes, and
+    the kill-list membership test is a LEFT ANTI join on the hash — the
+    shuffle carries (id, hash) pairs, never document bodies, and the
+    benchmark side (small by construction) broadcasts.
+    """
+    t_grams = shingle_rows(train, id_col, text_col, shingle_n).select(
+        id_col, F.xxhash64("__g").alias("__h")
+    )
+    b_grams = (
+        shingle_rows(benchmark, id_col, text_col, shingle_n)
+        .select(F.xxhash64("__g").alias("__h"))
+        .distinct()
+    )
+    contaminated = (
+        t_grams.join(F.broadcast(b_grams), "__h", "left_semi").select(id_col).distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")
+
+
 def simhash_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -111,6 +111,51 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     )
 
 
+# PII patterns (public-knowledge regexes; conservative by design — a
+# training-data scrubber prefers false positives over leaked PII).
+_PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\+?\d{1,3}[-. ])?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None) -> DataFrame:
+    """Replace emails / phone numbers / IPv4s / SSN-shaped tokens with
+    typed placeholders — the standard scrub pass before a corpus becomes
+    training data. A chain of JVM-side ``regexp_replace`` projections:
+    fuses into the scan, zero shuffles, order fixed so overlapping
+    matches resolve deterministically (emails before phones so the
+    digits inside an address never half-match)."""
+    c = F.col(text_col)
+    for pattern, placeholder in _PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, placeholder)
+    return df.withColumn(out_col or text_col, c)
+
+
+def repetition_ratios(
+    df: DataFrame, text_col: str = "text", ngram: int = 2
+) -> DataFrame:
+    """Repetition quality signals (public Gopher-style rules): fraction of
+    duplicate lines and fraction of tokens inside duplicate word n-grams.
+    High values flag boilerplate/spam for filtering before training.
+
+    Pure array expressions per row — size(arr) − size(array_distinct(arr))
+    counts duplicates without any explode/shuffle."""
+    lines = F.split(F.col(text_col), r"\n")
+    dup_lines = F.size(lines) - F.size(F.array_distinct(lines))
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - ngram, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, ngram), " "),
+    )
+    dup_grams = F.size(grams) - F.size(F.array_distinct(grams))
+    return df.withColumn(
+        "dup_line_ratio", dup_lines / F.nullif(F.size(lines), F.lit(0))
+    ).withColumn("dup_ngram_ratio", dup_grams / F.nullif(F.size(grams), F.lit(0)))
+
+
 def doc_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -90,3 +90,55 @@ def test_lang_id(spark):
     )
     got = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
     assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_redact_pii(spark):
+    from data_pipelines_examples_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.com or call 415-555-1234"),
+            (2, "server 10.0.42.7 and ssn 123-45-6789 stay private"),
+            (3, "no pii here"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.text for r in redact_pii(df).collect()}
+    assert got[1] == "mail me at <EMAIL> or call <PHONE>"
+    assert got[2] == "server <IP> and ssn <SSN> stay private"
+    assert got[3] == "no pii here"
+
+
+def test_repetition_ratios(spark):
+    from data_pipelines_examples_spark.operators.text import repetition_ratios
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now\nbuy now\nbuy now\nbuy now"),  # 3 of 4 lines duplicate
+            (2, "all lines\nare unique\nhere"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: (r.dup_line_ratio, r.dup_ngram_ratio) for r in repetition_ratios(df).collect()}
+    assert got[1][0] == 0.75 and got[1][1] > 0.5
+    assert got[2][0] == 0.0
+
+
+def test_decontaminate(spark):
+    from data_pipelines_examples_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words then the quick brown fox jumps over the lazy dog and more"),
+            (2, "completely unrelated text about spark partitions and shuffles"),
+        ],
+        "doc_id int, text string",
+    )
+    kept = decontaminate(train, bench, shingle_n=9)
+    assert [r.doc_id for r in kept.collect()] == [2]
+    # with n larger than the overlap, nothing is contaminated
+    assert decontaminate(train, bench, shingle_n=13).count() == 2
