@@ -73,3 +73,35 @@ def test_copy_into_with_pattern(spark, tmp_path):
     )
     assert n2 == 3
     assert spark.read.parquet(target).count() == 6
+
+
+def test_read_parquet_sql_path_scan(spark, tmp_path):
+    from data_pipelines_examples_spark.sources.readers import read_parquet_sql
+
+    path = str(tmp_path / "pq")
+    spark.range(7).write.parquet(path)
+    assert read_parquet_sql(spark, path).count() == 7
+
+
+def test_write_single_file_export(spark, tmp_path):
+    import glob
+
+    from data_pipelines_examples_spark.sources.writers import write_single_file
+
+    path = str(tmp_path / "export")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    write_single_file(df, path, fmt="csv", header=True)
+    parts = glob.glob(f"{path}/part-*")
+    assert len(parts) == 1  # coalesce(1): exactly one data file
+    lines = open(parts[0]).read().strip().splitlines()
+    assert lines[0] == "id,v" and len(lines) == 3
+
+
+def test_cache_lifecycle(spark):
+    from data_pipelines_examples_spark.sources.catalog import cached
+
+    df = cached(spark.range(10).selectExpr("id", "id * 2 AS d"))
+    assert df.count() == 10
+    assert df.storageLevel.useMemory  # cache actually armed
+    df.unpersist()
+    assert not df.storageLevel.useMemory
