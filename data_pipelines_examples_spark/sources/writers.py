@@ -99,6 +99,49 @@ def write_validated(
         df.unpersist()
 
 
+def upsert_by_key(
+    updates: DataFrame,
+    path: str,
+    keys: str | list[str],
+    version_col: str,
+    fmt: str = "parquet",
+) -> int:
+    """MERGE-style keyed upsert over a parquet path without a table format:
+    read the existing target (if any), union with the updates, keep the
+    latest version per key (prev∪curr ROW_NUMBER collapse — the
+    reference's exactly-once ingestion idiom,
+    dags/dataswm/servicenow_api_extract.py:2328-2350), and atomically
+    swap via overwrite-to-temp + rename-free rewrite. Returns the row
+    count of the new target.
+
+    At scale the same collapse runs per PARTITION via
+    ``overwrite_partitions`` on the touched partitions only; this
+    whole-table variant is the simple form for unpartitioned state
+    tables (watermarks, dimension snapshots). With a real table format
+    (Delta/Iceberg) this becomes a native MERGE INTO.
+    """
+    from ..operators.dedup import scd_latest
+
+    spark = updates.sparkSession
+    try:
+        prev = spark.read.format(fmt).load(path)
+        merged = prev.unionByName(updates, allowMissingColumns=False)
+    except Exception:  # noqa: BLE001 — first write to a fresh path
+        merged = updates
+    latest = scd_latest(merged, keys, version_col)
+    # Never overwrite a path the plan still reads from (a cache-evicted
+    # partition would recompute against deleted files): write the new
+    # state to a staging path, then swap with a filesystem rename.
+    staging = path.rstrip("/") + "__staging"
+    latest.write.format(fmt).mode("overwrite").save(staging)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath(path), True)
+    fs.rename(hpath(staging), hpath(path))
+    return spark.read.format(fmt).load(path).count()
+
+
 def write_single_file(df: DataFrame, path: str, fmt: str = "csv", header: bool = True) -> None:
     """coalesce(1) export for handoff files — never for large data."""
     w = df.coalesce(1).write.mode("overwrite")

@@ -165,3 +165,22 @@ def test_parse_log_record(spark):
     assert ok.status == 200 and ok.bytes == 2326 and ok.request.startswith("GET")
     bad = next(r for r in rows if r.ip != "127.0.0.1")
     assert bad.status is None
+
+
+def test_upsert_by_key(spark, tmp_path):
+    from data_pipelines_examples_spark.sources.writers import upsert_by_key
+
+    path = str(tmp_path / "state")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "k int, v string, version int"
+    )
+    assert upsert_by_key(v1, path, "k", "version") == 2
+    # update key 1, insert key 3; key 2 untouched
+    v2 = spark.createDataFrame(
+        [(1, "a2", 20), (3, "c", 20)], "k int, v string, version int"
+    )
+    assert upsert_by_key(v2, path, "k", "version") == 3
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a2"), (2, "b"), (3, "c")}
+    # re-running the same batch is idempotent
+    assert upsert_by_key(v2, path, "k", "version") == 3
