@@ -27,19 +27,32 @@ def stream_dedup_by_key(
     df: DataFrame,
     key_cols: list[str],
     state_ttl_seconds: int | None = None,
+    ts_col: str | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Emit only the FIRST row ever seen per key across the whole stream.
 
     State per key: one marker row. With ``state_ttl_seconds`` set, a key's
-    marker expires after that processing-time TTL, after which the key can
-    be emitted again (bounded-state mode for infinite keyspaces).
+    marker expires after that TTL, after which the key can be emitted
+    again (bounded-state mode for infinite keyspaces).
+
+    TTL clock: pass ``ts_col`` to expire on EVENT time (watermark-driven —
+    drain-safe: a drained source stops producing micro-batches and
+    ``processAllAvailable()`` returns). Without ``ts_col`` the TTL is
+    PROCESSING time — correct for production sources that never drain,
+    but a pending processing-time timer keeps the engine scheduling
+    micro-batches, so never drive that mode with ``processAllAvailable()``
+    on a finite source.
     """
     out_schema = df.schema
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if state_ttl_seconds is not None
-        else GroupStateTimeout.NoTimeout
-    )
+    if state_ttl_seconds is None:
+        timeout = GroupStateTimeout.NoTimeout
+    elif ts_col is not None:
+        timeout = GroupStateTimeout.EventTimeTimeout
+        df = df.withWatermark(ts_col, watermark_delay)
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    ttl_ms = None if state_ttl_seconds is None else state_ttl_seconds * 1000
 
     def dedup(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -48,15 +61,24 @@ def stream_dedup_by_key(
             state.remove()
             return
         first = None
+        last_ts_ms = None
         for pdf in pdfs:
             if len(pdf) > 0:
-                first = pdf.head(1)
-                break
+                if first is None:
+                    first = pdf.head(1)
+                if ts_col is not None:
+                    batch_max = int(pd.Timestamp(pdf[ts_col].max()).value // 1_000_000)
+                    last_ts_ms = batch_max if last_ts_ms is None else max(last_ts_ms, batch_max)
         if state.exists:
             return
         state.update((1,))
-        if state_ttl_seconds is not None:
-            state.setTimeoutDuration(state_ttl_seconds * 1000)
+        if ttl_ms is not None:
+            if ts_col is not None and last_ts_ms is not None:
+                state.setTimeoutTimestamp(
+                    max(last_ts_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+                )
+            elif ts_col is None:
+                state.setTimeoutDuration(ttl_ms)
         if first is not None:
             yield first
 

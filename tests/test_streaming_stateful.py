@@ -147,3 +147,50 @@ def test_stream_sessionize(spark, tmp_path):
     # the first (closed) session was emitted when the 02:00 event proved the
     # gap; the open 02:00-02:05 session is withheld (timeout not reached)
     assert rows == [(7, "2024-01-01T00:00:00", "2024-01-01T00:10:00", 2)]
+
+
+def test_stream_dedup_event_time_ttl(spark, tmp_path):
+    """Event-time TTL: a key's marker expires once the watermark passes
+    last_seen + TTL, after which the key is emitted again. Event-time
+    timers are also drain-safe — processAllAvailable() returns on a
+    drained source (a pending PROCESSING-time timer would keep the engine
+    scheduling micro-batches: that mode is for never-draining sources
+    only, documented on the operator)."""
+    import os as _os
+
+    src = tmp_path / "ttlsrc"
+    src.mkdir()
+    batches = [
+        [{"k": "a", "ts": "2024-01-01T00:00:00"}],
+        # other key advances the watermark past a's 01:00 expiry
+        [{"k": "x", "ts": "2024-01-01T02:00:00"}],
+        # a data-free-for-a batch lets a's timer actually fire (a timed-out
+        # key is only invoked with hasTimedOut when it has NO data in the
+        # batch), clearing a's marker
+        [{"k": "y", "ts": "2024-01-01T02:10:00"}],
+        # a reappears after expiry -> emitted again
+        [{"k": "a", "ts": "2024-01-01T02:30:00"}],
+    ]
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}.json"
+        f.write_text("\n".join(json.dumps(r) for r in rows))
+        _os.utime(f, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    deduped = stream_dedup_by_key(stream, ["k"], state_ttl_seconds=3600, ts_col="ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_ttl_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ks = sorted(r.k for r in spark.table("dedup_ttl_out").collect())
+    assert ks == ["a", "a", "x", "y"]
