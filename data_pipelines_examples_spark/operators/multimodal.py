@@ -124,6 +124,67 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.filter(F.col("media_type") == "video").mapInPandas(batches, FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id bigint, media_type string, content binary, width int, height int"
+)
+
+
+def resize_images(df: DataFrame, max_width: int = 256, max_height: int = 256) -> DataFrame:
+    """Aspect-preserving image resize via mapInPandas (Arrow-batched).
+
+    Real production plumbing — schema, batch iteration, metadata math
+    (integer aspect-ratio scaling, no-op for already-small images); the
+    pixel transform itself is the deterministic byte-slice stub standing
+    in for PIL (not installed here). Only image rows are touched; the
+    scan prunes other media types before any blob is read.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, types, blobs, widths, heights = [], [], [], [], []
+            for media_id, mtype, content, w, h in zip(
+                pdf["media_id"].tolist(),
+                pdf["media_type"].tolist(),
+                pdf["content"].tolist(),
+                pdf["width"].tolist(),
+                pdf["height"].tolist(),
+            ):
+                w = int(w or 0)
+                h = int(h or 0)
+                if w <= max_width and h <= max_height:
+                    new_w, new_h, blob = w, h, content
+                else:
+                    scale = min(max_width / max(w, 1), max_height / max(h, 1))
+                    new_w, new_h = max(int(w * scale), 1), max(int(h * scale), 1)
+                    # stub: shrink the byte payload proportionally to the
+                    # pixel count; a real decoder produces re-encoded bytes
+                    content = content or b""
+                    keep = max(
+                        int(len(content) * (new_w * new_h) / max(w * h, 1)), 1
+                    )
+                    blob = content[:keep]
+                ids.append(media_id)
+                types.append(mtype)
+                blobs.append(blob)
+                widths.append(new_w)
+                heights.append(new_h)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": types,
+                    "content": blobs,
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    return (
+        df.filter(F.col("media_type") == "image")
+        .select("media_id", "media_type", "content", "width", "height")
+        .mapInPandas(batches, RESIZED_SCHEMA)
+    )
+
+
 def metadata_filter(
     df: DataFrame,
     min_width: int | None = None,

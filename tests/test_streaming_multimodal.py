@@ -146,3 +146,18 @@ def test_sample_frames(spark):
 def test_metadata_filter_prunes_without_decode(spark):
     out = metadata_filter(_media(spark), min_width=32)
     assert sorted(r.media_id for r in out.collect()) == [1, 2]
+
+
+def test_resize_images_aspect_preserving(spark):
+    from data_pipelines_examples_spark.operators.multimodal import resize_images
+
+    out = {r.media_id: r for r in resize_images(_media(spark), 32, 32).collect()}
+    # only image rows; video excluded before any blob is touched
+    assert set(out) == {1, 3}
+    # 64x48 scaled by min(32/64, 32/48) = 0.5 -> 32x24
+    assert (out[1].width, out[1].height) == (32, 24)
+    # payload shrunk proportionally to pixel count (stub codec)
+    assert 0 < len(out[1].content) < 16
+    # already within bounds: untouched
+    assert (out[3].width, out[3].height) == (8, 8)
+    assert out[3].content == b"tiny"
