@@ -391,6 +391,12 @@ def simhash_fingerprints(
     pathological expression tree (~50× slower). Empty texts shingle to a
     single "" gram, so all empty docs share one constant fingerprint and
     are flagged as mutual duplicates — which is the semantics we want."""
+    if hash_how == "portable" and num_bits > 60:
+        raise ValueError(
+            f"hash_how='portable' yields a 60-bit hash; num_bits={num_bits} "
+            "would make the high bits constant (-1 votes for every gram), "
+            "silently weakening the top LSH band. Pass num_bits<=60."
+        )
     exploded = shingle_rows(df, id_col, text_col, shingle_n).withColumn(
         "__h", hash64(F.col("__g"), how=hash_how)
     )

@@ -164,8 +164,15 @@ def copy_into(
     if pattern is not None:
         reader = reader.option("pathGlobFilter", pattern)
     df = reader.format(fmt).load(source_glob)
-    loaded = df.count()
-    df.write.mode("append").parquet(target_path)
+    # Pin ONE scan for both the count and the write: files matching the
+    # glob that appear/disappear between two separate jobs would make the
+    # returned count diverge from what was actually appended.
+    df = df.cache()
+    try:
+        loaded = df.count()
+        df.write.mode("append").parquet(target_path)
+    finally:
+        df.unpersist()
     return loaded
 
 

@@ -26,6 +26,20 @@ class WriteValidationError(RuntimeError):
     pass
 
 
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _path_exists(spark, path: str) -> bool:
+    """Explicit existence probe so "fresh target" is distinguished from a
+    transient/corrupt read failure — swallowing the latter as "fresh" can
+    silently destroy prior state (see ``upsert_by_key``)."""
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -73,11 +87,12 @@ def write_validated(
     """
     spark = df.sparkSession
     pre_existing = 0
-    if mode == "append":
-        try:
-            pre_existing = spark.read.format(fmt).load(path).count()
-        except Exception:  # noqa: BLE001 — first append to a fresh path
-            pre_existing = 0
+    if mode == "append" and _path_exists(spark, path):
+        # Existence is probed explicitly: a read failure on an EXISTING
+        # target must raise, not masquerade as pre_existing=0 (which would
+        # surface later as a spurious WriteValidationError hiding the
+        # real error).
+        pre_existing = spark.read.format(fmt).load(path).count()
     df = df.cache()
     try:
         expected = df.count()
@@ -123,10 +138,14 @@ def upsert_by_key(
     from ..operators.dedup import scd_latest
 
     spark = updates.sparkSession
-    try:
+    # Only a genuinely-missing path means "first write". A read error or a
+    # schema mismatch on an EXISTING target must raise here — the old
+    # broad except silently set merged=updates and the delete below then
+    # destroyed the prior state.
+    if _path_exists(spark, path):
         prev = spark.read.format(fmt).load(path)
         merged = prev.unionByName(updates, allowMissingColumns=False)
-    except Exception:  # noqa: BLE001 — first write to a fresh path
+    else:
         merged = updates
     latest = scd_latest(merged, keys, version_col)
     # Never overwrite a path the plan still reads from (a cache-evicted
@@ -134,11 +153,9 @@ def upsert_by_key(
     # state to a staging path, then swap with a filesystem rename.
     staging = path.rstrip("/") + "__staging"
     latest.write.format(fmt).mode("overwrite").save(staging)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hpath(path), True)
-    fs.rename(hpath(staging), hpath(path))
+    fs, target = _hadoop_fs(spark, path)
+    fs.delete(target, True)
+    fs.rename(_hadoop_fs(spark, staging)[1], target)
     return spark.read.format(fmt).load(path).count()
 
 

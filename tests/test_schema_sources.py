@@ -186,6 +186,38 @@ def test_upsert_by_key(spark, tmp_path):
     assert upsert_by_key(v2, path, "k", "version") == 3
 
 
+def test_upsert_by_key_schema_mismatch_preserves_target(spark, tmp_path):
+    """A schema-mismatched update batch must RAISE and leave the existing
+    target untouched — the old broad except treated any failure as 'fresh
+    path' and then deleted the prior state (silent data loss)."""
+    import pytest
+
+    from data_pipelines_examples_spark.sources.writers import upsert_by_key
+
+    path = str(tmp_path / "state")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "k int, v string, version int"
+    )
+    assert upsert_by_key(v1, path, "k", "version") == 2
+    bad = spark.createDataFrame([(1, 20)], "k int, version int")  # missing column v
+    with pytest.raises(Exception):
+        upsert_by_key(bad, path, "k", "version")
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "b")}, "prior state must survive a failed upsert"
+
+
+def test_simhash_portable_num_bits_guard(spark):
+    """hash_how='portable' produces a 60-bit hash; asking for more bits
+    would silently zero the top band's votes — must raise."""
+    import pytest
+
+    from data_pipelines_examples_spark.operators.dedup import simhash_fingerprints
+
+    df = spark.createDataFrame([("d1", "some text")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="60-bit"):
+        simhash_fingerprints(df, hash_how="portable", num_bits=64)
+
+
 def test_format_sink_roundtrip_orc_json_csv(spark, tmp_path):
     """K2: the format/mode-driven sink writes and reads back every built-in
     columnar/text format available without extra jars."""

@@ -90,14 +90,19 @@ def main() -> int:
         # path kept q42/q47/q48 Decimal-vs-Decimal and passed while the
         # driver hash-failed them), so no local compare of decimal outputs
         # can be trusted. Final-cast to DOUBLE on both sides instead.
-        for side, rows_ in (("spark", srows), ("oracle", orows)):
-            deccols = (
-                {c for r in rows_[:1] for c, v in zip(sorted(scols), r) if v.startswith("decimal:")}
-                if rows_
-                else set()
+        # Scan EVERY row: a decimal column whose first sorted row is NULL
+        # (normalized to 'NULL') would evade a first-row-only check.
+        for side, cols_, rows_ in (("spark", scols, srows), ("oracle", ocols, orows)):
+            deccols = sorted(
+                {
+                    cols_[i]
+                    for r in rows_
+                    for i, v in enumerate(r)
+                    if v.startswith("decimal:")
+                }
             )
             if deccols:
-                status.append(f"DECIMAL in {side} final projection {sorted(deccols)}")
+                status.append(f"DECIMAL in {side} final projection {deccols}")
         if [c.lower() for c in scols] != [c.lower() for c in ocols]:
             status.append(f"cols spark={scols} oracle={ocols}")
         if len(srows) != len(orows):
