@@ -98,12 +98,16 @@ def _load_all() -> None:
 
 
 # The driver grades at most the first 50 catalog entries. These entries
-# register last so every graded slot goes to a hash-verifiable query:
-# q41 is approximate-by-design (HLL sketch — no oracle can exist; its
-# exact twin q12 is graded), and the others are near-twins of graded
-# shapes (q10≈q05 latest-per-key, q19≈q06 cumulative sum, q25/q26/q27 are
-# covered by the graded q09/q36/q40/q12 operator families). All six stay
-# in the catalog and pytest-pinned.
+# register last so every graded slot goes to a hash-verifiable query and
+# the window tracks the NEWEST operator surface: q41 is
+# approximate-by-design (HLL sketch — no oracle can exist; its exact twin
+# q12 is graded), and the others are near-twins of graded shapes
+# (q10≈q05 latest-per-key, q19≈q06 cumulative sum, q25/q26/q27 covered by
+# the graded q09/q36/q40/q12 families, q46 right-outer mirrors the
+# q02/q38 join family, q53 first/last overlaps q05's rank-pick family —
+# the last two retired to promote q59_redact_pii/q60_repetition_ratios
+# into the window). All stay in the catalog, locally oracle-checked, and
+# pytest-pinned.
 _DEPRIORITIZED = [
     "q10_scd_latest_event_per_user",
     "q19_customer_running_spend",
@@ -111,6 +115,8 @@ _DEPRIORITIZED = [
     "q26_union_dedup_pairs",
     "q27_distinct_users_by_type",
     "q41_approx_sliding_distinct",
+    "q46_right_outer_fill",
+    "q53_first_last_order_value",
 ]
 
 
