@@ -167,6 +167,32 @@ def write_single_file(df: DataFrame, path: str, fmt: str = "csv", header: bool =
     w.format(fmt).save(path)
 
 
+def jdbc_execute_update(
+    spark,
+    url: str,
+    sql: str,
+    properties: dict[str, str] | None = None,
+) -> int:
+    """Run a driver-side DML/DDL statement over a raw JDBC connection (the
+    reference's psycopg2 delete-before-append,
+    windowed_lagN_awskms_postgres_date_partition.py:247-344). Uses the
+    JVM's DriverManager so any driver already on Spark's classpath works
+    without a Python DBAPI package. Returns the update count."""
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        stmt = conn.createStatement()
+        try:
+            return stmt.executeUpdate(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def write_jdbc_idempotent(
     df: DataFrame,
     url: str,
@@ -176,6 +202,7 @@ def write_jdbc_idempotent(
     target_parallelism: int = 5,
     delete_fn=None,
     write_fn=None,
+    validate: bool = True,
 ) -> int:
     """Idempotent JDBC partition load: delete the target partition's rows,
     append the new rows with capped parallelism, then count-validate
@@ -183,21 +210,46 @@ def write_jdbc_idempotent(
     fmaps_from_hive_insert_mysql.py:136-177 — repartition(5)/min(10) caps
     respect database connection limits).
 
-    ``delete_fn(predicate)`` and ``write_fn(df)`` are injectable so the
-    delete can run over any DBAPI driver and tests can substitute fakes;
-    defaults use Spark's JDBC writer (requires the JDBC driver jar on the
-    classpath).
-    """
+    ``delete_fn(predicate)`` and ``write_fn(df)`` are injectable so tests
+    can substitute fakes or the delete can run over a DBAPI driver; the
+    defaults are the real thing — a driver-side ``DELETE`` through
+    ``jdbc_execute_update`` and Spark's JDBC writer (driver jar must be on
+    the classpath; Spark's bundled Derby exercises this end-to-end in
+    tests/test_jdbc_derby.py). With ``validate`` the partition's post-write
+    row count is read back through the same connection and compared."""
+    spark = df.sparkSession
     df = df.cache()
     try:
         expected = df.count()
         if delete_fn is not None:
             delete_fn(partition_predicate)
+        else:
+            jdbc_execute_update(
+                spark,
+                url,
+                f"DELETE FROM {table} WHERE {partition_predicate}",
+                properties,
+            )
         out = df.repartition(target_parallelism)
         if write_fn is not None:
             write_fn(out)
         else:
             out.write.mode("append").jdbc(url, table, properties=properties or {})
+        if validate:
+            from .readers import read_jdbc_pushdown
+
+            # positional access — databases disagree on identifier case
+            actual = read_jdbc_pushdown(
+                spark,
+                url,
+                f"SELECT COUNT(*) AS n FROM {table} WHERE {partition_predicate}",
+                properties,
+            ).first()[0]
+            if int(actual) != expected:
+                raise WriteValidationError(
+                    f"partition {partition_predicate!r} holds {actual} rows "
+                    f"after load, expected {expected}"
+                )
         return expected
     finally:
         df.unpersist()
