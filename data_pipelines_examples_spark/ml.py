@@ -70,6 +70,74 @@ def time_split(
     return train, test
 
 
+def fit_evaluate(
+    df: DataFrame,
+    feature_cols: list[str],
+    value_col: str,
+    ts_col: str,
+    split_point,
+    horizons: list[int] | None = None,
+    partition_by: str | list[str] | None = None,
+    reg_param: float = 0.0,
+    elastic_net_param: float = 0.0,
+) -> dict[int, dict]:
+    """Train and evaluate one LinearRegression per forecast horizon — the
+    reference's AutoML workflow closed end-to-end (train/test date split,
+    gaussian/identity linear fit, per-horizon error report;
+    automl_linearreg_process_stocks.py:441-530).
+
+    Per horizon: shift the label ``lead(value, h)``, drop the unlabeled
+    series tail (the reference's ``Date_Rank <> 1`` most-recent exclusion),
+    split leakage-safe on ``split_point`` (train strictly before), fit on
+    the train side, score RMSE on the held-out side. The "normal" solver is
+    closed-form, so results are deterministic for a fixed input — no seed
+    needed. Feature assembly stays a plain array<double> until the MLlib
+    boundary (``to_mllib_vectors``).
+
+    Returns ``{horizon: {"rmse": float, "coefficients": [...],
+    "intercept": float, "n_train": int, "n_test": int}}``.
+
+    Scale note: each fit is one pass over the train side (WLS normal
+    equations, feature count must be modest); the horizons loop reuses one
+    cached feature frame so the lag-window sort runs once, not per horizon.
+    """
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.regression import LinearRegression
+
+    horizons = horizons or [1]
+    base = assemble_features(df, feature_cols).cache()
+    try:
+        results: dict[int, dict] = {}
+        for h in horizons:
+            labeled = shift_label(
+                base, value_col, ts_col, horizon=h, partition_by=partition_by
+            ).dropna(subset=["label"])
+            vec = to_mllib_vectors(labeled)
+            train, test = time_split(vec, ts_col, split_point)
+            lr = LinearRegression(
+                featuresCol="features",
+                labelCol="label",
+                regParam=reg_param,
+                elasticNetParam=elastic_net_param,
+                solver="normal",
+            )
+            model = lr.fit(train)
+            preds = model.transform(test)
+            rmse = RegressionEvaluator(
+                labelCol="label", predictionCol="prediction", metricName="rmse"
+            ).evaluate(preds)
+            results[h] = {
+                "rmse": float(rmse),
+                "coefficients": [float(c) for c in model.coefficients],
+                "intercept": float(model.intercept),
+                "n_train": train.count(),
+                "n_test": test.count(),
+            }
+        return results
+    finally:
+        base.unpersist()
+
+
 def quartile_strata(
     df: DataFrame, cols: list[str], n: int = 4, suffix: str = "_qtile"
 ) -> DataFrame:

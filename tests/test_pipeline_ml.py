@@ -78,6 +78,57 @@ def test_time_split(spark):
     assert train.count() == 7 and test.count() == 3
 
 
+def test_fit_evaluate_recovers_exact_linear_series(spark):
+    """An AR(2)-exact series (v_{t+1} = 2*v_t - v_{t-1}) must fit to ~zero
+    held-out RMSE with the closed-form normal solver — and deterministically
+    so (two runs, identical output)."""
+    from data_pipelines_examples_spark.ml import fit_evaluate
+    from data_pipelines_examples_spark.operators.windows import lag_features
+
+    df = spark.createDataFrame(
+        [(t, 3.0 + 0.5 * t) for t in range(60)], "t int, v double"
+    )
+    feats = lag_features(df, "v", "t", [1, 2])
+    run = lambda: fit_evaluate(  # noqa: E731
+        feats, ["v", "v_lag1"], "v", "t", 45, horizons=[1, 3]
+    )
+    r1, r2 = run(), run()
+    assert r1 == r2, "normal-solver fit must be deterministic"
+    for h in (1, 3):
+        assert r1[h]["rmse"] < 1e-6
+        assert r1[h]["n_train"] > 0 and r1[h]["n_test"] > 0
+    # the features are collinear (v - v_lag1 == 0.5 exactly), so individual
+    # coefficients aren't identifiable — but any solver solution must still
+    # satisfy the series identity on the fitted hyperplane: c_v + c_lag == 1
+    c_v, c_lag = r1[1]["coefficients"]
+    assert abs(c_v + c_lag - 1.0) < 1e-4
+
+
+def test_fit_evaluate_noisy_series_partitioned(spark):
+    """Seeded noisy multi-series fit: per-horizon RMSE tracks the injected
+    noise scale and longer horizons never report fewer train rows."""
+    import numpy as np
+
+    from data_pipelines_examples_spark.ml import fit_evaluate
+    from data_pipelines_examples_spark.operators.windows import lag_features
+
+    rng = np.random.RandomState(42)
+    rows = [
+        (s, t, float(10 * s + 0.3 * t + rng.normal(0, 0.1)))
+        for s in range(3)
+        for t in range(80)
+    ]
+    df = spark.createDataFrame(rows, "series int, t int, v double")
+    feats = lag_features(df, "v", "t", [1], partition_by="series")
+    res = fit_evaluate(
+        feats, ["v", "v_lag1"], "v", "t", 60, horizons=[1, 5], partition_by="series"
+    )
+    for h in (1, 5):
+        # predictions can't beat the noise floor but must stay near it
+        assert 0.05 < res[h]["rmse"] < 0.5
+    assert res[1]["n_train"] >= res[5]["n_train"]
+
+
 def test_quartile_strata(spark):
     from data_pipelines_examples_spark.ml import quartile_strata
 
