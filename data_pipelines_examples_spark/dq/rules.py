@@ -10,9 +10,9 @@ Reference parity:
 - APPROX_DISTINCT drift — dq_check_for_target_table.py:353-412,
   dq_utils.py:47-111 (map-literal aggregation row → typed long columns).
 
-Scale notes: each rule is one filter over the (cached) target — Catalyst
-merges rule predicates with the scan; violation counts are cheap
-aggregates. The drift check computes all columns' approx distincts in ONE
+Scale notes: ALL rule counts evaluate in one conditional-aggregation job
+(one scan for N rules — the reference runs one Presto query per rule).
+The drift check likewise computes all columns' approx distincts in ONE
 pass (single aggregate row), not one job per column.
 """
 
@@ -69,32 +69,38 @@ def run_rules(
     """Evaluate rules; return (report, audit DataFrame of violating rows
     tagged with rule_name — the reference's audit-table shape).
 
-    One count() per rule but all over a cached input; the audit frame is
-    a union of tagged violation subsets, built lazily.
+    ONE aggregation job computes the total and every rule's violation
+    count (``count(when(cond, ...))`` per rule) — N rules cost one scan,
+    not N, so no cache is needed and at 100 TB the input is read once.
+    The audit frame is a lazy union of tagged violation subsets; it only
+    re-scans if the caller materializes it (and then only for rules that
+    actually violated).
     """
-    df = df.cache()
-    try:
-        n_total = df.count()
-        report = DQReport()
-        audits: list[DataFrame] = []
-        for rule in rules:
-            cond = F.expr(rule.condition) if isinstance(rule.condition, str) else rule.condition
-            violations = df.filter(cond)
-            n = violations.count()
-            report.results.append(DQResult(rule, n, n_total))
-            if n > 0:
-                tagged = violations.withColumn("rule_name", F.lit(rule.name))
-                if audit_cols:
-                    tagged = tagged.select(*audit_cols, "rule_name")
-                audits.append(tagged)
-        audit_df = None
-        if audits:
-            from functools import reduce
+    conds = [
+        F.expr(r.condition) if isinstance(r.condition, str) else r.condition
+        for r in rules
+    ]
+    row = df.agg(
+        F.count(F.lit(1)).alias("__n_total"),
+        *[F.count(F.when(c, True)).alias(f"__v{i}") for i, c in enumerate(conds)],
+    ).first()
+    n_total = row["__n_total"]
+    report = DQReport()
+    audits: list[DataFrame] = []
+    for i, (rule, cond) in enumerate(zip(rules, conds)):
+        n = row[f"__v{i}"]
+        report.results.append(DQResult(rule, n, n_total))
+        if n > 0:
+            tagged = df.filter(cond).withColumn("rule_name", F.lit(rule.name))
+            if audit_cols:
+                tagged = tagged.select(*audit_cols, "rule_name")
+            audits.append(tagged)
+    audit_df = None
+    if audits:
+        from functools import reduce
 
-            audit_df = reduce(DataFrame.unionByName, audits)
-        return report, audit_df
-    finally:
-        df.unpersist()
+        audit_df = reduce(DataFrame.unionByName, audits)
+    return report, audit_df
 
 
 def approx_distinct_profile(df: DataFrame, cols: list[str] | None = None) -> dict[str, int]:

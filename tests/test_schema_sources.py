@@ -122,6 +122,32 @@ def test_dq_rules(spark):
     }
 
 
+def test_dq_rules_single_job(spark):
+    """N rules must cost ONE Spark job (one scan), not N+1 — the
+    conditional-aggregation rewrite of the per-rule count() loop."""
+    sc = spark.sparkContext
+    df = spark.createDataFrame([(i, i % 7) for i in range(1000)], "id int, v int")
+
+    def jobs_for(n_rules: int, group: str):
+        rules = [DQRule(f"r{k}", f"v = {k}") for k in range(n_rules)]
+        sc.setJobGroup(group, "dq rule evaluation")
+        try:
+            report, _ = run_rules(df, rules)
+        finally:
+            sc.setJobGroup(None, None)
+        return report, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    _, jobs1 = jobs_for(1, "dq-1rule")
+    report, jobs8 = jobs_for(8, "dq-8rules")
+    # AQE may split the aggregate into a couple of stage-jobs, but the job
+    # count must be O(1) in the rule count (the old loop was N+1 jobs).
+    assert jobs8 == jobs1 <= 2, f"job count grew with rules: {jobs1} -> {jobs8}"
+    assert {r.rule.name: r.n_violations for r in report.results} == {
+        f"r{k}": (143 if k < 6 else 142) if k < 7 else 0 for k in range(8)
+    }
+    assert all(r.n_total == 1000 for r in report.results)
+
+
 def test_distinct_drift_and_new_values(spark):
     today = spark.createDataFrame([(i % 10,) for i in range(100)], "v int")
     yesterday = spark.createDataFrame([(i % 9,) for i in range(100)], "v int")
