@@ -37,6 +37,12 @@ BENCH_QUERIES = [
     "q31_ngram_jaccard_pairs",
     "q49_asof_latest_event_value",
     "q55_shipping_priority",
+    # LLM dedup/similarity family at sf0.1 — previously only run under the
+    # sf0.01 correctness gate, so perf regressions here were invisible.
+    "q33_minhash_candidates",
+    "q34_simhash_pairs",
+    "q42_embedding_dedup_pairs",
+    "q43_lsh_topk",
 ]
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
+from .balance import ensure_parallelism
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", keep: str = "min", id_col: str = "doc_id") -> DataFrame:
@@ -115,13 +116,10 @@ def shingle_rows(
     Input under-parallelism guard: a corpus arriving in fewer splits than
     the cluster's parallelism (one small parquet file, one unsplittable
     gzip) would run the whole narrow shingle/hash stage on those few
-    cores. Rebalance up front in that case — one bounded shuffle of the
-    raw rows, measured 2.7× on the jaccard bench. At production scale
-    input splits far exceed parallelism, so this is a no-op.
+    cores — rebalance up front in that case (see ``balance.
+    ensure_parallelism``: RDD-free, no-op at production scale).
     """
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = ensure_parallelism(df)
     warr = df.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("__ws")
     )
@@ -281,8 +279,20 @@ def ngram_jaccard_pairs(
     min(|A|,|B|) ≥ ⌈t·max(|A|,|B|)⌉, which kills most spurious
     candidates before they cost anything) → two keyed joins that attach
     the gram arrays for exact array_intersect verification.
+
+    The two reused intermediates (exploded gram table, per-doc gram
+    arrays) persist MEMORY_AND_DISK: at corpus scale they exceed executor
+    memory, and a memory-only cache would silently evict and recompute
+    them mid-join. Past single-machine scale, replace the persists with an
+    explicit parquet staging write of ``docs`` (grams are then derived
+    once); and past ~10^7 docs prefer ``minhash_lsh_pairs`` — exact
+    Jaccard is the verification twin, LSH is the 100 TB path.
     """
-    p = shingle_rows(df, id_col, text_col, shingle_n).cache()
+    from pyspark import StorageLevel
+
+    p = shingle_rows(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     gram_df = p.groupBy("__g").agg(F.count("*").alias("__df"))
     docs = (
         p.join(gram_df, "__g")
@@ -305,7 +315,7 @@ def ngram_jaccard_pairs(
                 (F.col("__n") - F.ceil(F.col("__n") * F.lit(threshold)) + 1).cast("int"),
             ),
         )
-        .cache()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     posting = docs.select(id_col, "__n", F.explode("__prefix").alias("__g"))
     a = posting.select(

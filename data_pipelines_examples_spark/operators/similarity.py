@@ -24,11 +24,11 @@ from pyspark.sql import functions as F
 def _rebalance(df: DataFrame) -> DataFrame:
     """Under-parallelism guard for the map-side scoring stages: a corpus
     arriving in fewer splits than the cluster's parallelism would score
-    on those few cores. No-op at production scale (splits >> cores)."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+    on those few cores. RDD-free, no-op at production scale (see
+    ``balance.ensure_parallelism``)."""
+    from .balance import ensure_parallelism
+
+    return ensure_parallelism(df)
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -78,6 +78,69 @@ def save_html_report(
     return path
 
 
+def build_report_email(
+    to_addrs: list[str],
+    from_addr: str,
+    subject: str,
+    html_body: str,
+    attachment_name: str | None = None,
+    boundary: str | None = None,
+):
+    """Compose the report email exactly as the reference does
+    (send_email_job_usage_report_html.py:118-145): multipart message,
+    joined To header, the HTML report attached under a dated filename —
+    but without the tempfile detour (the body is attached directly).
+
+    ``boundary`` pins the MIME boundary for deterministic golden tests;
+    leave None in production for a random one."""
+    from email.mime.application import MIMEApplication
+    from email.mime.multipart import MIMEMultipart
+    from email.mime.text import MIMEText
+
+    msg = MIMEMultipart(boundary=boundary)
+    msg["Subject"] = subject
+    msg["From"] = from_addr
+    msg["To"] = ", ".join(to_addrs)
+    msg.attach(MIMEText(html_body, "html"))
+    if attachment_name:
+        attachment = MIMEApplication(html_body.encode("utf-8"))
+        attachment.add_header(
+            "Content-Disposition", "attachment", filename=attachment_name
+        )
+        msg.attach(attachment)
+    return msg
+
+
+def send_report(
+    html_body: str,
+    to_addrs: list[str],
+    from_addr: str,
+    subject: str,
+    send_fn=None,
+    attachment_name: str | None = None,
+    smtp_host: str | None = None,
+    smtp_port: int = 25,
+    boundary: str | None = None,
+) -> str:
+    """Deliver the rendered report. ``send_fn(msg)`` is the injectable
+    transport (the reference's SES client is env-bound the same way);
+    without it, plain smtplib to ``smtp_host``. Returns the serialized
+    message that was handed to the transport."""
+    msg = build_report_email(
+        to_addrs, from_addr, subject, html_body, attachment_name, boundary
+    )
+    if send_fn is not None:
+        send_fn(msg)
+    elif smtp_host is not None:
+        import smtplib
+
+        with smtplib.SMTP(smtp_host, smtp_port) as smtp:
+            smtp.sendmail(from_addr, to_addrs, msg.as_string())
+    else:
+        raise ValueError("provide send_fn or smtp_host — no delivery route")
+    return msg.as_string()
+
+
 def record_execution(
     spark: SparkSession,
     table_path: str,

@@ -142,3 +142,19 @@ def test_decontaminate(spark):
     assert [r.doc_id for r in kept.collect()] == [2]
     # with n larger than the overlap, nothing is contaminated
     assert decontaminate(train, bench, shingle_n=13).count() == 2
+
+
+def test_ensure_parallelism_rebalances_single_file(spark, tmp_path):
+    """A one-file scan under the cluster's parallelism rebalances; an
+    in-memory relation (no input files) is left untouched — and neither
+    path touches the RDD API's eager planning."""
+    from data_pipelines_examples_spark.operators.balance import ensure_parallelism
+
+    path = str(tmp_path / "one")
+    spark.range(1000).coalesce(1).write.parquet(path)
+    scan = spark.read.parquet(path)
+    par = spark.sparkContext.defaultParallelism
+    out = ensure_parallelism(scan)
+    assert out.rdd.getNumPartitions() == par  # rdd use is test-side only
+    local = spark.createDataFrame([(1,), (2,)], "v int")
+    assert ensure_parallelism(local) is local

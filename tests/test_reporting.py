@@ -51,3 +51,54 @@ def test_record_execution_appends_and_registers(spark, tmp_path):
     assert got.count() == 2
     assert {r.run_id for r in got.collect()} == {1, 2}
     spark.sql("DROP TABLE report_executions")
+
+
+GOLDEN_EMAIL = (
+    'Content-Type: multipart/mixed; boundary="==b=="\n'
+    "MIME-Version: 1.0\n"
+    "Subject: Usage metrics finance 2024-01-01\n"
+    "From: noreply@example.com\n"
+    "To: a@example.com, b@example.com\n"
+    "\n"
+    "--==b==\n"
+    'Content-Type: text/html; charset="us-ascii"\n'
+    "MIME-Version: 1.0\n"
+    "Content-Transfer-Encoding: 7bit\n"
+    "\n"
+    "<html><body>hi</body></html>\n"
+    "--==b==\n"
+    "Content-Type: application/octet-stream\n"
+    "MIME-Version: 1.0\n"
+    "Content-Transfer-Encoding: base64\n"
+    "Content-Disposition: attachment; filename=\"usage_2024-01-01.html\"\n"
+    "\n"
+    "PGh0bWw+PGJvZHk+aGk8L2JvZHk+PC9odG1sPg==\n"
+    "\n"
+    "--==b==--\n"
+)
+
+
+def test_send_report_golden_via_injected_transport():
+    from data_pipelines_examples_spark.reporting import send_report
+
+    sent = []
+    raw = send_report(
+        "<html><body>hi</body></html>",
+        ["a@example.com", "b@example.com"],
+        "noreply@example.com",
+        "Usage metrics finance 2024-01-01",
+        send_fn=sent.append,
+        attachment_name="usage_2024-01-01.html",
+        boundary="==b==",
+    )
+    assert len(sent) == 1 and sent[0].as_string() == raw
+    assert raw == GOLDEN_EMAIL
+
+
+def test_send_report_requires_a_route():
+    import pytest as _pytest
+
+    from data_pipelines_examples_spark.reporting import send_report
+
+    with _pytest.raises(ValueError, match="delivery route"):
+        send_report("<p/>", ["a@x"], "f@x", "s")
