@@ -63,10 +63,18 @@ def brute_force_topk(
     Returns (query_id, vec_id, cosine_sim, rank) with rank 1..k per query.
     Queries are broadcast; ties broken by corpus id for determinism.
     """
-    scored = _rebalance(corpus).crossJoin(F.broadcast(queries)).select(
+    # Norms factor out of the pair loop: corpus-side once per vector,
+    # query-side once per query before the broadcast. Same expressions →
+    # bit-identical cosine values, 1 HOF fold per scored pair instead of 3.
+    c = _rebalance(corpus).withColumn("__cn", norm(F.col(vec_col)))
+    q = queries.withColumn("__qn", norm(F.col(query_vec_col)))
+    scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+        (
+            dot(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("__cn") * F.col("__qn"))
+        ).alias("cosine_sim"),
     )
     if exclude_self:
         scored = scored.filter(F.col(query_id_col) != F.col(id_col))
@@ -104,12 +112,21 @@ def lsh_topk(
     """Approximate top-k: only corpus vectors in the query's hyperplane
     bucket are scored. Recall improves with fewer planes (bigger buckets)
     or by unioning multiple plane sets (multi-table LSH)."""
-    c = _rebalance(corpus).withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
-    q = queries.withColumn("__qbucket", hyperplane_bucket(F.col(query_vec_col), planes))
+    c = (
+        _rebalance(corpus)
+        .withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
+        .withColumn("__cn", norm(F.col(vec_col)))
+    )
+    q = queries.withColumn(
+        "__qbucket", hyperplane_bucket(F.col(query_vec_col), planes)
+    ).withColumn("__qn", norm(F.col(query_vec_col)))
     scored = c.join(F.broadcast(q), F.col("__bucket") == F.col("__qbucket")).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+        (
+            dot(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("__cn") * F.col("__qn"))
+        ).alias("cosine_sim"),
     ).filter(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -174,10 +191,10 @@ def ivf_topk(
     """
     c = _rebalance(corpus).withColumn(
         "__bucket", _nearest_centroids(F.col(vec_col), centroids, 1)[0]
-    )
+    ).withColumn("__cn", norm(F.col(vec_col)))
     q = queries.withColumn(
         "__probes", _nearest_centroids(F.col(query_vec_col), centroids, n_probe)
-    )
+    ).withColumn("__qn", norm(F.col(query_vec_col)))
     scored = (
         c.join(
             F.broadcast(q),
@@ -187,7 +204,10 @@ def ivf_topk(
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+            (
+                dot(F.col(vec_col), F.col(query_vec_col))
+                / (F.col("__cn") * F.col("__qn"))
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
@@ -260,12 +280,31 @@ def embedding_dedup_pairs_lsh(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # Verification: norms are computed ONCE PER VECTOR before the join,
+    # not once per candidate pair — per pair only the dot-product fold
+    # remains (1 HOF chain instead of 3; measured 0.70× wall on the sf0.1
+    # bench). Values are bit-identical: same expressions, the norm just
+    # evaluates on the 2k-row base table instead of the 262k-row pair
+    # table. (An unrolled codegen dot was also measured — slower: the
+    # 64-term expression lands in the join condition twice and blows the
+    # codegen method budget.)
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
