@@ -88,6 +88,50 @@ def stream_dedup_by_key(
     )
 
 
+def stream_sessionize_native(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Sessionization via Spark's built-in ``session_window`` — the
+    PREFERRED path: session merging runs JVM-side in the streaming
+    aggregation operator (no Python worker round-trip, no hand-rolled
+    state), and the same expression works identically in batch mode.
+
+    Output matches ``stream_sessionize``: (key, session_start,
+    session_end, n_events) where session_end is the LAST EVENT's
+    timestamp (``session_window.end`` is last-event + gap; the gap is
+    subtracted back here). Sessions emit in append mode once the
+    watermark passes the window end.
+
+    Boundary semantics: ``session_window`` windows are half-open, so an
+    event arriving EXACTLY ``gap_seconds`` after the previous one starts
+    a NEW session; the custom variant (and the batch q11 twin) keeps it
+    in the same session (``diff > gap`` splits). Identical for any data
+    without exact-boundary gaps. Use ``stream_sessionize`` when the
+    closed-boundary rule, early emission of proven-closed sessions, or
+    richer per-session state is required.
+    """
+    from pyspark.sql import functions as F
+
+    gap = f"{gap_seconds} seconds"
+    return (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            (
+                F.col("session_window.end") - F.expr(f"INTERVAL {gap_seconds} SECOND")
+            ).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_sessionize(
     df: DataFrame,
     key_col: str = "user_id",
@@ -98,6 +142,9 @@ def stream_sessionize(
     """Custom stateful sessionization: group events into sessions separated
     by > ``gap_seconds`` of inactivity, across micro-batches.
 
+    Prefer ``stream_sessionize_native`` (JVM-side ``session_window``)
+    unless you need this variant's closed-boundary rule, early emission,
+    or custom per-session state — this is the custom-logic fallback.
     The batch twin is the windowed gaps-and-islands composition (catalog
     q11); this is its streaming upgrade — state carries the OPEN session
     (start, last_ts, count) per key, closed sessions are emitted as soon

@@ -194,3 +194,85 @@ def test_stream_dedup_event_time_ttl(spark, tmp_path):
         q.stop()
     ks = sorted(r.k for r in spark.table("dedup_ttl_out").collect())
     assert ks == ["a", "a", "x", "y"]
+
+
+def test_stream_sessionize_native_batch_equivalence(spark):
+    """The JVM session_window path produces the same sessions as the batch
+    gaps-and-islands composition (q11) on the real events table — the two
+    differ only on exact-gap boundaries, which this data doesn't contain."""
+    import __spark_entry__ as mod
+
+    from data_pipelines_examples_spark.streaming.stateful import (
+        stream_sessionize_native,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    native = stream_sessionize_native(events, gap_seconds=1800)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in native.collect()
+    }
+    q11 = mod.queries()["q11_sessionize_events"](spark, sf_dir)
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in q11.collect()
+    }
+    assert got == want and len(got) > 100
+
+
+def test_stream_sessionize_native_streaming(spark, tmp_path):
+    """Same two-micro-batch scenario as the stateful variant: the closed
+    session emits once the watermark passes its window end; the open
+    session is withheld."""
+    import json as _json
+    import os as _os
+
+    from data_pipelines_examples_spark.streaming.stateful import (
+        stream_sessionize_native,
+    )
+
+    src = tmp_path / "sessn"
+    src.mkdir()
+    (src / "s0.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"user_id": 7, "ts": "2024-01-01T00:00:00"},
+                {"user_id": 7, "ts": "2024-01-01T00:10:00"},
+            ]
+        )
+    )
+    (src / "s1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"user_id": 7, "ts": "2024-01-01T02:00:00"},
+                {"user_id": 7, "ts": "2024-01-01T02:05:00"},
+            ]
+        )
+    )
+    _os.utime(src / "s0.json", (1_700_000_000, 1_700_000_000))
+    _os.utime(src / "s1.json", (1_700_000_100, 1_700_000_100))
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream_sessionize_native(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sessn_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckn"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [
+        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(), r.n_events)
+        for r in spark.table("sessn_out").collect()
+    ]
+    assert rows == [(7, "2024-01-01T00:00:00", "2024-01-01T00:10:00", 2)]
