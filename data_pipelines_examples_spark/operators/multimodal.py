@@ -40,6 +40,61 @@ FRAME_SCHEMA = (
 )
 
 
+_CODEC: str | None = None
+
+
+def codec_capability() -> str:
+    """Probe the available image codec ONCE per process: ``"pil"`` when a
+    real decoder is importable, else ``"stub"`` — logged (not silent) so a
+    pipeline run on a stub-decoding cluster is visibly flagged in the
+    executor logs exactly once, not per batch.
+
+    The probe runs independently on the driver and on each Python worker
+    (module globals are per-process); both cache the answer."""
+    global _CODEC
+    if _CODEC is None:
+        try:
+            import PIL.Image  # noqa: F401
+
+            _CODEC = "pil"
+        except ImportError:
+            _CODEC = "stub"
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "multimodal codec: PIL not importable — falling back to the "
+                "deterministic byte-stub decode (features are byte-derived, "
+                "not pixel-derived)"
+            )
+    return _CODEC
+
+
+def _decode(content: bytes) -> dict:
+    """Dispatch to the real codec when available, else the honest stub."""
+    if codec_capability() == "pil":
+        return _decode_pil(content)
+    return _decode_stub(content)
+
+
+def _decode_pil(content: bytes) -> dict:  # pragma: no cover — PIL absent here
+    """Real decode path: pixel-level stats via PIL. Same output keys as the
+    stub so the Spark-side schema is identical either way."""
+    if content is None:
+        raise NotImplementedError("cannot decode a NULL blob")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    with Image.open(io.BytesIO(content)) as img:
+        arr = np.asarray(img.convert("L"), dtype=np.uint8).ravel()
+    n = max(arr.size, 1)
+    counts = np.bincount(arr, minlength=256)
+    p = counts[counts > 0] / n
+    entropy = float(-(p * np.log2(p)).sum()) if p.size else 0.0
+    return {"n_bytes": len(content), "byte_entropy": entropy}
+
+
 def _decode_stub(content: bytes) -> dict:
     """Deterministic fake decode — stands in for PIL/ffmpeg (not installed
     here). Derives stable pseudo-features from the raw bytes so tests are
@@ -72,7 +127,7 @@ def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
         # numpy for all per-byte math, no iterrows/per-cell dict building.
         for pdf in it:
             contents = pdf["content"].tolist()
-            stats = [_decode_stub(c) for c in contents]
+            stats = [_decode(c) for c in contents]
             seeds = [
                 int.from_bytes((c or b"\x00")[:8].ljust(8, b"\x00"), "big")
                 for c in contents

@@ -161,3 +161,29 @@ def test_resize_images_aspect_preserving(spark):
     # already within bounds: untouched
     assert (out[3].width, out[3].height) == (8, 8)
     assert out[3].content == b"tiny"
+
+
+def test_codec_capability_probe(caplog):
+    """In this env PIL is absent: the probe reports 'stub', warns exactly
+    once per process (cached), and _decode dispatches accordingly."""
+    import importlib
+    import logging
+
+    from data_pipelines_examples_spark.operators import multimodal as mm
+
+    importlib.reload(mm)  # reset the per-process cache for the test
+    with caplog.at_level(logging.WARNING, logger=mm.__name__):
+        assert mm.codec_capability() == "stub"
+        assert mm.codec_capability() == "stub"
+    warnings = [r for r in caplog.records if "byte-stub" in r.message]
+    assert len(warnings) == 1, "stub fallback must be logged exactly once"
+    # dispatch honors a (faked) real codec
+    mm._CODEC = "pil"
+    called = []
+    orig = mm._decode_pil
+    mm._decode_pil = lambda c: called.append(c) or {"n_bytes": 1, "byte_entropy": 0.0}
+    try:
+        assert mm._decode(b"xx")["n_bytes"] == 1 and called == [b"xx"]
+    finally:
+        mm._decode_pil = orig
+        mm._CODEC = None
