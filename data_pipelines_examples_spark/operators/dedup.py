@@ -136,18 +136,46 @@ def shingle_rows(
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature as a pure column expression: for seed k, min over
-    shingles of xxhash64(shingle, k). Returns array<bigint>.
+# Largest prime below 2^56. The k-th minhash function is derived from TWO
+# base hashes via double hashing: h_k(s) = (h1(s) + k*h2(s)) mod P
+# (Kirsch-Mitzenmacher) — num_hashes-independent hashing cost (2 hashes
+# per gram instead of 32; the portable md5 path was 32 md5 calls per
+# gram). P < 2^56 keeps k*h2 < 2^61, so the arithmetic never overflows a
+# signed BIGINT in Spark or DuckDB and both engines compute identical
+# values.
+MINHASH_P = 72057594037927931
+
+
+def _minhash_bases(col: Column, how: str) -> tuple[Column, Column]:
+    """(h1, h2) base hashes reduced mod P, non-negative on both hash paths
+    (xxhash64 can go negative — pmod normalizes; portable is 60-bit)."""
+    p = F.lit(MINHASH_P)
+    return (
+        F.pmod(hash64(col, seed=0, how=how), p),
+        F.pmod(hash64(col, seed=1, how=how), p),
+    )
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 32, hash_how: str = "xxhash64"
+) -> Column:
+    """MinHash signature as a pure column expression: min over shingles of
+    the k-th derived hash. Returns array<bigint>.
 
     Note: per-row nested transforms compile into a large expression tree;
     for corpus-scale signatures use ``minhash_signatures`` (explode +
     groupBy), which produces identical values with simple agg expressions.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda k: F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, k))),
-    )
+    p = F.lit(MINHASH_P)
+
+    def kth_min(k: Column) -> Column:
+        def derived(s: Column) -> Column:
+            h1, h2 = _minhash_bases(s, hash_how)
+            return (h1 + k.cast("bigint") * h2) % p
+
+        return F.array_min(F.transform(shingle_col, derived))
+
+    return F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), kth_min)
 
 
 def minhash_signatures(
@@ -159,20 +187,26 @@ def minhash_signatures(
     hash_how: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature array<bigint>) via explode → groupBy(id) → one
-    ``min(xxhash64(shingle, k))`` per seed.
+    ``min((h1 + k*h2) mod P)`` per k (double hashing, see ``MINHASH_P``).
 
-    One shuffle keyed by doc id with 8-byte mins in the agg buffer —
-    map-side partial aggregation collapses each partition's shingles before
-    the exchange, so the shuffle volume is num_hashes longs per doc
+    Per gram only TWO base hashes are computed regardless of
+    ``num_hashes`` (the k-th function is derived arithmetically) — on the
+    portable md5 path that's 2 md5 calls per gram instead of 32. One
+    shuffle keyed by doc id with 8-byte mins in the agg buffer — map-side
+    partial aggregation collapses each partition's shingles before the
+    exchange, so the shuffle volume is num_hashes longs per doc
     regardless of document length. Values are identical to
     ``minhash_signature``.
     """
     exploded = shingle_rows(df, id_col, text_col, shingle_n).withColumnRenamed(
         "__g", "__s"
     )
-    mins = exploded.groupBy(id_col).agg(
+    h1, h2 = _minhash_bases(F.col("__s"), hash_how)
+    based = exploded.select(id_col, h1.alias("__h1"), h2.alias("__h2"))
+    p = F.lit(MINHASH_P)
+    mins = based.groupBy(id_col).agg(
         *[
-            F.min(hash64(F.col("__s"), seed=k, how=hash_how)).alias(f"__m{k}")
+            F.min((F.col("__h1") + F.lit(k) * F.col("__h2")) % p).alias(f"__m{k}")
             for k in range(num_hashes)
         ]
     )

@@ -80,10 +80,17 @@ def minhash_lsh_pairs_sql(
     shingle_n: int = 3,
 ) -> str:
     """Full MinHash+banded-LSH replication: signatures, band hashes,
-    bucket join, est_jaccard — mirrors ``minhash_lsh_pairs(hash_how='portable')``."""
+    bucket join, est_jaccard — mirrors ``minhash_lsh_pairs(hash_how='portable')``.
+
+    Signatures use the same double-hashing derivation as the Spark side
+    (``dedup.MINHASH_P``): h_k = (h1 + k*h2) mod P from two seeded base
+    hashes — 2 md5 calls per gram, identical BIGINT arithmetic in both
+    engines (P < 2^56 so k*h2 never overflows)."""
+    from .operators.dedup import MINHASH_P
+
     rpb = num_hashes // bands
     mins = ",\n             ".join(
-        f"MIN({sql_hash64_seeded('g', k)}) AS m{k}" for k in range(num_hashes)
+        f"MIN((h1 + {k} * h2) % {MINHASH_P}) AS m{k}" for k in range(num_hashes)
     )
     band_structs = ", ".join(
         "{'band': %d, 'bh': %s}"
@@ -95,9 +102,15 @@ def minhash_lsh_pairs_sql(
     )
     return f"""
     WITH {_grams_cte(table, id_col, "text", shingle_n)},
+    based AS (
+      SELECT {id_col},
+             {sql_hash64_seeded('g', 0)} % {MINHASH_P} AS h1,
+             {sql_hash64_seeded('g', 1)} % {MINHASH_P} AS h2
+      FROM grams
+    ),
     sigs AS (
       SELECT {id_col}, {mins}
-      FROM grams GROUP BY {id_col}
+      FROM based GROUP BY {id_col}
     ),
     banded AS (
       SELECT {id_col}, unnest([{band_structs}], recursive := true) FROM sigs

@@ -88,6 +88,28 @@ def stream_dedup_by_key(
     )
 
 
+def stream_dedup_native(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Bounded-state streaming dedup via Spark's built-in
+    ``dropDuplicatesWithinWatermark`` — the PREFERRED path for the
+    TTL'd mode of ``stream_dedup_by_key``: duplicates arriving within the
+    watermark delay of the first occurrence are dropped JVM-side, and key
+    state expires automatically once the watermark passes (no Python
+    worker round-trip, no hand-rolled timers).
+
+    Use ``stream_dedup_by_key`` only for semantics this can't express:
+    first-ever-per-key over the WHOLE stream (unbounded state, no
+    watermark), or a TTL decoupled from the watermark delay.
+    """
+    return df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def stream_sessionize_native(
     df: DataFrame,
     key_col: str = "user_id",

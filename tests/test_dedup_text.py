@@ -158,3 +158,36 @@ def test_ensure_parallelism_rebalances_single_file(spark, tmp_path):
     assert out.rdd.getNumPartitions() == par  # rdd use is test-side only
     local = spark.createDataFrame([(1,), (2,)], "v int")
     assert ensure_parallelism(local) is local
+
+
+def test_minhash_signature_variants_identical(spark):
+    """The per-row expression variant and the explode+groupBy variant must
+    produce identical signatures (documented contract), on both hash paths."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_examples_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures,
+        shingle_rows,
+    )
+
+    docs = _docs(spark)
+    for how in ("xxhash64", "portable"):
+        agg = {
+            r.doc_id: list(r["__sig"])
+            for r in minhash_signatures(
+                docs, num_hashes=8, shingle_n=2, hash_how=how
+            ).collect()
+        }
+        per_row = {
+            r.doc_id: list(r.sig)
+            for r in shingle_rows(docs, "doc_id", "text", 2)
+            .groupBy("doc_id")
+            .agg(F.collect_list("__g").alias("gs"))
+            .select(
+                "doc_id",
+                minhash_signature(F.col("gs"), num_hashes=8, hash_how=how).alias("sig"),
+            )
+            .collect()
+        }
+        assert agg == per_row, f"variant divergence on {how}"

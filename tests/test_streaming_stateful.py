@@ -276,3 +276,54 @@ def test_stream_sessionize_native_streaming(spark, tmp_path):
         for r in spark.table("sessn_out").collect()
     ]
     assert rows == [(7, "2024-01-01T00:00:00", "2024-01-01T00:10:00", 2)]
+
+
+def test_stream_dedup_native(spark, tmp_path):
+    """dropDuplicatesWithinWatermark drops a key's repeats across
+    micro-batches (within the delay) JVM-side; distinct keys pass."""
+    import json as _json
+    import os as _os
+
+    from data_pipelines_examples_spark.streaming.stateful import stream_dedup_native
+
+    src = tmp_path / "dedupn"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"k": "a", "ts": "2024-01-01T00:00:00", "v": 1},
+                {"k": "b", "ts": "2024-01-01T00:00:05", "v": 2},
+            ]
+        )
+    )
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"k": "a", "ts": "2024-01-01T00:00:10", "v": 3},
+                {"k": "c", "ts": "2024-01-01T00:00:12", "v": 4},
+            ]
+        )
+    )
+    _os.utime(src / "b0.json", (1_700_000_000, 1_700_000_000))
+    _os.utime(src / "b1.json", (1_700_000_100, 1_700_000_100))
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, v int")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream_dedup_native(stream, ["k"], watermark_delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedupn_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckd"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.k, r.v) for r in spark.table("dedupn_out").collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 4)}, "repeat of key a must be dropped"
