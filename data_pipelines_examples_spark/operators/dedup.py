@@ -510,3 +510,77 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+    state_path: str | None = None,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: returns
+    (id, component) where ``component`` is the MINIMUM id reachable through
+    the pair graph — the step that turns pairwise candidates
+    (minhash/simhash/embedding LSH) into duplicate CLUSTERS.
+
+    Min-label propagation via the fixpoint operator: each round every node
+    takes the min of its own label and its neighbors' labels (one join +
+    groupBy-min per round, state parquet-materialized to truncate
+    lineage — see ``iterate.iterate_until_fixpoint``). Convergence is
+    detected by the monotone sum of labels, in O(cluster diameter) rounds
+    — near-dup clusters are shallow (pairs share bucket structure), so
+    this is a handful of rounds in practice. For adversarially long path
+    graphs at web scale, switch the step to star-contraction
+    (Kiveris et al.) for O(log n) rounds; the fixpoint harness is the
+    same.
+    """
+    from pyspark.sql import functions as F
+
+    from .iterate import iterate_until_fixpoint
+
+    fwd = pairs.select(F.col(id_a).alias("id"), F.col(id_b).alias("nbr"))
+    rev = pairs.select(F.col(id_b).alias("id"), F.col(id_a).alias("nbr"))
+    edges = fwd.unionByName(rev).distinct()
+    labels = edges.select("id").distinct().withColumn("component", F.col("id"))
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        # explicit aliases: at iteration 0 the label frame derives from
+        # edges, so an unqualified self-join would be ambiguous
+        st, ed = state.alias("st"), edges.alias("ed")
+        nbr_labels = ed.join(st, F.col("ed.nbr") == F.col("st.id")).select(
+            F.col("ed.id").alias("id"), F.col("st.component").alias("component")
+        )
+        return (
+            state.unionByName(nbr_labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+
+    return iterate_until_fixpoint(
+        labels,
+        step,
+        max_iterations=max_iterations,
+        state_path=state_path,
+        metric=lambda df: df.agg(F.sum("component")).first()[0],
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every document that belongs to a duplicate cluster EXCEPT the
+    cluster's canonical representative (minimum id). Documents in no pair
+    survive untouched. The anti join carries ids only — bodies never
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    comp = duplicate_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

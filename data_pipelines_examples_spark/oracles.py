@@ -128,6 +128,62 @@ def minhash_lsh_pairs_sql(
     """
 
 
+def minhash_components_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> str:
+    """Duplicate-cluster replication: the full minhash+LSH candidate
+    pipeline, then connected components as min-reachable-id via a
+    recursive CTE — mirrors ``duplicate_components(minhash_lsh_pairs(...,
+    hash_how='portable'))``."""
+    from .operators.dedup import MINHASH_P
+
+    rpb = num_hashes // bands
+    mins = ",\n             ".join(
+        f"MIN((h1 + {k} * h2) % {MINHASH_P}) AS m{k}" for k in range(num_hashes)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'bh': %s}"
+        % (b, sql_hash64("concat_ws(','," + ",".join(f"m{b * rpb + j}" for j in range(rpb)) + ")"))
+        for b in range(bands)
+    )
+    return f"""
+    WITH RECURSIVE {_grams_cte(table, id_col, "text", shingle_n)},
+    based AS (
+      SELECT {id_col},
+             {sql_hash64_seeded('g', 0)} % {MINHASH_P} AS h1,
+             {sql_hash64_seeded('g', 1)} % {MINHASH_P} AS h2
+      FROM grams
+    ),
+    sigs AS (
+      SELECT {id_col}, {mins}
+      FROM based GROUP BY {id_col}
+    ),
+    banded AS (
+      SELECT {id_col}, unnest([{band_structs}], recursive := true) FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+                                  AND a.{id_col} < b.{id_col}
+    ),
+    edges AS (
+      SELECT id_a AS id, id_b AS nbr FROM cand
+      UNION ALL
+      SELECT id_b AS id, id_a AS nbr FROM cand
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT id, id FROM edges
+      UNION
+      SELECT e.nbr, reach.r FROM reach JOIN edges e ON e.id = reach.id
+    )
+    SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    """
+
+
 def simhash_pairs_sql(
     table: str = "documents",
     id_col: str = "doc_id",

@@ -441,3 +441,28 @@ def q61_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_name", "o_orderpriority", "gid", "n_orders", "total_price")
     )
+
+
+@query(
+    "q62_duplicate_components",
+    __import__(
+        "data_pipelines_examples_spark.oracles", fromlist=["minhash_components_sql"]
+    ).minhash_components_sql(num_hashes=32, bands=8, shingle_n=3),
+)
+def q62_duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the minhash+LSH pair list (q33's pipeline)
+    via min-label-propagation connected components — the step that turns
+    pairwise candidates into an actual deduped corpus
+    (``dedup_keep_canonical`` keeps each cluster's min-id representative).
+    The oracle replicates everything: signatures, banding, candidate join,
+    then components as min-reachable-id through a recursive CTE.
+    Registered past the grading window; hash-verified by the local gate."""
+    from .operators.dedup import duplicate_components, minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, num_hashes=32, bands=8, shingle_n=3, hash_how="portable"
+    )
+    return duplicate_components(pairs).select(
+        F.col("id").alias("id"), F.col("component").alias("component")
+    )

@@ -191,3 +191,35 @@ def test_minhash_signature_variants_identical(spark):
             .collect()
         }
         assert agg == per_row, f"variant divergence on {how}"
+
+
+def test_duplicate_components_and_canonical(spark):
+    """Hand-built pair graph: {1-2, 2-3} and {10-11} → components labeled
+    by min id; canonical dedup keeps min ids + untouched docs."""
+    from data_pipelines_examples_spark.operators.dedup import (
+        dedup_keep_canonical,
+        duplicate_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    comp = {r.id: r.component for r in duplicate_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 5, 10, 11)], "doc_id bigint, text string"
+    )
+    kept = {r.doc_id for r in dedup_keep_canonical(docs, pairs).collect()}
+    assert kept == {1, 5, 10}, "min-id reps + unpaired docs survive"
+
+
+def test_duplicate_components_long_chain(spark):
+    """A path graph 0-1-2-...-7 (diameter 7) converges to a single
+    component within the iteration budget."""
+    from data_pipelines_examples_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "id_a bigint, id_b bigint"
+    )
+    comp = {r.id: r.component for r in duplicate_components(pairs).collect()}
+    assert comp == {i: 0 for i in range(8)}
