@@ -61,6 +61,18 @@ def has_new_data(df: DataFrame, ts_col: str, last_seen) -> bool:
     return wm is not None and (last_seen is None or wm > last_seen)
 
 
+def sensor_status(df: DataFrame, ts_col: str, sensor_point) -> str:
+    """Tri-state source-caught-up sensor (reference:
+    get_latest_mongo_db_insert.py:60-72): ``"failed"`` when the source has
+    no data at all (connectivity / empty collection), ``"run"`` when its
+    max timestamp has passed ``sensor_point`` (the downstream interval may
+    fire), ``"retry"`` when data exists but hasn't caught up yet."""
+    wm = max_watermark(df, ts_col)
+    if wm is None:
+        return "failed"
+    return "run" if wm > sensor_point else "retry"
+
+
 def incremental_filter(df: DataFrame, ts_col: str, last_seen) -> DataFrame:
     """Rows newer than the stored watermark (pushes down to the scan)."""
     if last_seen is None:

@@ -68,6 +68,46 @@ def read_text(spark: SparkSession, path: str | list[str]) -> DataFrame:
     return spark.read.text(path)
 
 
+def read_mongo(
+    spark: SparkSession,
+    uri: str,
+    database: str,
+    collection: str,
+    schema: T.StructType | str | None = None,
+    read_preference: str = "secondary",
+    fetch_fn: Callable[[], list[dict]] | None = None,
+    **options: str,
+) -> DataFrame:
+    """MongoDB collection scan (reference:
+    get_latest_mongo_db_insert.py:47-55 — connector format + uri/database/
+    collection options, secondary read preference).
+
+    Default path uses the official Spark connector (``format("mongodb")``)
+    and needs its jar on the classpath — absent in this sandbox, so the
+    seam is injectable: pass ``fetch_fn() -> list[dict]`` (e.g. a pymongo
+    cursor materializer) and the rows land via ``createDataFrame``. The
+    driver-side fetch is also the honest pattern for small/config
+    collections; partitioned reads of big collections need the connector.
+    """
+    if fetch_fn is not None:
+        rows = list(fetch_fn())
+        if schema is not None:
+            return spark.createDataFrame(rows, schema)
+        return spark.createDataFrame(rows)
+    reader = (
+        spark.read.format("mongodb")
+        .option("connection.uri", uri)
+        .option("database", database)
+        .option("collection", collection)
+        .option("readPreference.name", read_preference)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def read_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.table(name)
 

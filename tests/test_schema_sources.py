@@ -262,3 +262,35 @@ def test_format_sink_roundtrip_orc_json_csv(spark, tmp_path):
         assert got.count() == 3
         # partition column recovered from the directory layout
         assert set(got.select("p").distinct().toPandas()["p"]) == {"p1", "p2"}
+
+
+def test_read_mongo_injectable_fetch(spark):
+    """S11: the Mongo seam through an injected fetch (the pymongo-cursor
+    pattern); the connector path needs the jar, absent here."""
+    from data_pipelines_examples_spark.sources.readers import read_mongo
+
+    rows = [
+        {"k": 1, "paid_at": dt.datetime(2024, 1, 2)},
+        {"k": 2, "paid_at": dt.datetime(2024, 1, 5)},
+    ]
+    df = read_mongo(
+        spark,
+        "mongodb://unused",
+        "db",
+        "coll",
+        schema="k int, paid_at timestamp",
+        fetch_fn=lambda: rows,
+    )
+    assert df.count() == 2 and set(df.columns) == {"k", "paid_at"}
+
+
+def test_sensor_status_tristate(spark):
+    from data_pipelines_examples_spark.pipeline import sensor_status
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 5))], "k int, paid_at timestamp"
+    )
+    empty = df.filter("k < 0")
+    assert sensor_status(empty, "paid_at", dt.datetime(2024, 1, 1)) == "failed"
+    assert sensor_status(df, "paid_at", dt.datetime(2024, 1, 1)) == "run"
+    assert sensor_status(df, "paid_at", dt.datetime(2024, 1, 5)) == "retry"
