@@ -94,7 +94,7 @@ def query(name: str, oracle: str | None):
 def _load_all() -> None:
     # import for decorator side effects; must be lazy (the ext modules
     # import this module)
-    from . import queries_ext, queries_ext2, queries_ext3  # noqa: F401
+    from . import queries_ext, queries_ext2, queries_ext3, queries_ext4  # noqa: F401
 
 
 # The driver grades at most the first 50 catalog entries. These entries
@@ -106,17 +106,27 @@ def _load_all() -> None:
 # the graded q09/q36/q40/q12 families, q46 right-outer mirrors the
 # q02/q38 join family, q53 first/last overlaps q05's rank-pick family —
 # the last two retired to promote q59_redact_pii/q60_repetition_ratios
-# into the window). All stay in the catalog, locally oracle-checked, and
-# pytest-pinned.
+# into the window; round 4 additionally retires q30 group-max join-back
+# (same latest-per-key family as the graded q05/q49), q47 SQL text
+# pipeline (mirrors the graded q14 text-profile family), q50 ROLLUP
+# (hierarchical special case of the graded q61 GROUPING SETS), and q57
+# doclen histogram (profiling family with the graded q56) to promote
+# q61/q62/q63/q64 — grouping sets, duplicate components, chunking,
+# sequence packing). All stay in the catalog, locally oracle-checked,
+# and pytest-pinned.
 _DEPRIORITIZED = [
     "q10_scd_latest_event_per_user",
     "q19_customer_running_spend",
     "q25_map_payload_roundtrip",
     "q26_union_dedup_pairs",
     "q27_distinct_users_by_type",
+    "q30_group_max_join_back",
     "q41_approx_sliding_distinct",
     "q46_right_outer_fill",
+    "q47_sql_text_pipeline",
+    "q50_region_nation_rollup",
     "q53_first_last_order_value",
+    "q57_doclen_histogram",
 ]
 
 

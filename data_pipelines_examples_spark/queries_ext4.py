@@ -1,0 +1,94 @@
+"""Query catalog, part 5: pretraining-prep operators — context-window
+chunking and concat-and-chunk sequence packing over the documents table.
+
+These are LLM-data operators beyond the reference's surface (its closest
+shape is driver-side batching loops, e.g. the scatter/gather table loop
+in notebooks/databricks/python/servicenow_extract.py — orchestration,
+not data-plane packing). Both are fully analytic (array exprs + window
+cumsum + explode), so DuckDB replicates them exactly and the driver's
+hash gate applies: the packed-corpus layout is cross-engine auditable,
+which is the property a reproducible pretraining mix actually needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.packing import chunk_documents, pack_offsets
+from .queries import _t, query
+
+
+@query(
+    "q63_chunk_documents",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             greatest(CAST(ceil((len(toks) - 8) / CAST(24 AS DOUBLE)) AS BIGINT), 1)
+               AS n_chunks
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM c
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text,
+           len(toks[chunk_id*24+1 : chunk_id*24+32]) AS n_chunk_tokens
+    FROM e
+    """,
+)
+def q63_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document split into 32-token
+    windows with 8-token overlap (stride 24). Per-row sequence/transform
+    + one explode — narrow, zero shuffles, fuses into the scan; chunking
+    100 TB costs one pass. Window starts stop at the last stride multiple
+    that reaches the document end, so coverage is total with no
+    fully-redundant tail window."""
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, max_tokens=32, overlap=8)
+
+
+@query(
+    "q64_pack_offsets",
+    r"""
+    WITH counted AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
+             CAST(doc_id % 8 AS INTEGER) AS shard
+      FROM documents
+    ),
+    b AS (
+      SELECT shard, doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+      FROM counted
+    ),
+    s AS (
+      SELECT shard, doc_id, e, e - n_tok AS st,
+             unnest(generate_series(
+               (e - n_tok) // 256, greatest(e - 1, e - n_tok) // 256)) AS seq_id
+      FROM b
+    )
+    SELECT shard, seq_id, doc_id,
+           CAST(greatest(st - seq_id*256, 0) AS BIGINT) AS offset_in_seq,
+           CAST(least(e, (seq_id+1)*256) - greatest(st, seq_id*256) AS BIGINT)
+             AS tokens_in_seq
+    FROM s
+    """,
+)
+def q64_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing manifest: per shard (doc_id % 8)
+    the corpus is concatenated in id order and cut into exact 256-token
+    sequences; one row per (document, sequence) assignment, documents
+    straddling sequence boundaries. One window cumsum (single shuffle on
+    shard, carrying only id+count — never text) + an explode over
+    straddled sequences. Deterministic and engine-independent, so the
+    training-data layout is re-derivable and auditable months later."""
+    d = _t(spark, sf_dir, "documents")
+    return pack_offsets(d, budget=256, shards=8)
