@@ -90,6 +90,15 @@ def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
 
     ``planes`` are driver-side constants (seeded), embedded as array
     literals — the signature computation is a pure projection.
+
+    Why the HOF ``dot`` and not an unrolled codegen sum: a fully unrolled
+    ``vec[0]·p0 + vec[1]·p1 + …`` chain for 48 planes × 64 dims lands a
+    3k-term expression in one generate_doConsume method, exceeds janino's
+    64 KB method limit, and falls back to INTERPRETED expression mode —
+    measured 10× slower than the HOF fold (51 s vs 5 s on the sf0.1
+    dedup). The aggregate/zip_with fold pays a fixed per-element lambda
+    cost but stays bounded, partition-local, and bit-identical to the
+    DuckDB oracle's replay of the same left-associative sequence.
     """
     bucket = F.lit(0).cast("long")
     for plane in planes:

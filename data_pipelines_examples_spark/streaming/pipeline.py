@@ -98,6 +98,85 @@ def windowed_distinct_users(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "timestamp",
+    right_ts: str = "timestamp",
+    max_delay: str = "10 minutes",
+    watermark: str = "15 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with an event-time band: a left
+    row matches right rows with the same ``key`` whose timestamp lies in
+    [left_ts − max_delay, left_ts]. The band + both-side watermarks is
+    what BOUNDS the join state — without it Spark must buffer both
+    streams forever; with it, rows older than watermark + band are
+    evicted. This is the streaming upgrade of the reference's
+    batch-join-per-partition-date reprocessing loop
+    (windowed_lagN_awskms_postgres_date_partition.py:32-52): late data
+    within the watermark joins exactly once, instead of re-running whole
+    partition dates.
+
+    Outer variants require BOTH the watermark and the time band (Spark
+    refuses unbounded-state outer stream-stream joins); pass
+    ``how='leftOuter'`` etc. only with event-time columns on both sides.
+
+    Column hygiene: the right side's key/ts are suffixed ``_r`` so the
+    joined schema is unambiguous downstream.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    for c in (key, right_ts):
+        r = r.withColumnRenamed(c, f"{c}_r")
+    cond = (
+        (F.col(key) == F.col(f"{key}_r"))
+        & (F.col(f"{right_ts}_r") >= F.col(left_ts) - F.expr(f"INTERVAL {max_delay}"))
+        & (F.col(f"{right_ts}_r") <= F.col(left_ts))
+    )
+    return l.join(r, cond, how)
+
+
+def write_stream_upsert(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    version_col: str,
+    checkpoint: str,
+    trigger_seconds: int = 10,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """MERGE-style streaming sink: each micro-batch upserts into the
+    parquet target by ``keys`` via ``sources.writers.upsert_by_key``
+    (latest ``version_col`` per key wins) — the
+    foreachBatch pattern Delta users run as ``MERGE INTO`` per batch,
+    re-expressed over plain parquet since delta-spark is absent from this
+    env. foreachBatch gives the batch writer exactly-once-per-epoch
+    semantics through the checkpoint: a replayed batch re-upserts the
+    same keys idempotently, so the sink converges even across restarts.
+
+    At scale the rewrite cost is the whole target per batch — acceptable
+    for dimension-sized tables (the reference's fmaps/hive upserts,
+    fmaps_from_hive_insert_mysql.py:136-177); fact-sized streams should
+    use the append sink + compaction instead.
+    """
+    from ..sources.writers import upsert_by_key
+
+    def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_by_key(batch_df, path, keys, version_col)
+
+    return (
+        df.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def run_stream_to_completion(
     query: StreamingQuery, timeout_seconds: float = 60.0
 ) -> None:
