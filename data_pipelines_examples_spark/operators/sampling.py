@@ -63,6 +63,31 @@ def stratified_mod_sample(
     return df.filter(F.pmod(F.col(id_col), F.lit(buckets)) < rate)
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int,
+    hash_how: str = "xxhash64",
+    out_col: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic global shuffle order for one training epoch:
+    ``shuffle_key = hash(seed + ':' + id)``. Sorting by the key IS the
+    shuffled order — no global rank is ever materialized, so there is no
+    single-partition bottleneck: the writer runs
+    ``repartitionByRange(N, shuffle_key).sortWithinPartitions(shuffle_key)``
+    and the epoch lands totally ordered across files with one range
+    shuffle. Different seeds give independent epoch orders; the same
+    seed reproduces the epoch bit-for-bit months later (``hash_how=
+    'portable'`` makes the order re-derivable in any engine with md5 —
+    the auditable variant; xxhash64 is the 100 TB default).
+    """
+    from ..functions.hashing import hash64
+
+    return df.withColumn(
+        out_col, hash64(F.col(id_col).cast("string"), seed=seed, how=hash_how)
+    )
+
+
 def sample_by(
     df: DataFrame,
     strata_col: str,

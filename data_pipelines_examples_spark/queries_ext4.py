@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.hashing import sql_hash64_seeded
 from .operators.packing import chunk_documents, pack_offsets
 from .queries import _t, query
 
@@ -92,3 +93,25 @@ def q64_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data layout is re-derivable and auditable months later."""
     d = _t(spark, sf_dir, "documents")
     return pack_offsets(d, budget=256, shards=8)
+
+
+@query(
+    "q65_epoch_shuffle",
+    f"""
+    SELECT doc_id,
+           {sql_hash64_seeded("CAST(doc_id AS VARCHAR)", 7)} AS shuffle_key
+    FROM documents
+    """,
+)
+def q65_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle manifest: every document gets a seeded
+    portable-hash shuffle key; sorting by the key IS the epoch's global
+    shuffled order (writers repartitionByRange + sortWithinPartitions on
+    it — no global rank, no single-partition sort). The oracle recomputes
+    the same keys in DuckDB, proving the epoch order is engine-independent
+    and re-derivable — the auditability a reproducible pretraining run
+    needs. xxhash64 is the production default (operators/sampling.py)."""
+    from .operators.sampling import epoch_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(d, "doc_id", seed=7, hash_how="portable")
