@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "q34_simhash_pairs",
     "q42_embedding_dedup_pairs",
     "q43_lsh_topk",
+    # pretraining-prep family (round 4): chunking + packing manifest
+    "q63_chunk_documents",
+    "q64_pack_offsets",
 ]
 
 

@@ -117,3 +117,28 @@ def test_wildcard_rule_join_broadcasts(spark):
         pick_per=["c_custkey"],
     )
     assert has_broadcast_join(out)
+
+
+def test_chunk_documents_zero_shuffles(spark):
+    """Chunking is a pure narrow pipeline: array exprs + explode fuse into
+    the scan — chunking 100 TB costs one pass, no exchange."""
+    from data_pipelines_examples_spark.operators.packing import chunk_documents
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert count_shuffles(chunk_documents(d, max_tokens=32, overlap=8)) == 0
+
+
+def test_pack_offsets_single_shuffle_ids_only(spark):
+    """The packing manifest costs exactly one exchange (window cumsum on
+    shard), and token counting happens BEFORE it — the shuffle carries
+    (doc_id, count, shard), never text bodies."""
+    from data_pipelines_examples_spark.operators.packing import pack_offsets
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = pack_offsets(d, budget=256, shards=8)
+    assert count_shuffles(df) == 1
+    plan = physical_plan(df)
+    # the projection below the exchange already dropped the text column:
+    # 'text' appears only in the FileScan read schema, not above the window
+    above_scan = plan[: plan.index("FileScan")]
+    assert "text#" not in above_scan.replace("split(lower(trim(text#", "")

@@ -87,3 +87,45 @@ def test_embedding_dedup_lsh_subset_of_exact(spark, emb):
     assert lsh and set(lsh) <= set(exact)
     for pair, cos in lsh.items():
         assert cos == exact[pair]
+
+
+def test_arrow_buckets_bit_identical_to_expression_fold(spark):
+    """The Arrow signature path must produce EXACTLY the buckets of the
+    HOF expression fold — same left-associative float64 sequence — or the
+    DuckDB full-replication oracle (q42) silently diverges. Adversarial
+    vectors: tiny/huge magnitudes, sign cancellations, zeros."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_pipelines_examples_spark.operators.similarity import (
+        hyperplane_bucket,
+        hyperplane_buckets_arrow,
+    )
+    from data_pipelines_examples_spark.oracles import gauss_plane_tables
+
+    rng = random.Random(13)
+    dim = 16
+    rows = []
+    for i in range(300):
+        scale = 10.0 ** rng.randint(-6, 6)
+        rows.append((i, [rng.uniform(-1, 1) * scale for _ in range(dim)]))
+    rows += [(300, [0.0] * dim), (301, [1e-300] * dim), (302, [-0.0] * dim)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tables = gauss_plane_tables(n_tables=4, n_planes=7, dim=dim, seed=99)
+
+    expr_cols = [
+        hyperplane_bucket(F.col("embedding"), p).alias(f"b{t}")
+        for t, p in enumerate(tables)
+    ]
+    expr = {
+        r.vec_id: tuple(r[f"b{t}"] for t in range(len(tables)))
+        for r in df.select("vec_id", *expr_cols).collect()
+    }
+    arrow = {
+        r.vec_id: tuple(r.bkts)
+        for r in df.select(
+            "vec_id", hyperplane_buckets_arrow(tables)(F.col("embedding")).alias("bkts")
+        ).collect()
+    }
+    assert expr == arrow
