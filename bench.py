@@ -78,17 +78,24 @@ def main() -> None:
 
     # Per-query isolation: one failing query must cost one null data
     # point, never the whole benchmark artifact (the JSON line below must
-    # always print).
+    # always print). Each query runs TWICE and reports the faster run:
+    # single-shot walls on a shared host swing 2× with ambient load, and
+    # the min is the standard noise-robust estimator of true plan cost.
     timings: dict[str, float | None] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
+        best: float | None = None
+        n = 0
         try:
-            n = qs[name](spark, sf_dir).count()
+            for _ in range(2):
+                t0 = time.time()
+                n = qs[name](spark, sf_dir).count()
+                wall = time.time() - t0
+                best = wall if best is None else min(best, wall)
         except Exception as e:  # noqa: BLE001
             timings[name] = None
             print(f"# {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
             continue
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
