@@ -88,6 +88,39 @@ def epoch_shuffle(
     )
 
 
+def filter_by_group_quantile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q: float,
+    how: str = "approx",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Keep rows at or above their group's ``q``-quantile of
+    ``value_col`` — the per-source quality-floor step of corpus curation
+    (e.g. keep each language's top half by quality score, so one noisy
+    source can't flood the mix).
+
+    Two jobs: a per-group quantile aggregate (groups are few by
+    construction — languages, sources), broadcast back, one narrow
+    filter. ``how='approx'`` (default) uses ``percentile_approx`` —
+    sketch-mergeable, one pass, the 100 TB path; ``how='exact'`` uses
+    ``percentile`` — per-group sort, only for oracle-checked parity
+    (DuckDB ``quantile_cont`` matches it bit-for-bit on integer inputs,
+    pinned by q52/q66).
+    """
+    fn = "percentile" if how == "exact" else "percentile_approx"
+    extra = "" if how == "exact" else f", {accuracy}"
+    thr = df.groupBy(group_col).agg(
+        F.expr(f"{fn}({value_col}, {q}{extra})").alias("__thr")
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(F.col(value_col) >= F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def sample_by(
     df: DataFrame,
     strata_col: str,

@@ -115,3 +115,41 @@ def q65_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     return epoch_shuffle(d, "doc_id", seed=7, hash_how="portable")
+
+
+@query(
+    "q66_quality_floor_filter",
+    """
+    WITH thr AS (
+      SELECT lang, quantile_cont(n_chars, 0.5) AS med
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, COUNT(*) AS n_kept,
+           CAST(MIN(d.n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(t.med) AS DOUBLE) AS med_chars
+    FROM documents d JOIN thr t ON d.lang = t.lang
+    WHERE d.n_chars >= t.med
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def q66_quality_floor_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quality floor: keep each language's top half by length
+    (stand-in for any quality score) — the curation step that stops one
+    noisy source flooding the mix. Exact percentile here for oracle
+    parity (DuckDB quantile_cont, pinned); percentile_approx is the
+    documented 100 TB path (operators/sampling.py::filter_by_group_quantile)."""
+    from .operators.sampling import filter_by_group_quantile
+
+    d = _t(spark, sf_dir, "documents")
+    kept = filter_by_group_quantile(d, "lang", "n_chars", 0.5, how="exact")
+    thr = d.groupBy("lang").agg(F.expr("percentile(n_chars, 0.5)").alias("__thr"))
+    return (
+        kept.join(F.broadcast(thr), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("__thr").cast("double").alias("med_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -62,3 +62,26 @@ def test_epoch_shuffle_deterministic_and_seed_independent(spark):
     order1 = [d for d, _ in sorted(a.items(), key=lambda kv: kv[1])]
     order2 = [d for d, _ in sorted(c.items(), key=lambda kv: kv[1])]
     assert order1 != order2
+
+
+def test_filter_by_group_quantile_exact_vs_approx(spark):
+    from data_pipelines_examples_spark.operators.sampling import (
+        filter_by_group_quantile,
+    )
+
+    rows = [(i, "a" if i < 100 else "b", float(i % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    exact = filter_by_group_quantile(df, "grp", "score", 0.5, how="exact")
+    # per group scores are 0..49 ×2, median 24.5 → keep score >= 24.5
+    got = exact.groupBy("grp").count().collect()
+    assert {r.grp: r["count"] for r in got} == {"a": 50, "b": 50}
+    # approx picks an ACTUAL data value as the quantile (24.0, no
+    # interpolation), so it may differ from exact only at the boundary
+    approx = filter_by_group_quantile(df, "grp", "score", 0.5, how="approx")
+    exact_ids = {r.id for r in exact.collect()}
+    approx_ids = {r.id for r in approx.collect()}
+    boundary = {r.id for r in df.filter("score = 24.0").collect()}
+    assert approx_ids - exact_ids <= boundary
+    assert exact_ids <= approx_ids
+    # kept rows all sit at/above their group threshold
+    assert exact.filter("score < 24.5").count() == 0
