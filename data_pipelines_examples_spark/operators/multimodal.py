@@ -62,18 +62,90 @@ def codec_capability() -> str:
             import logging
 
             logging.getLogger(__name__).warning(
-                "multimodal codec: PIL not importable — falling back to the "
-                "deterministic byte-stub decode (features are byte-derived, "
-                "not pixel-derived)"
+                "multimodal codec: PIL not importable — uncompressed formats "
+                "(PPM P6, 24-bit BMP) still decode for real via the pure-"
+                "numpy path; compressed codecs fall back to the "
+                "deterministic byte-stub (features byte-derived, not "
+                "pixel-derived)"
             )
     return _CODEC
 
 
 def _decode(content: bytes) -> dict:
-    """Dispatch to the real codec when available, else the honest stub."""
+    """Dispatch: PIL when importable; else the pure-numpy decoder for
+    UNCOMPRESSED formats (PPM P6, 24-bit BMP) — a real pixel decode, no
+    media library needed; else the byte-stub (compressed codecs only)."""
     if codec_capability() == "pil":
         return _decode_pil(content)
+    if content is not None:
+        decoded = _decode_numpy(content)
+        if decoded is not None:
+            return decoded
     return _decode_stub(content)
+
+
+def _luma_stats(rgb, n_bytes: int) -> dict:
+    """Grayscale conversion + entropy, replicating PIL's convert("L")
+    integer luminance (ITU-R 601-2: L = (299R + 587G + 114B) // 1000) so
+    the numpy and PIL tiers produce identical stats on the same pixels."""
+    import numpy as np
+
+    r = rgb[..., 0].astype(np.uint32)
+    g = rgb[..., 1].astype(np.uint32)
+    b = rgb[..., 2].astype(np.uint32)
+    luma = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8).ravel()
+    n = max(luma.size, 1)
+    counts = np.bincount(luma, minlength=256)
+    p = counts[counts > 0] / n
+    entropy = float(-(p * np.log2(p)).sum()) if p.size else 0.0
+    return {"n_bytes": n_bytes, "byte_entropy": entropy}
+
+
+def _decode_numpy(content: bytes) -> dict | None:
+    """Pure-numpy pixel decode for uncompressed image formats — PPM (P6,
+    8-bit) and BMP (24-bit, BI_RGB). These formats are raw pixel arrays
+    behind a trivial public header, so no media library is required; the
+    decode is REAL (pixel-level stats, not byte-level). Returns None for
+    anything else (compressed codecs → PIL tier or the labeled stub)."""
+    import numpy as np
+
+    try:
+        if content[:2] == b"P6":
+            pos, vals = 2, []
+            while len(vals) < 3:
+                while pos < len(content) and content[pos : pos + 1].isspace():
+                    pos += 1
+                if content[pos : pos + 1] == b"#":
+                    pos = content.index(b"\n", pos) + 1
+                    continue
+                start = pos
+                while pos < len(content) and not content[pos : pos + 1].isspace():
+                    pos += 1
+                vals.append(int(content[start:pos]))
+            pos += 1  # the single whitespace byte after maxval
+            w, h, maxval = vals
+            if maxval != 255 or w <= 0 or h <= 0:
+                return None
+            rgb = np.frombuffer(content, np.uint8, count=w * h * 3, offset=pos)
+            return _luma_stats(rgb.reshape(h, w, 3), len(content))
+        if content[:2] == b"BM":
+            off = int.from_bytes(content[10:14], "little")
+            w = int.from_bytes(content[18:22], "little", signed=True)
+            h = int.from_bytes(content[22:26], "little", signed=True)
+            bpp = int.from_bytes(content[28:30], "little")
+            comp = int.from_bytes(content[30:34], "little")
+            if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+                return None
+            stride = (w * 3 + 3) // 4 * 4
+            rows = abs(h)
+            raw = np.frombuffer(content, np.uint8, count=stride * rows, offset=off)
+            bgr = raw.reshape(rows, stride)[:, : w * 3].reshape(rows, w, 3)
+            if h > 0:  # bottom-up storage
+                bgr = bgr[::-1]
+            return _luma_stats(bgr[..., ::-1], len(content))
+    except (ValueError, IndexError):
+        return None  # truncated/corrupt header — not decodable here
+    return None
 
 
 def _decode_pil(content: bytes) -> dict:  # pragma: no cover — PIL absent here

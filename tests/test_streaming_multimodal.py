@@ -187,3 +187,78 @@ def test_codec_capability_probe(caplog):
     finally:
         mm._decode_pil = orig
         mm._CODEC = None
+
+
+def _ppm_bytes(pixels):
+    """pixels: list of rows of (r,g,b)."""
+    h, w = len(pixels), len(pixels[0])
+    body = bytes(c for row in pixels for px in row for c in px)
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + body
+
+
+def _bmp_bytes(pixels):
+    """24-bit BI_RGB bottom-up BMP of the same pixel grid."""
+    h, w = len(pixels), len(pixels[0])
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for row in reversed(pixels):  # bottom-up
+        r = bytes(c for (rr, gg, bb) in row for c in (bb, gg, rr))  # BGR
+        rows.append(r + b"\x00" * (stride - len(r)))
+    body = b"".join(rows)
+    off = 54
+    size = off + len(body)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + body
+
+
+def test_numpy_decode_real_pixels_ppm_bmp_agree(spark):
+    """The pure-numpy decoder must be a REAL pixel decode: the same pixel
+    grid encoded as PPM and as BMP (different byte layouts, padding,
+    row order, channel order) must yield IDENTICAL pixel-entropy — while
+    the byte-stub over those same blobs would differ (headers/padding)."""
+    from data_pipelines_examples_spark.operators.multimodal import (
+        _decode_numpy,
+        _decode_stub,
+        extract_features,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    pixels = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(5)]
+        for _ in range(4)
+    ]
+    ppm, bmp = _ppm_bytes(pixels), _bmp_bytes(pixels)
+    d_ppm, d_bmp = _decode_numpy(ppm), _decode_numpy(bmp)
+    assert d_ppm is not None and d_bmp is not None
+    assert d_ppm["byte_entropy"] == d_bmp["byte_entropy"]  # same pixels
+    assert d_ppm["n_bytes"] == len(ppm) and d_bmp["n_bytes"] == len(bmp)
+    # byte-stub on the raw blobs disagrees — proof the decode is pixel-level
+    assert _decode_stub(ppm)["byte_entropy"] != _decode_stub(bmp)["byte_entropy"]
+    # compressed magic (JPEG SOI) is not claimed by the numpy tier
+    assert _decode_numpy(b"\xff\xd8\xff\xe0" + b"\x00" * 64) is None
+
+    # end-to-end through the Arrow pipeline
+    rows = [
+        (1, ppm, "image", 5, 4, None, "ppm"),
+        (2, bmp, "image", 5, 4, None, "bmp"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id bigint, content binary, media_type string, width int,"
+        " height int, duration_ms int, codec string",
+    )
+    out = {r.media_id: r.byte_entropy for r in extract_features(df).collect()}
+    assert out[1] == out[2] == d_ppm["byte_entropy"]
