@@ -3,10 +3,12 @@ with typed metadata, processed via Arrow-batched pandas iterators.
 
 LLM-pipeline extension (BASELINE.json north star). The Spark-side design
 is fully real — schemas, partition-aware batch iteration, mapInPandas
-signatures, metadata propagation; only the codec step is a deterministic
-stub because media libraries are not available in this environment. Swap
-``_decode_stub`` for a real decoder (PIL/ffmpeg) without touching the
-Spark plumbing.
+signatures, metadata propagation. The codec is tiered: PIL when
+importable; a REAL pure-numpy pixel decoder for uncompressed formats
+(PPM P6, 24-bit BMP — raw pixel arrays behind public headers, so decode
+and nearest-neighbor resize need no media library); a clearly-labeled
+deterministic byte-stub only for compressed codecs in this
+library-less environment.
 
 Scale notes: media bytes never leave the executor — mapInPandas streams
 Arrow record batches through Python, so per-batch memory is bounded by
@@ -107,6 +109,13 @@ def _decode_numpy(content: bytes) -> dict | None:
     behind a trivial public header, so no media library is required; the
     decode is REAL (pixel-level stats, not byte-level). Returns None for
     anything else (compressed codecs → PIL tier or the labeled stub)."""
+    rgb = _decode_numpy_pixels(content)
+    return None if rgb is None else _luma_stats(rgb, len(content))
+
+
+def _decode_numpy_pixels(content: bytes):
+    """The pixel-array core of the numpy tier: h×w×3 uint8 RGB, or None
+    when the blob isn't an uncompressed format this tier understands."""
     import numpy as np
 
     try:
@@ -127,7 +136,7 @@ def _decode_numpy(content: bytes) -> dict | None:
             if maxval != 255 or w <= 0 or h <= 0:
                 return None
             rgb = np.frombuffer(content, np.uint8, count=w * h * 3, offset=pos)
-            return _luma_stats(rgb.reshape(h, w, 3), len(content))
+            return rgb.reshape(h, w, 3)
         if content[:2] == b"BM":
             off = int.from_bytes(content[10:14], "little")
             w = int.from_bytes(content[18:22], "little", signed=True)
@@ -142,7 +151,7 @@ def _decode_numpy(content: bytes) -> dict | None:
             bgr = raw.reshape(rows, stride)[:, : w * 3].reshape(rows, w, 3)
             if h > 0:  # bottom-up storage
                 bgr = bgr[::-1]
-            return _luma_stats(bgr[..., ::-1], len(content))
+            return np.ascontiguousarray(bgr[..., ::-1])
     except (ValueError, IndexError):
         return None  # truncated/corrupt header — not decodable here
     return None
@@ -256,15 +265,27 @@ RESIZED_SCHEMA = (
 )
 
 
+def _encode_ppm(rgb) -> bytes:
+    """Minimal P6 encode of an h×w×3 uint8 array — the numpy tier's
+    output format (raw pixels, public header, re-decodable by this same
+    module)."""
+    h, w = rgb.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+
 def resize_images(df: DataFrame, max_width: int = 256, max_height: int = 256) -> DataFrame:
     """Aspect-preserving image resize via mapInPandas (Arrow-batched).
 
-    Real production plumbing — schema, batch iteration, metadata math
-    (integer aspect-ratio scaling, no-op for already-small images); the
-    pixel transform itself is the deterministic byte-slice stub standing
-    in for PIL (not installed here). Only image rows are touched; the
-    scan prunes other media types before any blob is read.
+    Blobs the pure-numpy tier can decode (PPM P6 / 24-bit BMP) are
+    resized for REAL — nearest-neighbor index sampling on the pixel
+    array, re-encoded as P6 — with dimensions taken from the actual
+    pixels, not the metadata. Compressed codecs fall back to the
+    deterministic byte-slice stub (standing in for PIL, not installed
+    here); the schema, batch iteration, and aspect math are identical
+    either way. Only image rows are touched; the scan prunes other media
+    types before any blob is read.
     """
+    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -276,6 +297,10 @@ def resize_images(df: DataFrame, max_width: int = 256, max_height: int = 256) ->
                 pdf["width"].tolist(),
                 pdf["height"].tolist(),
             ):
+                rgb = None if content is None else _decode_numpy_pixels(content)
+                if rgb is not None:
+                    # trust the pixels over the metadata columns
+                    h, w = rgb.shape[:2]
                 w = int(w or 0)
                 h = int(h or 0)
                 if w <= max_width and h <= max_height:
@@ -283,13 +308,18 @@ def resize_images(df: DataFrame, max_width: int = 256, max_height: int = 256) ->
                 else:
                     scale = min(max_width / max(w, 1), max_height / max(h, 1))
                     new_w, new_h = max(int(w * scale), 1), max(int(h * scale), 1)
-                    # stub: shrink the byte payload proportionally to the
-                    # pixel count; a real decoder produces re-encoded bytes
-                    content = content or b""
-                    keep = max(
-                        int(len(content) * (new_w * new_h) / max(w * h, 1)), 1
-                    )
-                    blob = content[:keep]
+                    if rgb is not None:
+                        yi = (np.arange(new_h) * h) // new_h
+                        xi = (np.arange(new_w) * w) // new_w
+                        blob = _encode_ppm(rgb[yi][:, xi])
+                    else:
+                        # stub: shrink the byte payload proportionally to
+                        # the pixel count; a real decoder re-encodes
+                        content = content or b""
+                        keep = max(
+                            int(len(content) * (new_w * new_h) / max(w * h, 1)), 1
+                        )
+                        blob = content[:keep]
                 ids.append(media_id)
                 types.append(mtype)
                 blobs.append(blob)

@@ -262,3 +262,32 @@ def test_numpy_decode_real_pixels_ppm_bmp_agree(spark):
     )
     out = {r.media_id: r.byte_entropy for r in extract_features(df).collect()}
     assert out[1] == out[2] == d_ppm["byte_entropy"]
+
+
+def test_resize_real_pixels_for_decodable_blobs(spark):
+    """A decodable blob gets a REAL nearest-neighbor resize: output is a
+    P6 whose pixels equal index-sampling of the source grid."""
+    from data_pipelines_examples_spark.operators.multimodal import (
+        _decode_numpy_pixels,
+        resize_images,
+    )
+
+    # 8×6 gradient image: pixel (x, y) = (x*30, y*40, 7)
+    pixels = [[(x * 30, y * 40, 7) for x in range(8)] for y in range(6)]
+    ppm = _ppm_bytes(pixels)
+    df = spark.createDataFrame(
+        [(1, ppm, "image", 8, 6, None, "ppm")],
+        "media_id bigint, content binary, media_type string, width int,"
+        " height int, duration_ms int, codec string",
+    )
+    out = resize_images(df, max_width=4, max_height=4).collect()[0]
+    assert (out.width, out.height) == (4, 3)
+    rgb = _decode_numpy_pixels(bytes(out.content))
+    assert rgb is not None and rgb.shape == (3, 4, 3)
+    # nearest-neighbor: out[y, x] = src[y*6//3, x*8//4]
+    for y in range(3):
+        for x in range(4):
+            assert tuple(rgb[y, x]) == pixels[y * 6 // 3][x * 8 // 4]
+    # already-small image passes through untouched
+    small = resize_images(df, max_width=16, max_height=16).collect()[0]
+    assert bytes(small.content) == ppm
