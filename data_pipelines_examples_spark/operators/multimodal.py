@@ -195,6 +195,94 @@ def _decode_stub(content: bytes) -> dict:
     return {"n_bytes": len(content), "byte_entropy": entropy}
 
 
+AUDIO_SCHEMA = (
+    "media_id bigint, sample_rate int, n_samples bigint, duration_ms int, "
+    "rms double, zero_crossing_rate double, peak double"
+)
+
+
+def _decode_wav(content: bytes):
+    """Pure-numpy decode of uncompressed PCM WAV (RIFF, format 1, 16-bit):
+    (sample_rate, mono float64 samples in [-1, 1]) or None when the blob
+    isn't such a WAV. Like PPM/BMP, PCM WAV is a raw sample array behind
+    a public chunked header — real audio decode, no ffmpeg required.
+    Multi-channel input is averaged to mono (the standard feature prep)."""
+    import numpy as np
+
+    try:
+        if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+            return None
+        pos, rate, channels, bits, data = 12, None, None, None, None
+        while pos + 8 <= len(content):
+            cid = content[pos : pos + 4]
+            size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+            body = content[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                if int.from_bytes(body[0:2], "little") != 1:  # PCM only
+                    return None
+                channels = int.from_bytes(body[2:4], "little")
+                rate = int.from_bytes(body[4:8], "little")
+                bits = int.from_bytes(body[14:16], "little")
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if rate is None or data is None or bits != 16 or not channels:
+            return None
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        if channels > 1:
+            samples = samples[: len(samples) // channels * channels]
+            samples = samples.reshape(-1, channels).mean(axis=1)
+        return rate, samples
+    except (ValueError, IndexError):
+        return None
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Per-blob audio features via mapInPandas: sample rate, duration,
+    RMS level, zero-crossing rate, peak — the audio-quality filters a
+    speech/music curation pipeline runs before transcription. REAL for
+    PCM WAV via the numpy tier; non-WAV blobs yield a null feature row
+    (schema-stable) rather than fake numbers, so downstream filters can
+    route them to a transcoder."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "duration_ms",
+                "rms", "zero_crossing_rate", "peak",
+            )}
+            for media_id, content in zip(
+                pdf["media_id"].tolist(), pdf["content"].tolist()
+            ):
+                decoded = None if content is None else _decode_wav(content)
+                out["media_id"].append(media_id)
+                if decoded is None:
+                    for k in ("sample_rate", "n_samples", "duration_ms",
+                              "rms", "zero_crossing_rate", "peak"):
+                        out[k].append(None)
+                    continue
+                rate, s = decoded
+                n = len(s)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(int(n * 1000 / rate) if rate else None)
+                out["rms"].append(float(np.sqrt(np.mean(s * s))) if n else 0.0)
+                out["zero_crossing_rate"].append(
+                    float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+                out["peak"].append(float(np.abs(s).max()) if n else 0.0)
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("media_type") == "audio")
+        .select("media_id", "content")
+        .mapInPandas(batches, AUDIO_SCHEMA)
+    )
+
+
 def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     """Per-blob feature extraction via mapInPandas (Arrow-batched).
 

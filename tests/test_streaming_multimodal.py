@@ -291,3 +291,47 @@ def test_resize_real_pixels_for_decodable_blobs(spark):
     # already-small image passes through untouched
     small = resize_images(df, max_width=16, max_height=16).collect()[0]
     assert bytes(small.content) == ppm
+
+
+def _wav_bytes(rate, samples16, channels=1):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples16)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_audio_features_real_wav_decode(spark):
+    import math
+
+    # 100 Hz square wave at 8 kHz, 0.5 amplitude, 400 samples (50 ms)
+    rate, n = 8000, 400
+    sq = [16384 if (i // 40) % 2 == 0 else -16384 for i in range(n)]
+    wav = _wav_bytes(rate, sq)
+    # stereo: same wave on both channels -> identical mono features
+    stereo = _wav_bytes(rate, [s for s in sq for _ in (0, 1)], channels=2)
+    from data_pipelines_examples_spark.operators.multimodal import audio_features
+
+    rows = [
+        (1, wav, "audio", None, None, 50, "wav"),
+        (2, stereo, "audio", None, None, 50, "wav"),
+        (3, b"\xffnotawav" + b"\x00" * 40, "audio", None, None, 10, "opus"),
+        (4, wav, "image", None, None, None, "wav"),  # wrong type -> pruned
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id bigint, content binary, media_type string, width int,"
+        " height int, duration_ms int, codec string",
+    )
+    out = {r.media_id: r for r in audio_features(df).collect()}
+    assert set(out) == {1, 2, 3}
+    r1 = out[1]
+    assert (r1.sample_rate, r1.n_samples, r1.duration_ms) == (8000, 400, 50)
+    assert math.isclose(r1.rms, 0.5, rel_tol=1e-9)  # square wave RMS = amplitude
+    assert math.isclose(r1.peak, 0.5, rel_tol=1e-9)
+    # square wave at 100 Hz: 10 sign flips in 400 samples -> zcr ~ 9/399
+    assert math.isclose(r1.zero_crossing_rate, 9 / 399, rel_tol=1e-9)
+    r2 = out[2]
+    assert (r2.rms, r2.peak, r2.zero_crossing_rate) == (r1.rms, r1.peak, r1.zero_crossing_rate)
+    assert out[3].sample_rate is None  # non-WAV -> null row, not fake numbers
