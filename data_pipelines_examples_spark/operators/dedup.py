@@ -215,6 +215,94 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int, hash_how: str
+) -> DataFrame:
+    """(id, __sig, band, bh): split each signature into ``bands`` bands
+    and hash each — the LSH bucket key. Shared by self-dedup and
+    cross-corpus dedup so both produce identical buckets."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        F.col(id_col),
+        "__sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    hash64(
+                        F.array_join(
+                            F.slice("__sig", b * rows_per_band + 1, rows_per_band), ","
+                        ),
+                        how=hash_how,
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("__b"),
+    ).select(
+        F.col(id_col), "__sig", F.col("__b.band").alias("band"), F.col("__b.bh").alias("bh")
+    )
+
+
+def dedup_against_corpus(
+    new: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_how: str = "xxhash64",
+    min_est_jaccard: float | None = None,
+) -> DataFrame:
+    """Incremental corpus update: drop NEW documents that near-duplicate
+    the EXISTING corpus (the crawl-refresh operation — dedup the delta
+    against what's already ingested without re-pairing the whole corpus).
+
+    Cross-side LSH only: new-side band buckets join existing-side band
+    buckets, so the candidate space is |new ∩ existing buckets| — never
+    existing×existing (the expensive part of a full re-dedup, already
+    settled by prior runs). New-vs-new duplicates are deliberately kept
+    (run ``minhash_lsh_pairs`` + ``dedup_keep_canonical`` on the delta
+    for those). ``min_est_jaccard`` additionally requires the estimated
+    signature Jaccard to clear a threshold before a match kills a doc
+    (None = any shared band, the standard LSH contract).
+
+    Returns the surviving rows of ``new`` (original schema). At scale the
+    existing side's band table is a materialize-once artifact: persist
+    (id, band, bh) at ingest time and each delta joins against it
+    directly — signatures for the old corpus are never recomputed.
+    """
+    ns = _band_buckets(
+        minhash_signatures(new, id_col, text_col, num_hashes, shingle_n, hash_how),
+        id_col,
+        num_hashes,
+        bands,
+        hash_how,
+    )
+    es = _band_buckets(
+        minhash_signatures(existing, id_col, text_col, num_hashes, shingle_n, hash_how),
+        id_col,
+        num_hashes,
+        bands,
+        hash_how,
+    )
+    n, e = ns.alias("n"), es.alias("e")
+    matched = n.join(
+        e, (F.col("n.band") == F.col("e.band")) & (F.col("n.bh") == F.col("e.bh"))
+    )
+    if min_est_jaccard is not None:
+        est = F.size(
+            F.filter(
+                F.zip_with("n.__sig", "e.__sig", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ) / F.lit(float(num_hashes))
+        matched = matched.filter(est >= min_est_jaccard)
+    kill = matched.select(F.col(f"n.{id_col}").alias(id_col)).distinct()
+    return new.join(kill, id_col, "left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -234,26 +322,8 @@ def minhash_lsh_pairs(
     The only wide operation is the band-bucket join; band hashes are 64-bit
     so the shuffle is tiny relative to the corpus.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_how)
-    banded = sig.select(
-        id_col,
-        "__sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    hash64(
-                        F.array_join(
-                            F.slice("__sig", b * rows_per_band + 1, rows_per_band), ","
-                        ),
-                        how=hash_how,
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("__b"),
-    ).select(id_col, "__sig", F.col("__b.band").alias("band"), F.col("__b.bh").alias("bh"))
+    banded = _band_buckets(sig, id_col, num_hashes, bands, hash_how)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

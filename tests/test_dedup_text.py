@@ -223,3 +223,46 @@ def test_duplicate_components_long_chain(spark):
     )
     comp = {r.id: r.component for r in duplicate_components(pairs).collect()}
     assert comp == {i: 0 for i in range(8)}
+
+
+def test_dedup_against_corpus_cross_side_only(spark):
+    """Delta-vs-corpus dedup: new docs duplicating the EXISTING corpus are
+    dropped; new-vs-new duplicates survive (deliberately); unrelated new
+    docs survive."""
+    from data_pipelines_examples_spark.operators.dedup import (
+        dedup_against_corpus,
+        minhash_lsh_pairs,
+    )
+
+    corpus_text = "the quick brown fox jumps over the lazy dog again and again"
+    near_dup = "the quick brown fox jumps over the lazy dog again and again!"
+    fresh = "completely different content about spark partitions and shuffles"
+    existing = spark.createDataFrame(
+        [(1, corpus_text), (2, "another unrelated existing document entirely")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, near_dup), (11, fresh), (12, fresh)],  # 11/12: new-vs-new dup
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_against_corpus(new, existing, shingle_n=2).collect()
+    )
+    assert kept == [11, 12]  # 10 killed by corpus, new-new pair kept
+
+    # consistency: the cross-match implies the full pair list would pair them
+    both = existing.union(new)
+    pair_ids = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(both, shingle_n=2).collect()
+    }
+    assert (1, 10) in pair_ids
+
+    # threshold gate: an impossibly high bar keeps everything
+    all_kept = sorted(
+        r.doc_id
+        for r in dedup_against_corpus(
+            new, existing, shingle_n=2, min_est_jaccard=1.01
+        ).collect()
+    )
+    assert all_kept == [10, 11, 12]
