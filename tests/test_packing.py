@@ -113,3 +113,16 @@ def test_pack_greedy_precomputed_counts(spark):
     for r in out:
         by_seq[r.seq_id].append(r.doc_id)
     assert {s: sorted(v) for s, v in by_seq.items()} == {0: [1, 2], 1: [3]}
+
+
+def test_chunk_documents_empty_and_whitespace_text(spark):
+    """The whitespace tokenizer maps "" -> [""] (one empty token), so
+    every doc yields at least one chunk and the manifest stays total —
+    same convention as text.py / the DuckDB oracles."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one")], "doc_id long, text string"
+    )
+    out = {(r.doc_id, r.chunk_id): r for r in chunk_documents(df, 8).collect()}
+    assert set(out) == {(1, 0), (2, 0), (3, 0)}
+    assert out[(1, 0)].chunk_text == "" and out[(1, 0)].n_chunk_tokens == 1
+    assert out[(2, 0)].chunk_text == "" and out[(3, 0)].chunk_text == "one"

@@ -117,3 +117,42 @@ def test_write_stream_upsert_latest_version_wins(spark, tmp_path):
     assert n == 3
     out2 = {r.k: (r.v, r.version) for r in spark.read.parquet(target).collect()}
     assert out2 == out
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """leftOuter with watermark + band: a buy with no click in its window
+    emits with nulls once the watermark passes."""
+    buys = [
+        {"user_id": 1, "timestamp": "2024-01-01T10:04:00", "amount": 5.0},
+        {"user_id": 9, "timestamp": "2024-01-01T10:05:00", "amount": 3.0},
+        # late sentinel far in the future advances the watermark so the
+        # unmatched user-9 row can be finalized and emitted
+        {"user_id": 99, "timestamp": "2024-01-01T12:00:00", "amount": 0.0},
+    ]
+    clicks = [
+        {"user_id": 1, "timestamp": "2024-01-01T10:00:00", "page": "a"},
+        {"user_id": 99, "timestamp": "2024-01-01T11:59:00", "page": "z"},
+    ]
+    _write_jsonl(tmp_path / "buys", buys)
+    _write_jsonl(tmp_path / "clicks", clicks)
+    sbuys = read_file_stream(spark, str(tmp_path / "buys"), BUY_SCHEMA)
+    sclicks = read_file_stream(spark, str(tmp_path / "clicks"), CLICK_SCHEMA)
+    joined = stream_stream_join(
+        sbuys, sclicks, key="user_id", max_delay="10 minutes",
+        watermark="1 minutes", how="leftOuter",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(str(tmp_path / "sink"))
+    got = {(r.user_id, r.amount): r.page for r in out.collect()}
+    assert got[(1, 5.0)] == "a"
+    assert (9, 3.0) in got and got[(9, 3.0)] is None  # unmatched emitted
