@@ -77,5 +77,36 @@ def cached(df: DataFrame) -> DataFrame:
     return df
 
 
+def analyze_table(
+    spark: SparkSession,
+    name: str,
+    columns: list[str] | None = None,
+) -> dict:
+    """ANALYZE TABLE → table- and column-level statistics for the
+    cost-based optimizer. At 100 TB this is what lets Catalyst reorder
+    multi-way joins and choose broadcast sides from true row counts rather
+    than file-size guesses; run it after large loads/compactions.
+
+    ``columns=None`` computes table stats only (cheap — size + count);
+    a column list adds NDV/min/max/null-count per column (a full scan —
+    schedule it, don't run it inline). Returns the parsed statistics
+    from DESCRIBE EXTENDED.
+    """
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    stats = next(
+        (r.data_type for r in rows if r.col_name == "Statistics"), None
+    )
+    out = {"statistics": stats}
+    if columns:
+        for c in columns:
+            desc = spark.sql(f"DESCRIBE EXTENDED {name} {c}").collect()
+            out[c] = {r.info_name: r.info_value for r in desc}
+    return out
+
+
 def drop_table(spark: SparkSession, name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {name}")

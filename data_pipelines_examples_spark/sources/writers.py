@@ -20,6 +20,7 @@ reference hand-tunes repartition before constrained sinks.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 class WriteValidationError(RuntimeError):
@@ -157,6 +158,69 @@ def upsert_by_key(
     fs.delete(target, True)
     fs.rename(_hadoop_fs(spark, staging)[1], target)
     return spark.read.format(fmt).load(path).count()
+
+
+def compact_path(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    partition_by: str | list[str] | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """Small-file compaction — the standing maintenance job every
+    streaming/incremental sink needs: micro-batch appends and per-epoch
+    upserts accrete files far below the ideal scan granule, and at 100 TB
+    a scan's task count (and the namenode/liststatus load) is file-bound.
+    Rewrites the dataset into ~``target_mb`` files (computed from the
+    ACTUAL on-disk byte size, not row counts), preserving values exactly,
+    then atomically swaps via the same staging-rename as ``upsert_by_key``
+    so concurrent readers never observe a half-compacted path.
+
+    With ``partition_by`` the layout is rewritten partitioned and files
+    coalesce WITHIN partitions (maxRecordsPerFile bounds stay with
+    Spark's writer). Idempotent: re-running on a compacted path is a
+    no-op rewrite with the same file count.
+
+    Returns {"files_before", "files_after", "rows", "bytes"}.
+    """
+    fs, target = _hadoop_fs(spark, path)
+    before, total_bytes = 0, 0
+    it = fs.listFiles(target, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith(("_", ".")):
+            before += 1
+            total_bytes += f.getLen()
+    df = spark.read.format(fmt).load(path)
+    rows = df.count()
+    n_files = max(int(total_bytes / (target_mb * 1024 * 1024)) + 1, 1)
+    staging = path.rstrip("/") + "__compacting"
+    parts = (
+        [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
+    )
+    if parts:
+        # cluster rows of one partition into the same tasks so each
+        # partition directory gets few, large files
+        out = df.repartition(n_files, *[F.col(c) for c in parts])
+        writer = out.write.format(fmt).mode("overwrite").partitionBy(*parts)
+    else:
+        out = df.repartition(n_files)
+        writer = out.write.format(fmt).mode("overwrite")
+    writer.save(staging)
+    fs.delete(target, True)
+    fs.rename(_hadoop_fs(spark, staging)[1], target)
+    after = 0
+    it = fs.listFiles(target, True)
+    while it.hasNext():
+        if not it.next().getPath().getName().startswith(("_", ".")):
+            after += 1
+    return {
+        "files_before": before,
+        "files_after": after,
+        "rows": rows,
+        "bytes": total_bytes,
+    }
 
 
 def write_single_file(df: DataFrame, path: str, fmt: str = "csv", header: bool = True) -> None:

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_pipelines_examples_spark.sources.catalog import (
     create_database,
     create_table,
@@ -105,3 +107,62 @@ def test_cache_lifecycle(spark):
     assert df.storageLevel.useMemory  # cache actually armed
     df.unpersist()
     assert not df.storageLevel.useMemory
+
+
+def test_compact_path_shrinks_files_preserves_data(spark, tmp_path):
+    """Many tiny appended files -> few target-sized files, identical rows,
+    atomic swap, idempotent re-run."""
+    from data_pipelines_examples_spark.sources.writers import compact_path
+
+    path = str(tmp_path / "t")
+    # simulate micro-batch appends: 12 separate tiny writes
+    for i in range(12):
+        spark.range(i * 10, i * 10 + 10).withColumn(
+            "part", (F.col("id") % 2).cast("int")
+        ).write.mode("append").parquet(path)
+    before_rows = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    stats = compact_path(spark, path, target_mb=128)
+    assert stats["files_before"] >= 12
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1  # tiny data -> single target file
+    assert stats["rows"] == 120
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == before_rows
+
+    # idempotent: second run is a stable no-op rewrite
+    stats2 = compact_path(spark, path, target_mb=128)
+    assert stats2["files_after"] == stats["files_after"]
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == before_rows
+
+
+def test_compact_path_partitioned_layout(spark, tmp_path):
+    from data_pipelines_examples_spark.sources.writers import compact_path
+
+    path = str(tmp_path / "p")
+    for i in range(6):
+        spark.range(i * 10, i * 10 + 10).withColumn(
+            "part", (F.col("id") % 2).cast("int")
+        ).write.mode("append").parquet(path)
+    stats = compact_path(spark, path, target_mb=128, partition_by="part")
+    out = spark.read.parquet(path)
+    assert out.count() == 60 and stats["rows"] == 60
+    # partitioned layout emerged: partition dirs exist and prune
+    assert out.filter("part = 1").count() == 30
+    import os
+    assert any(d.startswith("part=") for d in os.listdir(path))
+
+
+def test_analyze_table_stats_for_cbo(spark, tmp_path):
+    from data_pipelines_examples_spark.sources.catalog import analyze_table, drop_table
+
+    spark.range(1000).withColumn("v", F.col("id") % 7).write.mode(
+        "overwrite"
+    ).saveAsTable("t_stats")
+    try:
+        out = analyze_table(spark, "t_stats", columns=["v"])
+        assert out["statistics"] is not None and "1000 rows" in out["statistics"]
+        # column stats parsed: NDV of id % 7 is 7
+        assert out["v"].get("distinct_count") == "7"
+        assert out["v"].get("min") == "0" and out["v"].get("max") == "6"
+    finally:
+        drop_table(spark, "t_stats")
