@@ -43,24 +43,48 @@ def morton_interleave(cols: list[Column], bits: int = 16) -> Column:
     return z
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
-    """Add ``__z``: the Morton code of the rank-normalized ``cols``.
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16, how: str = "rank"
+) -> DataFrame:
+    """Add ``__z``: the Morton code of the normalized ``cols``.
 
-    Rank normalization = percent_rank per column scaled to [0, 2^bits):
-    monotone in the column, uniform on the curve regardless of the value
-    distribution. Costs one window sort per column at this exactness
-    level; the approx-quantile bucketizer is the one-pass scale variant
-    (any monotone map works — the curve doesn't care which)."""
+    Normalization (any monotone map into [0, 2^bits) works — the curve
+    doesn't care which):
+    - ``how='rank'``: percent_rank per column — uniform on the curve
+      regardless of value distribution, but costs one single-partition
+      window sort per column. Exactness/testing tier, NOT the scale path.
+    - ``how='minmax'``: one aggregate for all columns' global min/max,
+      then equal-width scaling — one extra pass total, no sorts, the
+      100 TB path; skewed columns cluster less evenly (pre-transform
+      them, e.g. log, when it matters)."""
+    scale = (1 << bits) - 1
     out = df
     norm_cols = []
-    scale = (1 << bits) - 1
-    for c in cols:
-        w = Window.orderBy(F.col(c))
-        nc = f"__n_{c}"
-        out = out.withColumn(
-            nc, (F.percent_rank().over(w) * scale).cast("long")
-        )
-        norm_cols.append(nc)
+    if how == "rank":
+        for c in cols:
+            w = Window.orderBy(F.col(c))
+            nc = f"__n_{c}"
+            out = out.withColumn(nc, (F.percent_rank().over(w) * scale).cast("long"))
+            norm_cols.append(nc)
+    elif how == "minmax":
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        b = df.agg(*aggs).first()
+        for c in cols:
+            lo, hi = b[f"__lo_{c}"], b[f"__hi_{c}"]
+            span = (hi - lo) or 1
+            nc = f"__n_{c}"
+            out = out.withColumn(
+                nc,
+                F.least(
+                    ((F.col(c) - F.lit(lo)) / F.lit(span) * scale).cast("long"),
+                    F.lit(scale),
+                ),
+            )
+            norm_cols.append(nc)
+    else:
+        raise ValueError(f"unknown normalization how={how!r}")
     out = out.withColumn("__z", morton_interleave([F.col(c) for c in norm_cols], bits))
     return out.drop(*norm_cols)
 
@@ -72,12 +96,13 @@ def write_zordered(
     n_files: int = 8,
     bits: int = 16,
     fmt: str = "parquet",
+    how: str = "rank",
 ) -> None:
     """Write ``df`` clustered on the Z-curve of ``cols``: range-partition
     by the Z-value into ``n_files`` tasks, sort within each, drop the
     helper column. Every output file then covers a compact rectangle of
     the clustered dimensions — min/max footer stats prune on ANY of them."""
-    keyed = zorder_key(df, cols, bits)
+    keyed = zorder_key(df, cols, bits, how=how)
     (
         keyed.repartitionByRange(n_files, F.col("__z"))
         .sortWithinPartitions("__z")

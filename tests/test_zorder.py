@@ -67,3 +67,24 @@ def test_zorder_files_cover_compact_rectangles(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 64 * 64
     assert back.select(F.min("x"), F.max("x")).first() == (0, 63)
+
+
+def test_zorder_minmax_scale_path(spark, tmp_path):
+    """The no-sort minmax normalization clusters the uniform grid just as
+    compactly — and its plan has no window sort."""
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    keyed = zorder_key(df, ["x", "y"], how="minmax")
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # one agg + narrow exprs, no per-column sort
+    path = str(tmp_path / "zm")
+    write_zordered(df, path, ["x", "y"], n_files=16, how="minmax")
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(path + "/*.parquet"):
+        t = pq.read_table(f).to_pandas()
+        if len(t):
+            spans.append((int(t.x.max() - t.x.min()), int(t.y.max() - t.y.min())))
+    assert sum(len(pq.read_table(f).to_pandas()) for f in glob.glob(path + "/*.parquet")) == 4096
+    assert max(s[0] for s in spans) <= 40 and max(s[1] for s in spans) <= 40
