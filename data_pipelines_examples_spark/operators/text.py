@@ -172,3 +172,45 @@ def doc_fingerprints(
         lambda i: hash64(c.substr(i, F.lit(window)), how=hash_how),
     )
     return df.withColumn(out_col, F.array_min(grams))
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Unigram-LM quality signal: each document's mean surprisal
+    (−log2 p(token)) under the CORPUS unigram distribution, add-k
+    smoothed — the simplified public form of the perplexity filters
+    (KenLM-style) that corpus curation runs before training. High values
+    flag garbled/unusual token streams; unusually low values flag
+    boilerplate.
+
+    Two passes, both shuffle-light at 100 TB: pass 1 aggregates token
+    counts (map-side combine → shuffle carries one row per distinct
+    token per partition); pass 2 joins the exploded tokens to the vocab
+    on the token key (AQE broadcasts the vocab when it fits — typical
+    corpus vocabularies do) and averages per doc. Returns
+    (id, n_tokens, mean_surprisal).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__t"),
+    )
+    vocab = toks.groupBy("__t").agg(F.count("*").alias("__c"))
+    totals = vocab.agg(
+        F.sum("__c").alias("__n"), F.count("*").alias("__v")
+    ).first()
+    n_total, v_size = totals["__n"], totals["__v"]
+    denom = float(n_total + smoothing * v_size)
+    surprisal = -F.log2((F.col("__c") + F.lit(float(smoothing))) / F.lit(denom))
+    return (
+        toks.join(vocab, "__t")
+        .select(F.col(id_col), surprisal.alias("__s"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg("__s").alias("mean_surprisal"),
+        )
+    )

@@ -153,3 +153,42 @@ def q66_quality_floor_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q67_unigram_surprisal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      FROM documents
+    ),
+    vocab AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM vocab)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(CAST(AVG(-log2((c + 1.0) / (n + 1.0 * v))) AS DECIMAL(18,6))
+                AS DOUBLE) AS mean_surprisal
+    FROM toks JOIN vocab USING (t) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q67_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram mean surprisal per document — the public simplified
+    form of the perplexity quality filters run before training (high =
+    garbled/unusual, low = boilerplate). Two shuffle-light passes (vocab
+    agg with map-side combine; token→vocab join AQE-broadcast when the
+    vocab fits). Rounded through DECIMAL(18,6) on BOTH sides: log2 is
+    not correctly-rounded identically across engines, and the mean's
+    addition order is partition-dependent — 6-decimal rounding absorbs
+    those last-ulp effects (q42's cosine pattern)."""
+    from .operators.text import unigram_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    out = unigram_surprisal(d)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.col("mean_surprisal").cast("decimal(18,6)").cast("double").alias(
+            "mean_surprisal"
+        ),
+    )

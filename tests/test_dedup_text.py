@@ -266,3 +266,27 @@ def test_dedup_against_corpus_cross_side_only(spark):
         ).collect()
     )
     assert all_kept == [10, 11, 12]
+
+
+def test_unigram_surprisal_orders_quality(spark):
+    """Rare-token documents score higher surprisal than common-token
+    documents; analytic check on a tiny corpus."""
+    import math
+
+    from data_pipelines_examples_spark.operators.text import unigram_surprisal
+
+    # 'the' appears 8x, 'zyx' once; doc 3 is all-common, doc 4 all-rare
+    docs = [
+        (1, "the the the the"),
+        (2, "the the the the"),
+        (3, "the the"),
+        (4, "zyx"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_surprisal(df).collect()}
+    assert out[4].mean_surprisal > out[3].mean_surprisal
+    # exact: corpus N=11, V=2, add-1: p(the)=(10+1)/(11+2), p(zyx)=(1+1)/13
+    p_the, p_zyx = 11 / 13, 2 / 13
+    assert math.isclose(out[3].mean_surprisal, -math.log2(p_the), rel_tol=1e-12)
+    assert math.isclose(out[4].mean_surprisal, -math.log2(p_zyx), rel_tol=1e-12)
+    assert out[1].n_tokens == 4 and out[4].n_tokens == 1
