@@ -222,3 +222,66 @@ def pack_greedy(
         )
 
     return sharded.groupBy("shard").applyInPandas(_pack, _GREEDY_SCHEMA)
+
+
+def materialize_sequences(
+    docs: DataFrame,
+    manifest: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Turn a ``pack_offsets`` manifest into the actual training
+    sequences: one row per (shard, seq_id) with the concatenated token
+    text, exactly ``budget`` tokens except each shard's final sequence.
+
+    Each manifest row's slice WITHIN its document is recovered as the
+    running sum of that document's earlier pieces (window over the doc,
+    ordered by seq_id) — no doc-start bookkeeping needs to survive the
+    manifest. Then one join carries each document's token array to its
+    pieces (text crosses the wire ONCE), and a groupBy(shard, seq_id)
+    assembles pieces in offset order via sorted struct collection.
+
+    Plan: 3 exchanges (manifest re-key by doc, docs join by doc,
+    sequence assembly by (shard, seq_id)); only the join shuffles text.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(manifest[id_col])
+        .orderBy("seq_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pieces = manifest.withColumn(
+        "__doc_off", F.coalesce(F.sum("tokens_in_seq").over(w), F.lit(0))
+    )
+    toks = docs.select(F.col(id_col), _toks(text_col).alias("__toks"))
+    sliced = pieces.join(toks, id_col).select(
+        "shard",
+        "seq_id",
+        "offset_in_seq",
+        "tokens_in_seq",
+        F.slice(
+            F.col("__toks"), F.col("__doc_off") + 1, F.col("tokens_in_seq")
+        ).alias("__piece"),
+    )
+    assembled = (
+        sliced.groupBy("shard", "seq_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("offset_in_seq", "__piece"))
+            ).alias("__ps")
+        )
+        .select(
+            "shard",
+            "seq_id",
+            F.array_join(
+                F.flatten(F.transform(F.col("__ps"), lambda s: s["__piece"])), " "
+            ).alias("seq_text"),
+            F.aggregate(
+                F.col("__ps"),
+                F.lit(0),
+                lambda acc, s: acc + F.size(s["__piece"]),
+            ).alias("n_tokens"),
+        )
+    )
+    return assembled

@@ -126,3 +126,30 @@ def test_chunk_documents_empty_and_whitespace_text(spark):
     assert set(out) == {(1, 0), (2, 0), (3, 0)}
     assert out[(1, 0)].chunk_text == "" and out[(1, 0)].n_chunk_tokens == 1
     assert out[(2, 0)].chunk_text == "" and out[(3, 0)].chunk_text == "one"
+
+
+def test_materialize_sequences_roundtrip(spark):
+    """End-to-end: manifest + docs -> sequences whose concatenation per
+    shard reproduces the docs' token streams in id order, with every
+    non-final sequence exactly at the budget."""
+    from data_pipelines_examples_spark.operators.packing import (
+        materialize_sequences,
+    )
+
+    sizes = {i: s for i, s in enumerate([100, 120, 90, 300, 40, 256, 10, 5])}
+    df = _docs(spark, sizes)
+    manifest = pack_offsets(df, budget=256, shards=1)
+    seqs = sorted(
+        materialize_sequences(df, manifest).collect(), key=lambda r: r.seq_id
+    )
+    # all but the last sequence are budget-exact
+    for r in seqs[:-1]:
+        assert r.n_tokens == 256 and len(r.seq_text.split(" ")) == 256
+    # concatenating every sequence reproduces the id-ordered token stream
+    stream = []
+    for r in seqs:
+        stream.extend(r.seq_text.split(" "))
+    expected = []
+    for i in sorted(sizes):
+        expected.extend(f"t{i}w{j}" for j in range(sizes[i]))
+    assert stream == expected
