@@ -192,3 +192,61 @@ def q67_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_surprisal"
         ),
     )
+
+
+@query(
+    "q68_materialized_sequences",
+    r"""
+    WITH counted AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+               AS n_tok,
+             CAST(doc_id % 8 AS INTEGER) AS shard
+      FROM documents
+    ),
+    b AS (
+      SELECT shard, doc_id, toks, n_tok,
+             CAST(SUM(n_tok) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+      FROM counted
+    ),
+    s AS (
+      SELECT shard, doc_id, toks, e, e - n_tok AS st,
+             unnest(generate_series(
+               (e - n_tok) // 256, greatest(e - 1, e - n_tok) // 256)) AS seq_id
+      FROM b
+    ),
+    pieces AS (
+      SELECT shard, seq_id,
+             CAST(greatest(st - seq_id*256, 0) AS BIGINT) AS offset_in_seq,
+             CAST(greatest(seq_id*256 - st, 0) AS BIGINT) AS doc_off,
+             CAST(least(e, (seq_id+1)*256) - greatest(st, seq_id*256) AS BIGINT)
+               AS tokens_in_seq,
+             toks
+      FROM s
+    )
+    SELECT shard, seq_id,
+           array_to_string(
+             flatten(array_agg(toks[doc_off+1 : doc_off+tokens_in_seq]
+                               ORDER BY offset_in_seq)), ' ') AS seq_text,
+           CAST(SUM(tokens_in_seq) AS BIGINT) AS n_tokens
+    FROM pieces
+    GROUP BY shard, seq_id
+    """,
+)
+def q68_materialized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end packed TRAINING SEQUENCES (q64's manifest joined back to
+    text and assembled): the strongest verification of the packing family
+    — the oracle independently rebuilds every sequence's exact token
+    string, so manifest arithmetic, doc-side slicing, and offset-ordered
+    assembly are all hash-checked together. Text crosses one shuffle."""
+    from .operators.packing import materialize_sequences, pack_offsets
+
+    d = _t(spark, sf_dir, "documents")
+    manifest = pack_offsets(d, budget=256, shards=8)
+    out = materialize_sequences(d, manifest)
+    return out.select(
+        "shard", "seq_id", "seq_text", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
