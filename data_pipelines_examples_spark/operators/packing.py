@@ -30,8 +30,6 @@ lower(trim(text)), so token budgets agree with ``token_count``.
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,10 +40,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-
 def _toks(text_col: str) -> F.Column:
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-
 
 def chunk_documents(
     df: DataFrame,
@@ -83,7 +79,6 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).alias("n_chunk_tokens"),
     )
-
 
 def pack_offsets(
     df: DataFrame,
@@ -157,7 +152,6 @@ def pack_offsets(
         .alias("tokens_in_seq"),
     )
 
-
 _GREEDY_SCHEMA = StructType(
     [
         StructField("shard", IntegerType()),
@@ -166,7 +160,6 @@ _GREEDY_SCHEMA = StructType(
         StructField("n_tokens", LongType()),
     ]
 )
-
 
 def pack_greedy(
     df: DataFrame,
@@ -222,7 +215,6 @@ def pack_greedy(
         )
 
     return sharded.groupBy("shard").applyInPandas(_pack, _GREEDY_SCHEMA)
-
 
 def materialize_sequences(
     docs: DataFrame,
