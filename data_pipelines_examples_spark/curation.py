@@ -1,0 +1,103 @@
+"""End-to-end corpus curation: the published pretraining-data recipe as
+one composable pipeline over the operator library.
+
+The stages are the public, standard sequence (quality filter →
+deduplicate → decontaminate → mix → shuffle), each implemented by the
+scale-shaped operator documented in its own module — this function only
+composes and records counts, so everything stays a single lazy DataFrame
+program until the caller materializes it. Every stage is individually
+hash-verified by catalog oracles (q13/q33/q58/q59/q62/q65/q66); this
+module's tests pin the composition: stage counts are monotone
+non-increasing, the output is deterministic across reruns and input
+repartitioning, and each intermediate invariant (no exact dups, no
+benchmark overlap) holds on the result.
+
+100 TB notes: counts() are per-stage actions — pass ``collect_stats=
+False`` to skip them and keep the whole pipeline one job; every stage's
+shuffle carries ids/hashes/keys, never more than one pass of document
+bodies (the final projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = None,
+    quality_quantile: float = 0.2,
+    mix_rates: dict[str, int] | None = None,
+    shuffle_seed: int = 7,
+    minhash_bands: int = 8,
+    collect_stats: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Run the standard curation recipe; returns (curated_df, stats).
+
+    1. quality: heuristic score per doc, drop the bottom
+       ``quality_quantile`` per language (per-group floor so one noisy
+       language can't be wiped out by another's distribution)
+    2. exact dedup (hash-groupBy, min id wins)
+    3. near dedup: MinHash-LSH pairs → connected components → keep each
+       cluster's canonical doc
+    4. decontamination vs ``benchmark`` (13-gram overlap), if given
+    5. deterministic stratified mix by language (modulo sampling), if
+       ``mix_rates`` given
+    6. epoch-shuffle key (seeded hash — sort by it to stream the epoch)
+
+    The returned frame has the original columns plus ``lang_pred``,
+    ``quality``, and ``shuffle_key``.
+    """
+    from .operators.dedup import (
+        decontaminate,
+        dedup_exact,
+        dedup_keep_canonical,
+        minhash_lsh_pairs,
+    )
+    from .operators.sampling import (
+        epoch_shuffle,
+        filter_by_group_quantile,
+        stratified_mod_sample,
+    )
+    from .operators.text import lang_id, quality_score
+
+    stats: dict = {}
+
+    def _n(stage: str, df: DataFrame) -> DataFrame:
+        if collect_stats:
+            stats[stage] = df.count()
+        return df
+
+    _n("input", docs)
+
+    scored = quality_score(lang_id(docs, text_col), text_col)
+    group = lang_col or "lang_pred"
+    floored = _n(
+        "quality_floor",
+        filter_by_group_quantile(scored, group, "quality", quality_quantile),
+    )
+
+    exact = _n("exact_dedup", dedup_exact(floored, text_col, id_col=id_col))
+
+    pairs = minhash_lsh_pairs(exact, id_col, text_col, bands=minhash_bands)
+    near = _n("near_dedup", dedup_keep_canonical(exact, pairs, id_col))
+
+    if benchmark is not None:
+        near = _n(
+            "decontaminated",
+            decontaminate(near, benchmark, id_col=id_col, text_col=text_col),
+        )
+
+    if mix_rates is not None:
+        near = _n(
+            "mixed",
+            stratified_mod_sample(near, group, mix_rates, id_col=id_col),
+        )
+
+    out = epoch_shuffle(near, id_col, seed=shuffle_seed)
+    stats["output"] = stats.get("mixed", stats.get("decontaminated", stats.get("near_dedup"))) if collect_stats else None
+    return out, stats
