@@ -276,3 +276,55 @@ def embedding_dedup_lsh_sql(
     SELECT id_a, id_b, CAST(CAST(sim AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
     FROM verified WHERE sim >= {threshold!r}
     """
+
+
+def dedup_against_corpus_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    new_pred: str = "doc_id % 2 = 1",
+    existing_pred: str = "doc_id % 2 = 0",
+) -> str:
+    """Cross-corpus dedup replication: same signatures/bands as
+    ``minhash_lsh_pairs_sql`` (per-doc computation is side-independent),
+    then NEW docs sharing any band bucket with an EXISTING doc are
+    dropped — mirrors ``dedup.dedup_against_corpus(hash_how='portable')``."""
+    from .operators.dedup import MINHASH_P
+
+    rpb = num_hashes // bands
+    mins = ",\n             ".join(
+        f"MIN((h1 + {k} * h2) % {MINHASH_P}) AS m{k}" for k in range(num_hashes)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'bh': %s}"
+        % (b, sql_hash64("concat_ws(','," + ",".join(f"m{b * rpb + j}" for j in range(rpb)) + ")"))
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_grams_cte(table, id_col, "text", shingle_n)},
+    based AS (
+      SELECT {id_col},
+             {sql_hash64_seeded('g', 0)} % {MINHASH_P} AS h1,
+             {sql_hash64_seeded('g', 1)} % {MINHASH_P} AS h2
+      FROM grams
+    ),
+    sigs AS (
+      SELECT {id_col}, {mins}
+      FROM based GROUP BY {id_col}
+    ),
+    banded AS (
+      SELECT {id_col}, unnest([{band_structs}], recursive := true) FROM sigs
+    ),
+    matched AS (
+      SELECT DISTINCT n.{id_col}
+      FROM banded n JOIN banded e ON n.band = e.band AND n.bh = e.bh
+      WHERE n.{id_col} IN (SELECT {id_col} FROM {table} WHERE {new_pred})
+        AND e.{id_col} IN (SELECT {id_col} FROM {table} WHERE {existing_pred})
+    )
+    SELECT d.{id_col}, d.n_chars
+    FROM {table} d
+    WHERE {new_pred}
+      AND d.{id_col} NOT IN (SELECT {id_col} FROM matched)
+    """

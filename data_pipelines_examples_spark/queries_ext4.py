@@ -250,3 +250,25 @@ def q68_materialized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "shard", "seq_id", "seq_text", F.col("n_tokens").cast("bigint").alias("n_tokens")
     )
+
+
+@query(
+    "q69_dedup_against_corpus",
+    __import__(
+        "data_pipelines_examples_spark.oracles",
+        fromlist=["dedup_against_corpus_sql"],
+    ).dedup_against_corpus_sql(),
+)
+def q69_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup, fully oracle-replicated: the
+    odd-id half of documents (the 'crawl delta') deduped against the
+    even-id half (the 'existing corpus') — cross-side LSH band join
+    only, portable hashing so DuckDB rebuilds identical signatures,
+    bands, and survivors."""
+    from .operators.dedup import dedup_against_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    existing = d.filter(F.col("doc_id") % 2 == 0)
+    kept = dedup_against_corpus(new, existing, hash_how="portable")
+    return kept.select("doc_id", "n_chars")
