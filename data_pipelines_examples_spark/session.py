@@ -60,6 +60,19 @@ PROFILES: dict[str, dict[str, str]] = {
         "spark.sql.shuffle.partitions": "2560",
         "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
         "spark.sql.autoBroadcastJoinThreshold": str(50 * 1024 * 1024),
+        # Runtime Bloom-filter join pruning: when one join side is
+        # selective, a bloom filter built from it prunes the big side's
+        # scan at the shuffle — the engine-level version of the manual
+        # "collect keys then IN-filter" idiom the reference hand-writes.
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # RocksDB state store: streaming aggregation/join/dedup state on
+        # native disk-backed storage instead of the executor JVM heap —
+        # the difference between "state fits until it doesn't" and
+        # bounded memory at 100 TB-scale key cardinality.
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
     },
 }
 

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from data_pipelines_examples_spark.streaming.stateful import (
     stream_dedup_by_key,
     stream_running_counts,
@@ -327,3 +329,50 @@ def test_stream_dedup_native(spark, tmp_path):
         q.stop()
     got = {(r.k, r.v) for r in spark.table("dedupn_out").collect()}
     assert got == {("a", 1), ("b", 2), ("c", 4)}, "repeat of key a must be dropped"
+
+
+def test_rocksdb_state_store_provider_runs(spark, tmp_path):
+    """The cluster profile's RocksDB state store actually works in this
+    Spark build: a windowed streaming aggregation runs with the provider
+    set and produces correct counts (state off-heap on disk, not JVM)."""
+    import json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"user_id": i % 3, "timestamp": f"2024-01-01T10:{i:02d}:00"} for i in range(12)
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, timestamp timestamp")
+            .json(str(src))
+            .withWatermark("timestamp", "1 hour")
+            .groupBy(F.window("timestamp", "1 hour"), "user_id")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("rocks_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.user_id: r.n for r in spark.sql("SELECT * FROM rocks_counts").collect()
+            }
+        finally:
+            q.stop()
+        assert got == {0: 4, 1: 4, 2: 4}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
