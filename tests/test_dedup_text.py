@@ -290,3 +290,20 @@ def test_unigram_surprisal_orders_quality(spark):
     assert math.isclose(out[3].mean_surprisal, -math.log2(p_the), rel_tol=1e-12)
     assert math.isclose(out[4].mean_surprisal, -math.log2(p_zyx), rel_tol=1e-12)
     assert out[1].n_tokens == 4 and out[4].n_tokens == 1
+
+
+def test_duplicate_components_long_chain_log_rounds(spark, tmp_path):
+    """A 64-node path graph (diameter 63) must fully converge — pure
+    neighbor propagation would need 63 rounds and silently time out at
+    the 20-iteration cap; path halving closes it in O(log n) rounds."""
+    from data_pipelines_examples_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    out = duplicate_components(
+        pairs, max_iterations=12, state_path=str(tmp_path / "cc")
+    )
+    comp = {r.id: r.component for r in out.collect()}
+    assert set(comp) == set(range(64))
+    assert set(comp.values()) == {0}  # ONE component, fully converged
