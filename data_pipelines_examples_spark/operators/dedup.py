@@ -646,6 +646,8 @@ def duplicate_components(
         max_iterations=max_iterations,
         state_path=state_path,
         metric=lambda df: df.agg(F.sum("component")).first()[0],
+        # a stale label set silently under-merges clusters — fail loudly
+        on_max="raise",
     )
 
 

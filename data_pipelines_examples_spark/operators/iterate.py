@@ -27,12 +27,18 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 
+class FixpointNotReached(RuntimeError):
+    """The iteration cap was hit while the convergence metric was still
+    moving — the returned state would be silently stale."""
+
+
 def iterate_until_fixpoint(
     initial: DataFrame,
     step: Callable[[DataFrame, int], DataFrame],
     max_iterations: int = 50,
     state_path: str | None = None,
     metric: Callable[[DataFrame], object] | None = None,
+    on_max: str = "warn",
 ) -> DataFrame:
     """Apply ``step(state, i)`` until the metric (default: row count) stops
     changing, or ``max_iterations`` is hit.
@@ -40,11 +46,20 @@ def iterate_until_fixpoint(
     ``state_path``: directory for loop-carried parquet state (pluggable —
     the reference hard-codes a Delta path). If None, a temp dir is used and
     alternating subdirs a/b hold current/next state.
+
+    ``on_max`` controls what happens when the cap is hit with the metric
+    STILL CHANGING (i.e. the result is not a fixpoint): ``"warn"`` logs
+    and returns the last state (default — matches the reference loop's
+    behavior), ``"raise"`` throws :class:`FixpointNotReached` (use for
+    correctness-critical consumers like connected components, where a
+    stale label set silently under-merges clusters), ``"return"`` stays
+    silent.
     """
     spark = initial.sparkSession
     base = state_path or tempfile.mkdtemp(prefix="dpe_fixpoint_")
     cur_metric = None
     state = initial
+    converged = False
     for i in range(max_iterations):
         slot = os.path.join(base, f"iter_{i % 2}")
         nxt = step(state, i)
@@ -52,8 +67,19 @@ def iterate_until_fixpoint(
         state = spark.read.parquet(slot)
         m = metric(state) if metric else state.count()
         if m == cur_metric:
+            converged = True
             break
         cur_metric = m
+    if not converged and on_max != "return":
+        msg = (
+            f"fixpoint not reached after {max_iterations} iterations "
+            f"(metric still changing: {cur_metric!r})"
+        )
+        if on_max == "raise":
+            raise FixpointNotReached(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
     return state
 
 

@@ -71,3 +71,34 @@ def test_fixpoint_respects_max_iterations(spark, tmp_path):
 
     iterate_until_fixpoint(df, step, max_iterations=3, state_path=str(tmp_path / "s"))
     assert len(calls) == 3
+
+
+def test_fixpoint_raises_on_non_convergence(spark, tmp_path):
+    """on_max='raise' surfaces a still-moving metric instead of returning
+    silently stale state."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from data_pipelines_examples_spark.operators.iterate import (
+        FixpointNotReached,
+        iterate_until_fixpoint,
+    )
+
+    init = spark.range(3)
+
+    def grow(state, _i):  # never converges: one more row each round
+        return state.unionByName(
+            state.agg((F.max("id") + 1).alias("id"))
+        )
+
+    with pytest.raises(FixpointNotReached):
+        iterate_until_fixpoint(
+            init, grow, max_iterations=3,
+            state_path=str(tmp_path / "fp"), on_max="raise",
+        )
+    # default 'warn' returns the last state
+    out = iterate_until_fixpoint(
+        init, grow, max_iterations=3, state_path=str(tmp_path / "fp2")
+    )
+    assert out.count() == 6
