@@ -272,3 +272,47 @@ def q69_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = d.filter(F.col("doc_id") % 2 == 0)
     kept = dedup_against_corpus(new, existing, hash_how="portable")
     return kept.select("doc_id", "n_chars")
+
+
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    """DuckDB replication of zorder_key(how='minmax', bits=8) over
+    (o_custkey, o_totalprice). floor() before the BIGINT cast matches
+    Spark's truncating double→long cast (operands are non-negative);
+    DuckDB's bare double→BIGINT cast ROUNDS and would diverge."""
+    scale = (1 << bits) - 1
+    interleave = " | ".join(
+        f"(((nx >> {b}) & 1) << {2 * b}) | (((ny >> {b}) & 1) << {2 * b + 1})"
+        for b in range(bits)
+    )
+    return f"""
+    WITH bounds AS (
+      SELECT MIN(o_custkey) AS lo_x, MAX(o_custkey) AS hi_x,
+             MIN(o_totalprice) AS lo_y, MAX(o_totalprice) AS hi_y
+      FROM orders
+    ),
+    norm AS (
+      SELECT o_orderkey,
+             least(CAST(floor((o_custkey - lo_x) / CAST(hi_x - lo_x AS DOUBLE)
+                              * {scale}) AS BIGINT), {scale}) AS nx,
+             least(CAST(floor((o_totalprice - lo_y) / (hi_y - lo_y)
+                              * {scale}) AS BIGINT), {scale}) AS ny
+      FROM orders CROSS JOIN bounds
+    )
+    SELECT o_orderkey, CAST({interleave} AS BIGINT) AS zkey
+    FROM norm
+    """
+
+
+@query("q70_zorder_keys", _zorder_oracle_sql())
+def q70_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order curve keys over (customer, price) for every order —
+    the clustered-write sort key, hash-pinned cross-engine: minmax
+    normalization is one aggregate + IEEE-identical arithmetic, and the
+    Morton interleave is exact integer bit math, so DuckDB rebuilds the
+    identical curve. (The rank-normalization tier is Spark-only — its
+    percent_rank sort has no cheap SQL twin and isn't the scale path.)"""
+    from .operators.zorder import zorder_key
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    keyed = zorder_key(o, ["o_custkey", "o_totalprice"], bits=8, how="minmax")
+    return keyed.select("o_orderkey", F.col("__z").alias("zkey"))
