@@ -83,9 +83,10 @@ def epoch_shuffle(
     """
     from ..functions.hashing import hash64
 
-    return df.withColumn(
-        out_col, hash64(F.col(id_col).cast("string"), seed=seed, how=hash_how)
-    )
+    # portable (md5) hashing is defined over strings; the xxhash64 path
+    # hashes the raw column (no per-row string materialization)
+    key = F.col(id_col).cast("string") if hash_how == "portable" else F.col(id_col)
+    return df.withColumn(out_col, hash64(key, seed=seed, how=hash_how))
 
 
 def filter_by_group_quantile(
