@@ -123,9 +123,12 @@ def hyperplane_buckets_arrow(
     once: a pandas UDF returning the per-table bucket array for each
     vector. This is the signature-stage scale path — the expression
     version pays an interpreted lambda call per (plane × element) because
-    Spark's higher-order functions never enter codegen, ~5 M
-    element-ops/s/core; the Arrow batch runs the same math as numpy array
-    ops at ~1 G ops/s (measured 12× on the sf0.1 signature stage).
+    Spark's higher-order functions never enter codegen; the Arrow batch
+    runs the same math as numpy array ops. Measured median-of-5 on the
+    sf0.1 embedding dedup end-to-end: 1.7× (3.0 s → 1.7 s). (Don't trust
+    a bare ``count()`` over the signature projection as a benchmark:
+    explode cardinality is value-independent, so Catalyst prunes the
+    bucket computation out of a count-only plan.)
 
     BIT-IDENTITY guarantee (this is what lets the DuckDB oracle keep
     hash-verifying the LSH output): the HOF fold computes
