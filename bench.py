@@ -81,6 +81,23 @@ def main() -> None:
     # always print). Each query runs TWICE and reports the faster run:
     # single-shot walls on a shared host swing 2× with ambient load, and
     # the min is the standard noise-robust estimator of true plan cost.
+    from pyspark.sql import functions as F
+
+    def consume(df) -> int:
+        # count() alone lets Catalyst PRUNE unaggregated projections (an
+        # explode's cardinality is value-independent, so e.g. chunk text
+        # would never materialize). Hash every column into an aggregate
+        # to force full evaluation; fall back to count() for types the
+        # hash doesn't support (maps).
+        try:
+            row = df.agg(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64(F.struct(*df.columns))).alias("h"),
+            ).first()
+            return row["n"]
+        except Exception:  # noqa: BLE001 — unhashable column type
+            return df.count()
+
     timings: dict[str, float | None] = {}
     for name in BENCH_QUERIES:
         best: float | None = None
@@ -88,7 +105,7 @@ def main() -> None:
         try:
             for _ in range(2):
                 t0 = time.time()
-                n = qs[name](spark, sf_dir).count()
+                n = consume(qs[name](spark, sf_dir))
                 wall = time.time() - t0
                 best = wall if best is None else min(best, wall)
         except Exception as e:  # noqa: BLE001
