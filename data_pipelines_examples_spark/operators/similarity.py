@@ -371,3 +371,102 @@ def embedding_dedup_pairs_lsh(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split the vector into ``m``
+    contiguous subspaces and k-means each independently (MLlib, like
+    ``kmeans_centroids``). Returns codebooks[m][k][dim/m].
+
+    PQ is the public memory-compression path for billion-vector search
+    (the standard IVF companion): a 64-dim float32 vector (256 B)
+    becomes ``m`` uint8 codes (8 B at m=8, k<=256) — a 32× footprint
+    cut — while asymmetric-distance search stays a table lookup per
+    subspace. Training touches a sample; encoding/search are pure
+    column expressions.
+
+    Reproducibility: MLlib k-means initialization samples BY PARTITION,
+    so the same seed over a differently-partitioned input yields
+    different (equally valid) codebooks. Persist the trained codebooks
+    as an artifact — encodings are then exactly reproducible, which is
+    what a corpus index needs (same contract as the IVF centroids).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
+    first = train.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sub = train.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), s * dsub + 1, dsub).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + s).fit(sub)
+        books.append([list(map(float, c)) for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode each vector as ``m`` small ints (nearest codebook centroid
+    per subspace, squared L2) — pure expressions, zero shuffles; encoding
+    100 TB of vectors is one scan."""
+    dsub = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        codes.append(_nearest_centroids(sub, book, 1)[0])
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance top-k for ONE query over PQ codes: the query
+    precomputes an m×k lookup table of exact subspace distances
+    (driver-side floats, embedded as literal arrays), and every corpus
+    row's approximate distance is ``m`` array lookups + adds — no vector
+    arithmetic per row at all, which is the point of PQ at scale. Fan
+    multiple queries out with a union or a crossJoin against a broadcast
+    query-LUT table. Returns (id, approx_dist, rank) ascending.
+    """
+    dsub = len(codebooks[0][0])
+    luts = []
+    for s, book in enumerate(codebooks):
+        qsub = query_vec[s * dsub : (s + 1) * dsub]
+        luts.append(
+            [sum((a - b) ** 2 for a, b in zip(qsub, c)) for c in book]
+        )
+    dist = None
+    for s, lut in enumerate(luts):
+        lut_col = F.array(*[F.lit(float(x)) for x in lut])
+        term = F.element_at(lut_col, F.col(code_col)[s] + 1)
+        dist = term if dist is None else dist + term
+    scored = encoded.select(F.col(id_col), dist.alias("approx_dist"))
+    w = Window.orderBy(F.col("approx_dist").asc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
