@@ -470,3 +470,48 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_pq_index(
+    df: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVF+PQ index frame: (id, ivf_bucket, pq_code). One
+    narrow pass — at 100 TB this is the write-once corpus index that
+    search reads INSTEAD of the vectors (m bytes/vector + a bucket id);
+    persist it partitioned by ``ivf_bucket`` so a probe prunes files."""
+    bucketed = df.withColumn(
+        "ivf_bucket", _nearest_centroids(F.col(vec_col), coarse_centroids, 1)[0]
+    )
+    return pq_encode(bucketed, codebooks, vec_col).select(
+        id_col, "ivf_bucket", "pq_code"
+    )
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    query_vec: list[float],
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF+PQ search — the canonical billion-vector layout: route the
+    query to its ``n_probe`` nearest coarse buckets (computed driver-side
+    from the centroid constants), then ADC-score only those buckets'
+    codes (m table lookups per row, no vector math, no vector I/O).
+    With ``n_probe == len(coarse_centroids)`` the candidate set equals
+    the whole index and the result is exactly ``pq_adc_topk`` (invariant
+    pinned by test). Returns (id, approx_dist, rank) ascending.
+    """
+    dists = [
+        (sum((a - b) ** 2 for a, b in zip(query_vec, c)), i)
+        for i, c in enumerate(coarse_centroids)
+    ]
+    probes = [i for _, i in sorted(dists)[:n_probe]]
+    cand = index.filter(F.col("ivf_bucket").isin(probes))
+    return pq_adc_topk(cand, query_vec, codebooks, k=k, id_col=id_col)

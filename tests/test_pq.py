@@ -92,3 +92,30 @@ def test_pq_deterministic_rerun(spark):
     for s in range(M):
         for c1, c2 in zip(sorted(b1[s]), sorted(b2[s])):
             assert all(math.isclose(a, b, rel_tol=1e-9) for a, b in zip(c1, c2))
+
+
+def test_ivf_pq_full_probe_equals_adc(spark):
+    from data_pipelines_examples_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_topk,
+        kmeans_centroids,
+    )
+
+    df, centers = _clustered(spark)
+    coarse = kmeans_centroids(df, k=4, seed=9)
+    books = pq_train(df, m=M, k=K, seed=5)
+    index = ivf_pq_index(df, coarse, books).cache()
+    q = [float(x) for x in centers[2]]
+
+    # full probe == plain ADC over all codes (exactness invariant)
+    full = ivf_pq_topk(index, q, coarse, books, n_probe=len(coarse), k=8)
+    plain = pq_adc_topk(index, q, books, k=8)
+    assert [(r.vec_id, r.rank) for r in full.collect()] == [
+        (r.vec_id, r.rank) for r in plain.collect()
+    ]
+
+    # n_probe=1 still finds the query's own cluster members
+    near = ivf_pq_topk(index, q, coarse, books, n_probe=1, k=8)
+    got = near.join(df.select("vec_id", "cluster"), "vec_id").collect()
+    assert len(got) == 8 and all(r.cluster == 2 for r in got)
+    index.unpersist()
