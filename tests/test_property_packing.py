@@ -61,3 +61,42 @@ def test_pack_offsets_conservation_laws(spark, sizes, budget):
             assert nxt.seq_id == prev.seq_id + 1  # consecutive sequences
             assert prev.offset_in_seq + prev.tokens_in_seq == budget
             assert nxt.offset_in_seq == 0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    max_tokens=st.integers(min_value=2, max_value=64),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunk_documents_total_coverage(spark, n, max_tokens, overlap_frac):
+    """For any (doc length, window, overlap): the chunk windows cover
+    every token index exactly from 0..n, consecutive windows start
+    stride apart, and no window is fully contained in the previous."""
+    from data_pipelines_examples_spark.operators.packing import chunk_documents
+
+    overlap = min(int(max_tokens * overlap_frac), max_tokens - 1)
+    stride = max_tokens - overlap
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{j}" for j in range(n)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(df, max_tokens, overlap).collect(), key=lambda r: r.chunk_id
+    )
+    # windows: [cid*stride, cid*stride + n_chunk_tokens)
+    covered_to = 0
+    for r in rows:
+        start = r.chunk_id * stride
+        assert start <= covered_to  # no gap
+        covered_to = max(covered_to, start + r.n_chunk_tokens)
+        assert r.n_chunk_tokens <= max_tokens
+    assert covered_to == n  # every token reached, none past the end
+    # the final window genuinely adds tokens (no fully-redundant tail)
+    if len(rows) > 1:
+        last = rows[-1]
+        prev_end = rows[-2].chunk_id * stride + rows[-2].n_chunk_tokens
+        assert last.chunk_id * stride + last.n_chunk_tokens > prev_end
