@@ -101,3 +101,47 @@ def curate_corpus(
     out = epoch_shuffle(near, id_col, seed=shuffle_seed)
     stats["output"] = stats.get("mixed", stats.get("decontaminated", stats.get("near_dedup"))) if collect_stats else None
     return out, stats
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    seed: int = 5,
+    hash_how: str = "xxhash64",
+    buckets: int = 100,
+) -> DataFrame:
+    """Train/validation split that can never leak a near-duplicate across
+    the boundary: documents are first clustered into duplicate components
+    (``pairs`` = any near-dup pair list — minhash/simhash/embedding LSH),
+    then the WHOLE component is assigned to one side by a seeded hash of
+    its canonical (minimum) id. A doc and its near-twin always share a
+    component, hence a side — the property a naive per-doc random split
+    silently violates, inflating eval scores.
+
+    Returns docs + (root, split) with split ∈ {'train', 'val'};
+    ``val_pct`` of hash buckets go to 'val'. Deterministic and
+    re-runnable: adding new documents never flips existing assignments
+    (new members of an existing component inherit its root).
+
+    Scale shape: components carry ids only (see ``duplicate_components``);
+    the docs⋈components join is on the id key; the split itself is a
+    narrow hash projection. ``hash_how='portable'`` makes the assignment
+    re-derivable in any engine with md5 — the audit answer to "was this
+    eval document ever trained on?".
+    """
+    from .functions.hashing import hash64
+    from .operators.dedup import duplicate_components
+
+    comp = duplicate_components(pairs)
+    rooted = docs.join(
+        comp.select(F.col("id").alias(id_col), "component"), id_col, "left"
+    ).withColumn("root", F.coalesce(F.col("component"), F.col(id_col)))
+    key = (
+        F.col("root").cast("string") if hash_how == "portable" else F.col("root")
+    )
+    bucket = F.pmod(hash64(key, seed=seed, how=hash_how), F.lit(buckets))
+    return rooted.withColumn(
+        "split", F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train"))
+    ).drop("component")

@@ -277,3 +277,56 @@ def materialize_sequences(
         )
     )
     return assembled
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    bucket_width: int = 16,
+    batch_size: int = 4,
+    shards: int = 8,
+    seed: int = 3,
+    hash_how: str = "xxhash64",
+) -> DataFrame:
+    """Length-bucketed training-batch assembly: sequences are grouped
+    into length buckets (``floor(len / bucket_width)``) so each batch
+    pads to its bucket's ceiling instead of the corpus maximum — the
+    standard throughput fix for variable-length training (padding waste
+    is bounded by bucket_width·batch_size instead of max_len·batch_size).
+
+    Within each (bucket, shard) — shard = id % ``shards`` — rows are
+    ordered by a seeded hash (deterministic shuffle, same property as
+    ``epoch_shuffle``) and cut into consecutive ``batch_size`` batches:
+    ``batch_id = rank // batch_size``, ``pos = rank % batch_size``.
+
+    Returns (id, len, bucket, shard, batch_id, pos). Deterministic and
+    engine-independent with ``hash_how='portable'``.
+
+    Scale shape: bucket count is small (max_len / width) so a bare
+    per-bucket window would single-reducer each bucket at corpus scale —
+    the shard axis is the fix: windows partition on (bucket, shard),
+    bounding every window's input to ~1/shards of a bucket, and batches
+    are local to a shard (training consumers read shards independently,
+    exactly like ``pack_offsets``). Tail batches (fewer than batch_size
+    rows) sit at the max batch_id of their (bucket, shard).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash64
+
+    key = F.col(id_col).cast("string") if hash_how == "portable" else F.col(id_col)
+    b = df.select(
+        F.col(id_col),
+        F.col(len_col).cast("bigint").alias(len_col),
+        F.expr(f"CAST(CAST({len_col} AS BIGINT) DIV {bucket_width} AS BIGINT)").alias(
+            "bucket"
+        ),
+        F.pmod(F.col(id_col), F.lit(shards)).cast("int").alias("shard"),
+        hash64(key, seed=seed, how=hash_how).alias("__hk"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(F.col("__hk"), F.col(id_col))
+    rn = F.row_number().over(w) - F.lit(1)
+    return b.withColumn(
+        "batch_id", (rn / F.lit(batch_size)).cast("bigint")
+    ).withColumn("pos", F.pmod(rn, F.lit(batch_size)).cast("bigint")).drop("__hk")

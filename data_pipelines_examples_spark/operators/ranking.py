@@ -1,0 +1,156 @@
+"""Term-weighting / retrieval-ranking operators: TF-IDF and BM25.
+
+LLM-pipeline extension (BASELINE.json north star) — corpus curation and
+retrieval both need term statistics: TF-IDF surfaces each document's
+characteristic vocabulary (topic tagging, keyword-based filtering), BM25
+is the standard lexical retriever for dedup-by-query and eval-set
+construction. The reference's closest shape is its word-count /
+token-frequency SQL (hive_to_hive_cte.py) — these generalize it with
+corpus-level document frequencies.
+
+Scale shape (100 TB):
+
+- Tokenization is a narrow projection that fuses into the scan; the
+  explode shuffles (id, token) pairs — never document bodies.
+- The vocabulary table (token, df) is corpus-vocabulary-sized (millions
+  of rows, not billions) and joins back via AQE auto-broadcast.
+- Corpus totals (N, avgdl) are 1-row aggregates cross-joined in —
+  broadcast by construction, no ``collect()``.
+- BM25 filters the exploded tokens to the query's terms BEFORE any
+  shuffle, so the per-doc aggregation sees at most |query| rows per
+  document.
+
+Cross-engine determinism: token parity with DuckDB is pinned corpus-wide
+(see oracles.py header); scores pass through DECIMAL(18,6) before
+ranking so non-correctly-rounded ``ln`` and sum-order effects can't flip
+an ordering the oracle disagrees with (q67's pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _token_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) rows — whitespace tokens of the lowercased text
+    (split parity with DuckDB string_split_regex is gate-pinned)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__t"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF.
+
+    ``score = tf * (ln((N + 1) / (df + 1)) + 1)`` (sklearn's smooth-idf —
+    public formula; never zero, never divides by zero). Returns
+    (id, term, tf, df, score, rank) with ``rank`` 1..k per document,
+    ties broken by term text so the ranking is total and
+    engine-independent.
+
+    Plan: one token explode → (id, token) groupBy for tf; vocabulary df
+    derived FROM the tf table (one extra map-side-combined agg over
+    (token) — never re-reads the corpus); tf⋈vocab on token
+    (AQE-broadcast); one per-doc window for the top-k. Nothing after the
+    explode ever carries text bodies.
+    """
+    toks = _token_rows(df, id_col, text_col)
+    tf = toks.groupBy(id_col, "__t").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("__t").agg(F.count("*").alias("df"))
+    totals = tf.select(id_col).agg(F.countDistinct(id_col).alias("__n"))
+    score = (
+        F.col("tf")
+        * (F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0))
+    ).cast("decimal(18,6)").cast("double")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(vocab, "__t")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col("__t").alias("term"),
+            "tf",
+            "df",
+            score.alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query under BM25
+    (Robertson/Sparck-Jones; the public Okapi formula).
+
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))``,
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))``.
+
+    Returns (id, score, rank), rank 1..k by score desc then id — a total,
+    engine-independent order (score rounds through DECIMAL(18,6) first).
+
+    Plan: doc lengths are a narrow projection (no explode survives — a
+    ``size(split(...))`` per row); the exploded token stream is filtered
+    to the query's terms BEFORE the tf shuffle, so downstream carries at
+    most |query| rows per matching doc; N and avgdl ride one broadcast
+    1-row aggregate; df per term is a |query|-row broadcast.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    lens = df.select(
+        F.col(id_col),
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__dl"),
+    )
+    totals = lens.agg(
+        F.count("*").alias("__n"), F.sum("__dl").alias("__sumdl")
+    )
+    tf = (
+        _token_rows(df, id_col, text_col)
+        .filter(F.col("__t").isin(terms))
+        .groupBy(id_col, "__t")
+        .agg(F.count("*").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
+    avgdl = F.col("__sumdl") / F.col("__n")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("__tf")
+        * F.lit(k1 + 1.0)
+        / (F.col("__tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum(idf * tf_part).cast("decimal(18,6)").cast("double").alias("score")
+        )
+    )
+    # Global top-k WITHOUT a global window (which would single-partition
+    # every scored doc): orderBy+limit compiles to TakeOrderedAndProject —
+    # per-partition heaps merged on the driver, k rows total — and only
+    # those k rows see the row_number window.
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w))

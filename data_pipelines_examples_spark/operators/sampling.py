@@ -122,6 +122,58 @@ def filter_by_group_quantile(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    seed: int = 0,
+    hash_how: str = "xxhash64",
+    salt_n: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the over-representation cap
+    of corpus curation (e.g. at most N documents per source/domain, so
+    one crawl host can't dominate the mix). The kept rows are the
+    ``cap`` smallest by a seeded hash of the id: a deterministic uniform
+    "random" subset that any engine can re-derive (``hash_how=
+    'portable'``) and that never flips on re-runs or incremental loads
+    of unrelated groups.
+
+    Skew-proof by construction — a hot group (the common case: one
+    mega-domain) never lands on one reducer. Two stages:
+
+    1. Per ``(group, salt)`` subpartition (salt = hash % salt_n), keep
+       the local ``cap`` smallest — a bounded window over ~1/salt_n of
+       the hot group. Any row outside its subpartition's top-``cap``
+       cannot be in the group's global top-``cap``, so this prunes
+       without changing the answer.
+    2. Per group, keep the global ``cap`` smallest of the ≤ salt_n·cap
+       survivors — a window whose per-group input is bounded by
+       salt_n·cap regardless of corpus size.
+
+    Result is EXACTLY "the cap smallest (hash, id) per group" — what a
+    single-stage window would compute, minus the single-reducer risk.
+    Ties are impossible in practice (64/60-bit hash) and broken by id.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash64
+
+    key = F.col(id_col).cast("string") if hash_how == "portable" else F.col(id_col)
+    hashed = df.withColumn("__hk", hash64(key, seed=seed, how=hash_how))
+    w_local = Window.partitionBy(
+        group_col, F.pmod(F.col("__hk"), F.lit(salt_n))
+    ).orderBy(F.col("__hk"), F.col(id_col))
+    w_group = Window.partitionBy(group_col).orderBy(F.col("__hk"), F.col(id_col))
+    return (
+        hashed.withColumn("__r1", F.row_number().over(w_local))
+        .filter(F.col("__r1") <= cap)
+        .withColumn("__r2", F.row_number().over(w_group))
+        .filter(F.col("__r2") <= cap)
+        .drop("__hk", "__r1", "__r2")
+    )
+
+
 def sample_by(
     df: DataFrame,
     strata_col: str,

@@ -515,3 +515,52 @@ def ivf_pq_topk(
     probes = [i for _, i in sorted(dists)[:n_probe]]
     cand = index.filter(F.col("ivf_bucket").isin(probes))
     return pq_adc_topk(cand, query_vec, codebooks, k=k, id_col=id_col)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: assign every vector
+    to its nearest centroid (squared L2, ties → lowest centroid id),
+    then verify exact cosine only WITHIN each cluster (public method:
+    Abbas et al., "SemDeDup", arXiv:2303.09540 — cluster-then-prune).
+
+    Returns (id_a, id_b, cluster, cosine_sim) with id_a < id_b and
+    cosine ≥ threshold. Complements ``embedding_dedup_pairs_lsh``: LSH
+    buckets by random hyperplanes (recall controlled by table count),
+    clustering buckets by data geometry — with trained centroids the
+    in-cluster candidate sets track the corpus's actual density.
+
+    Scale shape: the assignment is a narrow projection (k distance
+    folds per row, no shuffle); the self-join shuffles on the cluster id
+    carrying ids + vectors once per side. At 100 TB the in-cluster join
+    is still quadratic per cluster, so k must grow with corpus size
+    (SemDeDup uses ~100k clusters for billions of docs) — k is the
+    knob, and a giant cluster is the signal to re-train with larger k
+    or sub-bucket it with ``embedding_dedup_pairs_lsh`` inside the
+    cluster. Centroids arrive as plain Python constants (train via
+    ``kmeans_centroids``, or pass pinned literals for cross-engine
+    replication — the oracle recomputes the same assignment in SQL).
+    """
+    assigned = _rebalance(df).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_centroids(F.col(vec_col), centroids, 1)[0].alias("cluster"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "cluster"
+    )
+    return (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cluster", "cosine_sim")
+    )

@@ -328,3 +328,129 @@ def dedup_against_corpus_sql(
     WHERE {new_pred}
       AND d.{id_col} NOT IN (SELECT {id_col} FROM matched)
     """
+
+
+def tfidf_sql(table: str = "documents", id_col: str = "doc_id", k: int = 3) -> str:
+    """TF-IDF top-terms replication: same tokens, smooth-idf formula and
+    DECIMAL(18,6)-rounded score as ``ranking.tfidf_top_terms``."""
+    return rf"""
+    WITH toks AS (
+      SELECT {id_col},
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      FROM {table}
+    ),
+    tf AS (SELECT {id_col}, t, COUNT(*) AS tf FROM toks GROUP BY {id_col}, t),
+    vocab AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    tot AS (SELECT COUNT(DISTINCT {id_col}) AS n FROM tf),
+    scored AS (
+      SELECT {id_col}, t AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             CAST(CAST(tf * (ln((n + 1.0::DOUBLE) / (df + 1.0::DOUBLE)) + 1.0::DOUBLE)
+                  AS DECIMAL(18,6)) AS DOUBLE) AS score
+      FROM tf JOIN vocab USING (t) CROSS JOIN tot
+    )
+    SELECT {id_col}, term, tf, df, score, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {id_col} ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def bm25_sql(
+    query_terms: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """BM25 top-k replication: mirrors ``ranking.bm25_topk`` term by term
+    — identical operation order inside the score expression, sum rounded
+    through DECIMAL(18,6) before ranking."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    c_k1p1 = f"({k1 + 1.0!r}::DOUBLE)"
+    c_k1 = f"({k1!r}::DOUBLE)"
+    c_1mb = f"({1.0 - b!r}::DOUBLE)"
+    c_b = f"({b!r}::DOUBLE)"
+    return rf"""
+    WITH lens AS (
+      SELECT {id_col},
+             len(string_split_regex(lower(trim(text)), '\s+')) AS dl
+      FROM {table}
+    ),
+    tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM lens),
+    toks AS (
+      SELECT {id_col},
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      FROM {table}
+    ),
+    tf AS (
+      SELECT {id_col}, t, COUNT(*) AS tf FROM toks
+      WHERE t IN ({terms}) GROUP BY {id_col}, t
+    ),
+    dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.{id_col} AS {id_col},
+             CAST(CAST(SUM(
+               ln(1.0::DOUBLE + (n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+               * ((tf * {c_k1p1})
+                  / (tf + {c_k1} * ({c_1mb} + ({c_b} * dl) / (sumdl / CAST(n AS DOUBLE)))))
+             ) AS DECIMAL(18,6)) AS DOUBLE) AS score
+      FROM tf JOIN dfq USING (t) JOIN lens USING ({id_col}) CROSS JOIN tot
+      GROUP BY tf.{id_col}
+    )
+    SELECT {id_col}, score, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, {id_col} ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def _sq_l2_chain(vec_expr: str, centroid: list[float]) -> str:
+    """Explicit left-associated squared-L2 chain — identical fp addition
+    order to the Spark ``F.aggregate`` fold in ``_nearest_centroids``."""
+    terms = [
+        f"(({vec_expr}[{i + 1}] - ({x!r}::DOUBLE)) * ({vec_expr}[{i + 1}] - ({x!r}::DOUBLE)))"
+        for i, x in enumerate(centroid)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def semantic_dedup_sql(
+    centroids: list[list[float]], threshold: float, table: str = "embeddings"
+) -> str:
+    """SemDeDup replication: nearest-centroid assignment (squared L2,
+    ties to the lowest centroid id — the Spark array_sort tie-break),
+    in-cluster pairs, exact cosine at ``threshold``."""
+    k = len(centroids)
+    dist_cols = ",\n             ".join(
+        f"{_sq_l2_chain('v', c)} AS d{i}" for i, c in enumerate(centroids)
+    )
+    # argmin with lowest-index tie-break: centroid i wins iff d_i <= d_j
+    # for every j > i and d_i < d_j for no earlier j (CASE order handles it)
+    branches = []
+    for i in range(k - 1):
+        conds = " AND ".join(f"d{i} <= d{j}" for j in range(i + 1, k))
+        branches.append(f"WHEN {conds} THEN {i}")
+    case = "CASE " + " ".join(branches) + f" ELSE {k - 1} END"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+    d AS (
+      SELECT vec_id, v,
+             {dist_cols}
+      FROM e
+    ),
+    assigned AS (SELECT vec_id, v, {case} AS cluster FROM d),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster AS cluster,
+             list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cluster,
+           CAST(CAST(sim AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
+    FROM pairs WHERE sim >= {threshold!r}
+    """

@@ -94,7 +94,13 @@ def query(name: str, oracle: str | None):
 def _load_all() -> None:
     # import for decorator side effects; must be lazy (the ext modules
     # import this module)
-    from . import queries_ext, queries_ext2, queries_ext3, queries_ext4  # noqa: F401
+    from . import (  # noqa: F401
+        queries_ext,
+        queries_ext2,
+        queries_ext3,
+        queries_ext4,
+        queries_ext5,
+    )
 
 
 # The driver grades at most the first 50 catalog entries. These entries

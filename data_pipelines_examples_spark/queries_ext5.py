@@ -1,0 +1,194 @@
+"""Query catalog, part 6 (round 5): term-weighting retrieval (TF-IDF,
+BM25), corpus-shaping operators (per-source caps, leakage-free splits),
+SemDeDup-style semantic dedup, and length-bucketed batch assembly.
+
+LLM-pipeline extensions (BASELINE.json north star). The reference's
+closest shapes are its word-count SQL (hive_to_hive_cte.py) and
+driver-side batching loops; these lift them to corpus-level statistics
+with full DuckDB oracle replication — every entry below is
+hash-verifiable, approximations included (centroid constants and hash
+seeds are shared verbatim between the Spark expression trees and the
+generated oracle SQL, the q42 pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.hashing import sql_hash64_seeded
+from .oracles import bm25_sql, gauss_planes, minhash_components_sql, semantic_dedup_sql, tfidf_sql
+from .queries import _t, query
+
+# Pinned constants shared by the Spark plans and their oracle SQL.
+_BM25_TERMS = ["hash", "merge", "table"]
+_SEMDEDUP_CENTROIDS = gauss_planes(n_planes=4, dim=64, seed=99)
+
+
+@query("q71_tfidf_top_terms", tfidf_sql(k=3))
+def q71_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF —
+    corpus-level term statistics for topic tagging / keyword filters
+    (generalizes the reference's word-count SQL, hive_to_hive_cte.py:
+    45-58, with document frequencies). Vocabulary derives from the tf
+    table (never a second corpus scan); the doc-count rides a 1-row
+    broadcast; scores round through DECIMAL(18,6) before ranking so the
+    oracle's ordering can't diverge on a last ulp."""
+    from .operators.ranking import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@query("q72_bm25_topk", bm25_sql(_BM25_TERMS, k=10))
+def q72_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a pinned bag-of-terms query — the
+    standard lexical retriever for eval-set construction and
+    dedup-by-query. The exploded token stream filters to the query's
+    terms BEFORE any shuffle; the global top-k is TakeOrdered (no
+    single-partition window)."""
+    from .operators.ranking import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+@query(
+    "q73_cap_per_source",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {sql_hash64_seeded("CAST(doc_id AS VARCHAR)", 11)}, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 40
+    """,
+)
+def q73_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-representation cap: at most 40 documents per source, kept by
+    smallest seeded portable hash — deterministic, engine-re-derivable,
+    and stable under incremental loads. The two-stage salted selection
+    (operators/sampling.py::cap_per_group) computes EXACTLY the
+    single-window answer the oracle states, without ever giving one
+    reducer a whole hot source."""
+    from .operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(
+        d, "source", "doc_id", cap=40, seed=11, hash_how="portable"
+    )
+
+
+@query(
+    "q74_leakage_free_split",
+    f"""
+    WITH comp AS ({minhash_components_sql(num_hashes=32, bands=8, shingle_n=3)}),
+    rooted AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS root
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, root,
+           CASE WHEN {sql_hash64_seeded("CAST(root AS VARCHAR)", 5)} % 100 < 10
+                THEN 'val' ELSE 'train' END AS split
+    FROM rooted
+    """,
+)
+def q74_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split with a no-leakage guarantee: near-duplicate
+    clusters (q33's minhash pipeline → q62's components) are assigned to
+    a side AS A UNIT by a seeded hash of the cluster root, so a document
+    and its near-twin can never straddle the eval boundary. The oracle
+    replicates everything — signatures, banding, components via
+    recursive CTE, and the same seeded split hash."""
+    from .curation import leakage_free_split
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, num_hashes=32, bands=8, shingle_n=3, hash_how="portable"
+    )
+    return leakage_free_split(
+        d.select("doc_id"), pairs, val_pct=10, seed=5, hash_how="portable"
+    )
+
+
+@query(
+    "q75_semantic_dedup_pairs",
+    semantic_dedup_sql(_SEMDEDUP_CENTROIDS, threshold=0.4),
+)
+def q75_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: nearest-centroid
+    clustering prunes the candidate space, exact cosine verifies within
+    clusters (public method: Abbas et al., arXiv:2303.09540). Centroid
+    constants are pinned import-time literals shared with the oracle, so
+    the approximation itself is hash-verified — production trains them
+    with ``kmeans_centroids`` instead (pytest covers that path)."""
+    from .operators.similarity import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pairs = semantic_dedup_pairs(
+        emb, _SEMDEDUP_CENTROIDS, threshold=0.4
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "cluster",
+        F.col("cosine_sim").cast("decimal(10,6)").cast("double").alias("cosine_sim"),
+    )
+
+
+@query(
+    "q76_length_bucketed_batches",
+    rf"""
+    WITH lens AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             CAST(n_tokens // 16 AS BIGINT) AS bucket,
+             CAST(doc_id % 8 AS INTEGER) AS shard
+      FROM lens
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY bucket, shard
+        ORDER BY {sql_hash64_seeded("CAST(doc_id AS VARCHAR)", 3)}, doc_id
+      ) AS rn
+      FROM b
+    )
+    SELECT doc_id, n_tokens, bucket, shard,
+           CAST((rn - 1) // 4 AS BIGINT) AS batch_id,
+           CAST((rn - 1) % 4 AS BIGINT) AS pos
+    FROM r
+    """,
+)
+def q76_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed training-batch assembly: 16-token-wide length
+    buckets, deterministic seeded-hash order within each (bucket, shard),
+    consecutive batches of 4 — padding waste bounded by the bucket
+    width instead of the corpus max length. Windows partition on
+    (bucket, shard) so no bucket ever lands on one reducer; batches are
+    shard-local (consumers read shards independently, the pack_offsets
+    contract)."""
+    from .operators.packing import length_bucketed_batches
+    from .operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return length_bucketed_batches(
+        d,
+        id_col="doc_id",
+        len_col="n_tokens",
+        bucket_width=16,
+        batch_size=4,
+        shards=8,
+        seed=3,
+        hash_how="portable",
+    )
