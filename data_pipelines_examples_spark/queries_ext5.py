@@ -192,3 +192,32 @@ def q76_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=3,
         hash_how="portable",
     )
+
+
+@query(
+    "q77_token_heavy_hitters",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ),
+    c AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+    SELECT token, CAST(cnt AS BIGINT) AS cnt, cnt / CAST(n AS DOUBLE) AS frac
+    FROM c CROSS JOIN t
+    WHERE cnt * 50 > n
+    """,
+)
+def q77_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter tokens (frequency > n/50) — the key-skew
+    profile that derives salt factors and cap thresholds from data
+    instead of operator lore (the reference pins salt=16 as a constant,
+    sas_conversion_with_manual_salt_skewed_join.sql). The bounded-shuffle
+    Misra-Gries twin (``heavy_hitters_sketch``) is the 100 TB path for
+    web-scale key spaces; its exact-equality invariant is pytest-pinned."""
+    from .operators.profiling import heavy_hitters
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    )
+    return heavy_hitters(toks, "token", k=50)

@@ -272,3 +272,30 @@ def test_length_bucketed_batches_deterministic(spark):
     a = sorted(map(tuple, length_bucketed_batches(df, **kw).collect()))
     b = sorted(map(tuple, length_bucketed_batches(df.repartition(11), **kw).collect()))
     assert a == b
+
+
+# -------------------------------------------------------- heavy hitters
+
+def test_heavy_hitters_sketch_equals_exact(spark):
+    from data_pipelines_examples_spark.operators.profiling import (
+        heavy_hitters,
+        heavy_hitters_sketch,
+    )
+
+    # zipf-ish skew: key i repeated 200//(i+1) times
+    rows = [(f"k{i}",) for i in range(50) for _ in range(200 // (i + 1))]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    exact = heavy_hitters(df, "k", k=20)
+    sketch = heavy_hitters_sketch(df, "k", k=20, capacity=40)
+    assert_df_equal(sketch, exact)
+    assert exact.count() > 0
+
+
+def test_heavy_hitters_exact_threshold(spark):
+    from data_pipelines_examples_spark.operators.profiling import heavy_hitters
+
+    rows = [("hot",)] * 60 + [(f"c{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string")
+    out = heavy_hitters(df, "k", k=10).collect()  # threshold: >10 of 100
+    assert [r["k"] for r in out] == ["hot"]
+    assert out[0]["cnt"] == 60 and abs(out[0]["frac"] - 0.6) < 1e-12
