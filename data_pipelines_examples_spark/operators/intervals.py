@@ -95,3 +95,67 @@ def overlap_join(
         & (right[right_start] <= F.date_add(left[left_end], gap_days))
     )
     return left.join(right, cond, how)
+
+
+def overlap_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_days: int = 30,
+    gap_days: int = 0,
+) -> DataFrame:
+    """Interval-overlap join via time binning — the scale path for
+    ``overlap_join`` (inner only). Row-identical output (pinned by
+    test), different shape: ``overlap_join`` evaluates the range
+    predicate inside a per-key sort-merge join, so one hot key with K
+    intervals costs K² comparisons on one reducer; here each interval
+    explodes into the ``bin_days``-wide time bins it covers and the join
+    equi-matches on (key, bin), so comparisons are bounded by
+    co-binned-pairs — hot keys spread across their time axis.
+
+    Dedup-free by construction: a pair overlapping many shared bins is
+    emitted ONLY in the canonical bin containing ``greatest(l_start,
+    r_start)`` (that bin is covered by both sides whenever the pair
+    truly overlaps, so exactly-once needs no distinct shuffle).
+
+    ``bin_days`` trades explode fan-out (long intervals cover many
+    bins) against join selectivity (wide bins co-locate non-overlapping
+    pairs for the predicate to reject); set it near the median interval
+    length.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _binned(df: DataFrame, start: str, end: str) -> DataFrame:
+        s_day = F.datediff(F.col(start), F.lit("1970-01-01"))
+        e_day = F.datediff(F.date_add(F.col(end), gap_days), F.lit("1970-01-01"))
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(s_day / bin_days), F.floor(e_day / bin_days)
+                )
+            ),
+        )
+
+    lb = _binned(left, left_start, left_end)
+    rb = _binned(right, right_start, right_end)
+    cond: Column | None = None
+    for k in keys:
+        c = lb[k] == rb[k]
+        cond = c if cond is None else (cond & c)
+    canonical_day = F.datediff(
+        F.greatest(lb[left_start], rb[right_start]), F.lit("1970-01-01")
+    )
+    cond = (
+        cond
+        & (lb["__bin"] == rb["__bin"])
+        & (lb[left_start] <= F.date_add(rb[right_end], gap_days))
+        & (rb[right_start] <= F.date_add(lb[left_end], gap_days))
+        & (lb["__bin"] == F.floor(canonical_day / bin_days))
+    )
+    out = lb.join(rb, cond, "inner")
+    return out.drop(lb["__bin"]).drop(rb["__bin"])

@@ -56,13 +56,27 @@ def tfidf_top_terms(
     engine-independent.
 
     Plan: one token explode → (id, token) groupBy for tf; vocabulary df
-    derived FROM the tf table (one extra map-side-combined agg over
-    (token) — never re-reads the corpus); tf⋈vocab on token
+    and the doc count both derive FROM the tf table; tf⋈vocab on token
     (AQE-broadcast); one per-doc window for the top-k. Nothing after the
     explode ever carries text bodies.
+
+    tf feeds three consumers (vocab, doc-count, the scoring join), and
+    Spark's exchange reuse does NOT collapse them (measured: 6 corpus
+    scans in the final adaptive plan without the persist) — so tf
+    persists MEMORY_AND_DISK, the multi-consumer pattern of
+    ``ngram_jaccard_pairs``: tokenization runs once, and at corpus
+    scale the (id, token, tf) table spills instead of silently
+    recomputing. Past single-machine scale, stage tf to parquet once
+    and derive everything from the artifact.
     """
+    from pyspark import StorageLevel
+
     toks = _token_rows(df, id_col, text_col)
-    tf = toks.groupBy(id_col, "__t").agg(F.count("*").alias("tf"))
+    tf = (
+        toks.groupBy(id_col, "__t")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     vocab = tf.groupBy("__t").agg(F.count("*").alias("df"))
     totals = tf.select(id_col).agg(F.countDistinct(id_col).alias("__n"))
     score = (
@@ -113,11 +127,17 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    from pyspark import StorageLevel
+
     terms = sorted(set(query_terms))
+    # lens feeds the avgdl total AND the scoring join; persisting the
+    # narrow (id, len) projection keeps tokenization at one pass per
+    # branch instead of re-reading bodies (same measured-no-reuse
+    # rationale as tfidf_top_terms).
     lens = df.select(
         F.col(id_col),
         F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__dl"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     totals = lens.agg(
         F.count("*").alias("__n"), F.sum("__dl").alias("__sumdl")
     )

@@ -77,3 +77,48 @@ def test_overlap_join_self(spark):
     joined = overlap_join(left, right, "memnum", "begindt", "enddt", "b2", "e2")
     # 3 self-pairs + 2 symmetric overlapping pairs
     assert joined.count() == 5
+
+
+def test_overlap_join_binned_equals_theta(spark):
+    """The binned scale path is row-identical to the theta overlap_join,
+    including a hot key, boundary-touching intervals, and a gap."""
+    import random
+
+    from data_pipelines_examples_spark.operators.intervals import (
+        overlap_join,
+        overlap_join_binned,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(4)
+    rows = []
+    for i in range(300):
+        key = "hot" if i % 3 else f"k{i % 20}"
+        start = rng.randint(0, 400)
+        rows.append((i, key, start, start + rng.randint(0, 90)))
+    df = (
+        spark.createDataFrame(rows, "id bigint, k string, s int, e int")
+        .select(
+            "id",
+            "k",
+            F.date_add(F.lit("2023-01-01"), F.col("s")).alias("start"),
+            F.date_add(F.lit("2023-01-01"), F.col("e")).alias("end"),
+        )
+    )
+    l = df.select(
+        F.col("id").alias("l_id"), "k",
+        F.col("start").alias("l_s"), F.col("end").alias("l_e"),
+    )
+    r = df.select(
+        F.col("id").alias("r_id"), F.col("k").alias("k2"),
+        F.col("start").alias("r_s"), F.col("end").alias("r_e"),
+    ).withColumnRenamed("k2", "k")
+
+    for gap in (0, 5):
+        theta = overlap_join(l, r, "k", "l_s", "l_e", "r_s", "r_e", gap_days=gap)
+        binned = overlap_join_binned(
+            l, r, "k", "l_s", "l_e", "r_s", "r_e", bin_days=30, gap_days=gap
+        )
+        t = sorted((x["l_id"], x["r_id"]) for x in theta.select("l_id", "r_id").collect())
+        b = sorted((x["l_id"], x["r_id"]) for x in binned.select("l_id", "r_id").collect())
+        assert t == b and len(t) > 1000
