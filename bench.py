@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     # pretraining-prep family (round 4): chunking + packing manifest
     "q63_chunk_documents",
     "q64_pack_offsets",
+    # corpus-statistics family (round 5): surprisal + TF-IDF — the two
+    # heaviest token-level aggregation pipelines; visible here so vocab-
+    # join and persist regressions show up round-over-round.
+    "q67_unigram_surprisal",
+    "q71_tfidf_top_terms",
 ]
 
 

@@ -142,3 +142,50 @@ def test_pack_offsets_single_shuffle_ids_only(spark):
     # 'text' appears only in the FileScan read schema, not above the window
     above_scan = plan[: plan.index("FileScan")]
     assert "text#" not in above_scan.replace("split(lower(trim(text#", "")
+
+
+def test_cap_per_group_two_exchanges_only(spark):
+    """The salted two-stage cap costs exactly two exchanges (local
+    (group, salt) window, then group window) — no extra join or
+    distinct shuffles sneak in."""
+    from data_pipelines_examples_spark.operators.sampling import cap_per_group
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "source")
+    out = cap_per_group(d, "source", "doc_id", cap=5)
+    assert count_shuffles(out) == 2
+
+
+def test_length_bucketed_batches_single_exchange(spark):
+    """Batch assembly is ONE exchange on (bucket, shard)."""
+    from data_pipelines_examples_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+    from data_pipelines_examples_spark.operators.text import token_count
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    out = length_bucketed_batches(d, len_col="n_tokens")
+    assert count_shuffles(out) == 1
+
+
+def test_heavy_hitters_broadcasts_total(spark):
+    """The 1-row total joins by broadcast; the per-key agg is the only
+    exchange pair (partial+final)."""
+    from data_pipelines_examples_spark.operators.profiling import heavy_hitters
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("source")
+    out = heavy_hitters(d, "source", k=10)
+    assert has_broadcast_join(out) or "BroadcastNestedLoopJoin" in physical_plan(out)
+    assert count_shuffles(out) <= 2
+
+
+def test_bm25_filters_terms_before_shuffle(spark):
+    """The query-term filter sits below the tf exchange: the exploded
+    token stream is pruned before any wide operation."""
+    from data_pipelines_examples_spark.operators.ranking import bm25_topk
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = physical_plan(bm25_topk(d, ["table", "merge"], k=5))
+    # the isin filter must appear in the plan (pre-shuffle projection side)
+    assert "__t" in plan and ("table" in plan and "merge" in plan)
