@@ -1,0 +1,120 @@
+"""Continuous-crawl ingest with incremental dedup: batch semantics,
+replay idempotency, and a real file-source stream end-to-end."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+OTHER = "completely different content about spark engines and parquet files here"
+THIRD = "a third unrelated document mentioning benchmarks oracles and hash gates"
+
+
+def _write_json(path: str, rows: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_ingest_batch_dedups_within_and_across(spark, tmp_path):
+    from data_pipelines_examples_spark.streaming.ingest import ingest_batch
+
+    out, bands = str(tmp_path / "corpus"), str(tmp_path / "bands")
+
+    b0 = spark.createDataFrame(
+        [(1, BASE), (2, OTHER)], "doc_id bigint, text string"
+    )
+    ingest_batch(spark, b0, 0, out, bands)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2]
+
+    # batch 1: near-dup of doc 1 (killed vs corpus), a new doc (kept),
+    # and an in-batch near-dup pair (canonical kept)
+    b1 = spark.createDataFrame(
+        [
+            (10, BASE + " extra"),          # near-dup of ingested doc 1
+            (11, THIRD),                    # genuinely new → kept
+            (12, THIRD + " tail"),          # in-batch near-dup of 11 → killed
+        ],
+        "doc_id bigint, text string",
+    )
+    ingest_batch(spark, b1, 1, out, bands)
+    survivors = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert survivors == [1, 2, 11]
+
+    # batch 2: near-dup of batch-1 survivor → killed via the band artifact
+    b2 = spark.createDataFrame(
+        [(20, THIRD + " coda"), (21, "entirely novel text about nothing shared")],
+        "doc_id bigint, text string",
+    )
+    ingest_batch(spark, b2, 2, out, bands)
+    survivors = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert survivors == [1, 2, 11, 21]
+
+
+def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    from data_pipelines_examples_spark.streaming.ingest import ingest_batch
+
+    out, bands = str(tmp_path / "corpus"), str(tmp_path / "bands")
+    b0 = spark.createDataFrame([(1, BASE), (2, OTHER)], "doc_id bigint, text string")
+    ingest_batch(spark, b0, 0, out, bands)
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    n_bands = spark.read.parquet(bands).count()
+
+    # failure-replay of the SAME batch id: partitions rewritten, not doubled
+    ingest_batch(spark, b0, 0, out, bands)
+    after = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert after == before
+    assert spark.read.parquet(bands).count() == n_bands
+
+
+def test_stream_ingest_dedup_end_to_end(spark, tmp_path):
+    from data_pipelines_examples_spark.streaming.ingest import stream_ingest_dedup
+
+    src = str(tmp_path / "src")
+    out, bands = str(tmp_path / "corpus"), str(tmp_path / "bands")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_json(f"{src}/f0.json", [
+        {"doc_id": 1, "text": BASE},
+        {"doc_id": 2, "text": OTHER},
+    ])
+
+    schema = "doc_id bigint, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = stream_ingest_dedup(stream, out, bands, ckpt)
+    q.awaitTermination(120)
+
+    _write_json(f"{src}/f1.json", [
+        {"doc_id": 10, "text": BASE + " extra"},   # near-dup → killed
+        {"doc_id": 11, "text": THIRD},             # new → kept
+    ])
+    q2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q2 = stream_ingest_dedup(q2, out, bands, ckpt)
+    q2.awaitTermination(120)
+
+    survivors = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert survivors == [1, 2, 11]
+    # the band artifact only carries survivor buckets
+    assert (
+        spark.read.parquet(bands)
+        .filter(F.col("doc_id") == 10)
+        .count()
+        == 0
+    )
