@@ -184,3 +184,59 @@ def sample_by(
     Reproducible for a fixed seed + partitioning WITHIN Spark; use the
     modulo family when other engines must reproduce the sample."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float,
+    buckets: int = 1000,
+) -> dict[str, int]:
+    """Derive per-stratum sampling rates for temperature-based mixing:
+    kept counts target shares ∝ n_i^alpha (alpha=1 keeps natural
+    proportions, alpha→0 flattens toward uniform — the standard
+    multilingual/multi-source reweighting, e.g. the multinomial
+    p_i ∝ n_i^alpha of public multilingual-pretraining recipes).
+
+    Downsampling only (no duplication): keep-fraction
+    ``r_i = (n_min / n_i)^(1-alpha)`` — the smallest stratum keeps
+    everything and every larger stratum is cut toward it, giving
+    kept_i = n_i^alpha · n_min^(1-alpha) ∝ n_i^alpha exactly.
+
+    The per-stratum counts are one aggregation collected to the driver —
+    strata are sources/languages, dimension-table-sized by construction.
+    Returns {stratum: kept-buckets-of-``buckets``} for
+    ``stratified_mod_sample``, which applies it as a zero-shuffle filter;
+    the rates dict is a plain, auditable artifact (log it with the run).
+    """
+    counts = {
+        r[strata_col]: r["__n"]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("__n")).collect()
+    }
+    if not counts:
+        return {}
+    n_min = min(n for n in counts.values() if n) or 1
+    rates: dict[str, int] = {}
+    for s, n in counts.items():
+        if not n:
+            rates[s] = 0
+            continue
+        keep = (n_min / n) ** (1.0 - alpha)
+        rates[s] = max(1, min(buckets, round(keep * buckets)))
+    return rates
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Apply temperature-``alpha`` mixing in one pass: derive the rates
+    (one small aggregate) and filter with ``stratified_mod_sample``
+    (narrow, zero shuffles, deterministic / re-runnable)."""
+    rates = temperature_mix_rates(df, strata_col, alpha, buckets)
+    return stratified_mod_sample(
+        df, strata_col, rates, id_col, buckets=buckets, default_rate=0
+    )

@@ -85,3 +85,57 @@ def test_filter_by_group_quantile_exact_vs_approx(spark):
     assert exact_ids <= approx_ids
     # kept rows all sit at/above their group threshold
     assert exact.filter("score < 24.5").count() == 0
+
+
+def test_temperature_mix_rates_analytic(spark):
+    from data_pipelines_examples_spark.operators.sampling import (
+        temperature_mix_rates,
+    )
+
+    rows = (
+        [(i, "big") for i in range(8000)]
+        + [(10000 + i, "mid") for i in range(2000)]
+        + [(20000 + i, "small") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "id bigint, src string")
+
+    # alpha=1: natural proportions — every stratum keeps everything
+    assert temperature_mix_rates(df, "src", alpha=1.0) == {
+        "big": 1000, "mid": 1000, "small": 1000,
+    }
+
+    # alpha=0: uniform target — keep-fraction n_min/n_i
+    r0 = temperature_mix_rates(df, "src", alpha=0.0)
+    assert r0 == {"big": round(500 / 8000 * 1000),
+                  "mid": round(500 / 2000 * 1000),
+                  "small": 1000}
+
+    # alpha=0.5: keep-fraction (n_min/n_i)^0.5
+    r5 = temperature_mix_rates(df, "src", alpha=0.5)
+    assert r5["small"] == 1000
+    assert r5["mid"] == round((500 / 2000) ** 0.5 * 1000)
+    assert r5["big"] == round((500 / 8000) ** 0.5 * 1000)
+
+
+def test_temperature_mix_shares_approach_target(spark):
+    from data_pipelines_examples_spark.operators.sampling import temperature_mix
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(i, "big") for i in range(8000)]
+        + [(10000 + i, "small") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "id bigint, src string")
+    out = temperature_mix(df, "src", "id", alpha=0.5)
+    got = {r["src"]: r["n"] for r in
+           out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # small keeps everything; big keeps ~ (500/8000)^0.5 = 25%
+    assert got["small"] == 500
+    assert abs(got["big"] / 8000 - 0.25) < 0.02
+    # kept shares ∝ n^0.5: big/small ≈ sqrt(8000/500) = 4
+    assert abs(got["big"] / got["small"] - 4.0) < 0.25
+    # deterministic re-run
+    out2 = temperature_mix(df, "src", "id", alpha=0.5)
+    got2 = {r["src"]: r["n"] for r in
+            out2.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert got == got2
