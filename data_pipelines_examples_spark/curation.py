@@ -31,7 +31,10 @@ def curate_corpus(
     text_col: str = "text",
     lang_col: str | None = None,
     quality_quantile: float = 0.2,
+    source_col: str | None = None,
+    source_cap: int | None = None,
     mix_rates: dict[str, int] | None = None,
+    mix_alpha: float | None = None,
     shuffle_seed: int = 7,
     minhash_bands: int = 8,
     collect_stats: bool = True,
@@ -41,17 +44,22 @@ def curate_corpus(
     1. quality: heuristic score per doc, drop the bottom
        ``quality_quantile`` per language (per-group floor so one noisy
        language can't be wiped out by another's distribution)
-    2. exact dedup (hash-groupBy, min id wins)
-    3. near dedup: MinHash-LSH pairs → connected components → keep each
+    2. per-source over-representation cap (``source_cap`` rows max per
+       ``source_col``, skew-proof salted selection), if given
+    3. exact dedup (hash-groupBy, min id wins)
+    4. near dedup: MinHash-LSH pairs → connected components → keep each
        cluster's canonical doc
-    4. decontamination vs ``benchmark`` (13-gram overlap), if given
-    5. deterministic stratified mix by language (modulo sampling), if
-       ``mix_rates`` given
-    6. epoch-shuffle key (seeded hash — sort by it to stream the epoch)
+    5. decontamination vs ``benchmark`` (13-gram overlap), if given
+    6. mixing: explicit ``mix_rates`` (deterministic stratified modulo
+       sampling) or ``mix_alpha`` (temperature mixing, kept shares ∝
+       n^alpha over ``source_col`` or language) — mutually exclusive
+    7. epoch-shuffle key (seeded hash — sort by it to stream the epoch)
 
     The returned frame has the original columns plus ``lang_pred``,
     ``quality``, and ``shuffle_key``.
     """
+    if mix_rates is not None and mix_alpha is not None:
+        raise ValueError("pass mix_rates or mix_alpha, not both")
     from .operators.dedup import (
         decontaminate,
         dedup_exact,
@@ -59,9 +67,11 @@ def curate_corpus(
         minhash_lsh_pairs,
     )
     from .operators.sampling import (
+        cap_per_group,
         epoch_shuffle,
         filter_by_group_quantile,
         stratified_mod_sample,
+        temperature_mix,
     )
     from .operators.text import lang_id, quality_score
 
@@ -81,6 +91,14 @@ def curate_corpus(
         filter_by_group_quantile(scored, group, "quality", quality_quantile),
     )
 
+    if source_cap is not None:
+        floored = _n(
+            "source_cap",
+            cap_per_group(
+                floored, source_col or group, id_col, source_cap
+            ),
+        )
+
     exact = _n("exact_dedup", dedup_exact(floored, text_col, id_col=id_col))
 
     pairs = minhash_lsh_pairs(exact, id_col, text_col, bands=minhash_bands)
@@ -96,6 +114,11 @@ def curate_corpus(
         near = _n(
             "mixed",
             stratified_mod_sample(near, group, mix_rates, id_col=id_col),
+        )
+    elif mix_alpha is not None:
+        near = _n(
+            "mixed",
+            temperature_mix(near, source_col or group, id_col, mix_alpha),
         )
 
     out = epoch_shuffle(near, id_col, seed=shuffle_seed)

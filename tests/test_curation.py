@@ -70,3 +70,37 @@ def test_curate_corpus_mix_rates(spark):
             assert by_lang_mixed.get(lang, 0) < by_lang_full[lang]
         else:
             assert by_lang_mixed.get(lang, 0) == by_lang_full[lang]
+
+
+def test_curate_with_cap_and_temperature_mix(spark):
+    """The extended recipe: per-source cap bounds every source, the
+    temperature mix flattens shares, stages stay monotone."""
+    from data_pipelines_examples_spark.curation import curate_corpus
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out, stats = curate_corpus(
+        docs,
+        source_col="source",
+        source_cap=60,
+        mix_alpha=0.5,
+    )
+    assert stats["source_cap"] <= stats["quality_floor"]
+    assert stats["mixed"] <= stats["near_dedup"]
+    per_source = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 60 for r in per_source)
+    # deterministic rerun
+    _, stats2 = curate_corpus(
+        docs, source_col="source", source_cap=60, mix_alpha=0.5
+    )
+    assert stats == stats2
+
+
+def test_curate_rejects_conflicting_mix_args(spark):
+    import pytest as _pytest
+
+    from data_pipelines_examples_spark.curation import curate_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with _pytest.raises(ValueError):
+        curate_corpus(docs, mix_rates={"en": 10}, mix_alpha=0.5)
