@@ -214,3 +214,57 @@ def unigram_surprisal(
             F.avg("__s").alias("mean_surprisal"),
         )
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Bigram-LM mean surprisal per document: −log2 p(cur|prev) under
+    the corpus bigram distribution, add-k smoothed over the unigram
+    vocabulary — one order up from ``unigram_surprisal``, the next rung
+    of the KenLM-style perplexity quality ladder (context-aware: catches
+    word-salad that unigram statistics score as normal).
+
+    Bigrams build per row (transform over the token array — no
+    self-join, zero extra shuffle for construction); the count tables
+    (bigram, context) derive from ONE aggregation chain with map-side
+    combine, and the context counts derive from the bigram table —
+    the corpus explodes once. Documents with fewer than two tokens have
+    no bigrams and are absent from the output (their perplexity is
+    undefined). Returns (id, n_bigrams, mean_surprisal).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("p"),
+            F.element_at(toks, i + 1).alias("c"),
+        ),
+    )
+    ex = (
+        df.filter(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, F.col("g.p").alias("__p"), F.col("g.c").alias("__c"))
+    )
+    c2 = ex.groupBy("__p", "__c").agg(F.count("*").alias("__n2"))
+    c1 = c2.groupBy("__p").agg(F.sum("__n2").alias("__n1"))
+    v = c2.agg(F.countDistinct("__c").alias("__vs"))
+    k = float(smoothing)
+    surprisal = -F.log2(
+        (F.col("__n2") + F.lit(k))
+        / (F.col("__n1") + F.lit(k) * F.col("__vs"))
+    )
+    return (
+        ex.join(c2, ["__p", "__c"])
+        .join(c1, "__p")
+        .crossJoin(F.broadcast(v))
+        .select(F.col(id_col), surprisal.alias("__s"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg("__s").alias("mean_surprisal"),
+        )
+    )

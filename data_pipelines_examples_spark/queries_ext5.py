@@ -221,3 +221,45 @@ def q77_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
     )
     return heavy_hitters(toks, "token", k=50)
+
+
+@query(
+    "q78_bigram_surprisal",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest([{'p': w[i], 'c': w[i+1]}
+                     FOR i IN generate_series(1, len(w)-1)],
+                    recursive := true)
+      FROM t WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT p, c, COUNT(*) AS n2 FROM g GROUP BY p, c),
+    c1 AS (SELECT p, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY p),
+    v AS (SELECT COUNT(DISTINCT c) AS vs FROM c2)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(CAST(AVG(-log2((n2 + 1.0::DOUBLE) / (n1 + 1.0::DOUBLE * vs)))
+                AS DECIMAL(18,6)) AS DOUBLE) AS mean_surprisal
+    FROM g JOIN c2 USING (p, c) JOIN c1 USING (p) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def q78_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM mean surprisal per document — the context-aware rung of
+    the perplexity quality ladder (q67 is the unigram rung). Same
+    DECIMAL(18,6) rounding: log2 and the mean's addition order are the
+    only cross-engine degrees of freedom and rounding absorbs both."""
+    from .operators.text import bigram_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    out = bigram_surprisal(d)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.col("mean_surprisal").cast("decimal(18,6)").cast("double").alias(
+            "mean_surprisal"
+        ),
+    )

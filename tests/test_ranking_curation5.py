@@ -299,3 +299,26 @@ def test_heavy_hitters_exact_threshold(spark):
     out = heavy_hitters(df, "k", k=10).collect()  # threshold: >10 of 100
     assert [r["k"] for r in out] == ["hot"]
     assert out[0]["cnt"] == 60 and abs(out[0]["frac"] - 0.6) < 1e-12
+
+
+# ------------------------------------------------------ bigram surprisal
+
+def test_bigram_surprisal_analytic(spark):
+    """Tiny corpus with hand-computable bigram stats."""
+    import math
+
+    from data_pipelines_examples_spark.operators.text import bigram_surprisal
+
+    rows = [(1, "a b a b"), (2, "a b"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+
+    # bigrams: doc1: (a,b),(b,a),(a,b); doc2: (a,b) → c2[(a,b)]=3,
+    # c2[(b,a)]=1; c1[a]=3, c1[b]=1; vocab (cur values) = {a, b} → V=2
+    assert set(out) == {1, 2}  # doc 3 has no bigrams
+    s_ab = -math.log2((3 + 1) / (3 + 2))
+    s_ba = -math.log2((1 + 1) / (1 + 2))
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["mean_surprisal"] - s_ab) < 1e-9
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["mean_surprisal"] - (2 * s_ab + s_ba) / 3) < 1e-9
