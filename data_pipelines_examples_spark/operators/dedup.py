@@ -669,3 +669,48 @@ def dedup_keep_canonical(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_corpus_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 1,
+) -> DataFrame:
+    """Corpus-wide LINE deduplication — the public C4/RefinedWeb
+    boilerplate-removal step: any line (split on newline) appearing in
+    more than ``max_docs`` distinct documents is removed from ALL of
+    them (navigation chrome, cookie banners, license boilerplate), and
+    each document is reassembled from its surviving lines in original
+    order. Documents with zero surviving lines drop out.
+
+    Returns (id, text, n_lines_kept). Scale shape: lines explode once
+    (ids + line text shuffle, never whole documents); the line-frequency
+    table aggregates with map-side combine and joins back on the line
+    key; reassembly is one groupBy(id) with an in-agg array sort — at
+    100 TB every shuffle row is one line, and hot boilerplate lines are
+    exactly the ones the frequency table kills.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__i", "__l"),
+    )
+    freq = lines.groupBy("__l").agg(
+        F.countDistinct(id_col).alias("__nd")
+    )
+    kept = lines.join(freq, "__l").filter(F.col("__nd") <= max_docs)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__i"), F.col("__l")))
+                    ),
+                    lambda s: s["__l"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count("*").alias("n_lines_kept"),
+        )
+    )

@@ -263,3 +263,32 @@ def q78_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_surprisal"
         ),
     )
+
+
+@query(
+    "q79_dedup_corpus_lines",
+    r"""
+    WITH l AS (
+      SELECT doc_id,
+             unnest([{'i': i, 'line': s[i]}
+                     FOR i IN generate_series(1, len(s))],
+                    recursive := true)
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS s FROM documents)
+    ),
+    freq AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l GROUP BY line)
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY i) AS text,
+           COUNT(*) AS n_lines_kept
+    FROM l JOIN freq USING (line)
+    WHERE nd <= 1
+    GROUP BY doc_id
+    """,
+)
+def q79_dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup (C4/RefinedWeb boilerplate removal): lines
+    appearing in >1 distinct documents are removed everywhere, documents
+    reassembled from survivors in original order. Lines shuffle as
+    (id, line) rows — documents never travel whole."""
+    from .operators.dedup import dedup_corpus_lines
+
+    return dedup_corpus_lines(_t(spark, sf_dir, "documents"), max_docs=1)

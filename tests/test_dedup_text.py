@@ -307,3 +307,30 @@ def test_duplicate_components_long_chain_log_rounds(spark, tmp_path):
     comp = {r.id: r.component for r in out.collect()}
     assert set(comp) == set(range(64))
     assert set(comp.values()) == {0}  # ONE component, fully converged
+
+
+def test_dedup_corpus_lines(spark):
+    from data_pipelines_examples_spark.operators.dedup import dedup_corpus_lines
+
+    rows = [
+        (1, "unique one\nSHARED BANNER\nunique two"),
+        (2, "SHARED BANNER\nother content"),
+        (3, "SHARED BANNER"),            # nothing survives → dropped
+        (4, "solo document line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in dedup_corpus_lines(df).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["text"] == "unique one\nunique two"
+    assert out[1]["n_lines_kept"] == 2
+    assert out[2]["text"] == "other content"
+    assert out[4]["text"] == "solo document line"
+
+
+def test_dedup_corpus_lines_max_docs(spark):
+    from data_pipelines_examples_spark.operators.dedup import dedup_corpus_lines
+
+    rows = [(1, "twice"), (2, "twice"), (3, "thrice"), (4, "thrice"), (5, "thrice")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dedup_corpus_lines(df, max_docs=2)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
