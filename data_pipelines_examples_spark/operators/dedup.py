@@ -75,6 +75,52 @@ def scd_latest(
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def scd2_history(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Build SCD Type-2 validity intervals from a change/snapshot stream:
+    per key, collapse consecutive rows whose tracked attributes are
+    unchanged, then assign ``valid_from`` = the change's timestamp,
+    ``valid_to`` = the next change's timestamp (exclusive; NULL while
+    current) and ``is_current``. The complement of ``scd_latest`` (which
+    keeps only the newest version): this keeps the full history as
+    non-overlapping intervals — the reference's SCD dedup template
+    (dags/dataswm/servicenow_api_extract.py:2328-2350) extended to the
+    warehouse-standard Type-2 shape.
+
+    Change detection is null-safe (``<=>`` against the lagged value), so
+    NULL→value and value→NULL transitions open new intervals. Ties on
+    ``ts_col`` within a key are broken deterministically by the attribute
+    values themselves.
+
+    Scale shape: exactly one shuffle — both windows (change-detect lag
+    and valid_to lead) share the same (keys × ts) partitioning/sort, so
+    Catalyst plans a single exchange + sort; rows carry only keys,
+    timestamp, and the tracked attributes.
+    """
+    parts = [keys] if isinstance(keys, str) else list(keys)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc_nulls_first() for c in attr_cols]
+    w = Window.partitionBy(*parts).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.lag(ts_col).over(w).isNull()
+    marked = df.select(*parts, ts_col, *attr_cols).withColumn(
+        "__chg", first | changed
+    )
+    kept = marked.filter(F.col("__chg")).drop("__chg")
+    w2 = Window.partitionBy(*parts).orderBy(*order)
+    return (
+        kept.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(ts_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-duplicate detection
 # ---------------------------------------------------------------------------
@@ -669,6 +715,148 @@ def dedup_keep_canonical(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Verbatim duplicated-span detection — the distributed analog of the
+    suffix-array pass in "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., 2022, arXiv:2107.06499): find every
+    maximal token span that appears verbatim (as a ``k``-token window) in
+    at least ``min_docs`` distinct documents.
+
+    Method: every k-token window of every document is hashed; window
+    hashes appearing in >= ``min_docs`` distinct docs are "duplicated
+    windows"; per document, overlapping/adjacent duplicated windows merge
+    into maximal spans (gaps-and-islands on window starts — two sorted
+    equal-length windows merge iff their starts differ by <= k).
+
+    Returns one row per (doc, maximal span): (id, span_start, span_end,
+    span_tokens, n_windows), token positions 1-based inclusive. Documents
+    shorter than ``k`` tokens have no windows and never appear.
+
+    Scale shape: window construction is a narrow projection (the words
+    array slices in place — no self-join, no shuffle); the frequency
+    table groups 8-byte window hashes with map-side combine; the
+    join-back carries (hash, id, start) triples — bodies never shuffle.
+    The suffix array's O(n log n) global sort is replaced by a hash
+    group-by, which is exactly what survives a 1000-executor corpus: a
+    window's duplicate set is discovered wherever its hash lands, with
+    no corpus-wide ordered structure to build or maintain.
+    """
+    df = ensure_parallelism(df)
+    ws = df.select(
+        F.col(id_col), F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__ws")
+    ).filter(F.size("__ws") >= k)
+    wins = ws.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.size("__ws") - (k - 1))).alias("__i"),
+        F.col("__ws"),
+    ).select(
+        F.col(id_col),
+        F.col("__i"),
+        F.xxhash64(F.array_join(F.slice("__ws", F.col("__i"), k), " ")).alias("__h"),
+    )
+    dup = (
+        wins.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    hits = wins.join(dup, "__h").select(id_col, "__i")
+    w = Window.partitionBy(id_col).orderBy("__i")
+    isl = hits.withColumn(
+        "__brk",
+        F.when(
+            F.col("__i") - F.lag("__i").over(w) <= k, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn("__island", F.sum("__brk").over(w))
+    return isl.groupBy(id_col, "__island").agg(
+        F.min("__i").alias("span_start"),
+        (F.max("__i") + (k - 1)).alias("span_end"),
+        (F.max("__i") - F.min("__i") + k).alias("span_tokens"),
+        F.count("*").alias("n_windows"),
+    ).drop("__island")
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove verbatim duplicated spans from every document EXCEPT the
+    canonical occurrence (Lee et al. 2022 keep-one semantics, arXiv:
+    2107.06499 §3): for each duplicated ``k``-token window, the document
+    with the minimum id keeps its copy; every other document drops the
+    tokens that window covers. Documents reassemble from surviving
+    tokens in original order; docs left with zero tokens drop out.
+
+    Returns (id, text, n_tokens_kept). Canonical selection is per-window
+    (min doc id over the window's owners), so a span shared by docs
+    {3, 7, 9} survives only in doc 3 — deterministic, order-independent,
+    and computable with one hash-groupBy, matching the paper's
+    "keep one occurrence" without any sequential pass.
+
+    Scale shape: covered token positions explode only for NON-canonical
+    duplicated windows (bounded by the duplicated fraction of the
+    corpus); the position kill-list joins back per (id, position) and
+    documents reassemble with an in-agg sorted collect — the only rows
+    ever shuffled are (hash, id, start) triples, positions, and single
+    tokens, never whole documents.
+    """
+    df = ensure_parallelism(df)
+    ws = df.select(
+        F.col(id_col), F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__ws")
+    )
+    wins = ws.filter(F.size("__ws") >= k).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.size("__ws") - (k - 1))).alias("__i"),
+        F.col("__ws"),
+    ).select(
+        F.col(id_col),
+        F.col("__i"),
+        F.xxhash64(F.array_join(F.slice("__ws", F.col("__i"), k), " ")).alias("__h"),
+    )
+    canon = (
+        wins.groupBy("__h")
+        .agg(
+            F.countDistinct(id_col).alias("__nd"),
+            F.min(id_col).alias("__canon"),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h", "__canon")
+    )
+    kill = (
+        wins.join(canon, "__h")
+        .filter(F.col(id_col) != F.col("__canon"))
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("__i"), F.col("__i") + (k - 1))).alias("__p"),
+        )
+        .distinct()
+    )
+    toks = ws.select(
+        F.col(id_col),
+        F.posexplode("__ws").alias("__p0", "__tok"),
+    ).withColumn("__p", F.col("__p0") + 1)
+    kept = toks.join(kill, [id_col, "__p"], "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__p"), F.col("__tok")))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias(text_col),
+        F.count("*").alias("n_tokens_kept"),
+    )
 
 
 def dedup_corpus_lines(

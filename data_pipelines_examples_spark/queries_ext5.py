@@ -292,3 +292,138 @@ def q79_dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import dedup_corpus_lines
 
     return dedup_corpus_lines(_t(spark, sf_dir, "documents"), max_docs=1)
+
+
+@query(
+    "q80_duplicate_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             unnest([{'i': i, 'g': array_to_string(w[i:i+7], ' ')}
+                     FOR i IN generate_series(1, len(w)-7)],
+                    recursive := true)
+      FROM t WHERE len(w) >= 8
+    ),
+    dup AS (SELECT g FROM wins GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, i FROM wins JOIN dup USING (g)),
+    brk AS (
+      SELECT doc_id, i,
+             CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 8
+                  THEN 0 ELSE 1 END AS b
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM brk
+    )
+    SELECT doc_id,
+           CAST(MIN(i) AS BIGINT) AS span_start,
+           CAST(MAX(i) + 7 AS BIGINT) AS span_end,
+           CAST(MAX(i) - MIN(i) + 8 AS BIGINT) AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def q80_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim duplicated-span detection (Lee et al. 2022, arXiv:
+    2107.06499): maximal token spans whose 8-token windows appear in >=2
+    distinct documents. The suffix array's global ordered structure is
+    replaced by a hash-groupBy over window hashes — the shape that
+    distributes; spans merge per-doc with one gaps-and-islands window."""
+    from .operators.dedup import duplicate_spans
+
+    out = duplicate_spans(_t(spark, sf_dir, "documents"), k=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
+@query(
+    "q81_strip_duplicate_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             unnest([{'i': i, 'g': array_to_string(w[i:i+7], ' ')}
+                     FOR i IN generate_series(1, len(w)-7)],
+                    recursive := true)
+      FROM t WHERE len(w) >= 8
+    ),
+    canon AS (
+      SELECT g, MIN(doc_id) AS cd
+      FROM wins GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    kill AS (
+      SELECT DISTINCT wins.doc_id, wins.i + s.o AS p
+      FROM wins JOIN canon USING (g), generate_series(0, 7) s(o)
+      WHERE wins.doc_id <> canon.cd
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest([{'p': p, 'tok': w[p]}
+                     FOR p IN generate_series(1, len(w))],
+                    recursive := true)
+      FROM t
+    ),
+    kept AS (SELECT doc_id, p, tok FROM toks ANTI JOIN kill USING (doc_id, p))
+    SELECT doc_id,
+           string_agg(tok, ' ' ORDER BY p) AS text,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q81_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one removal of verbatim duplicated spans (Lee et al. 2022
+    semantics): for each duplicated 8-token window the min-id document
+    keeps its copy; every other document drops the covered tokens and
+    reassembles from the survivors. The oracle independently rebuilds
+    every surviving token string, so the whole mark→kill→reassemble
+    pipeline is hash-checked end to end."""
+    from .operators.dedup import strip_duplicate_spans
+
+    return strip_duplicate_spans(_t(spark, sf_dir, "documents"), k=8, min_docs=2)
+
+
+@query(
+    "q82_scd2_event_type_history",
+    """
+    WITH m AS (
+      SELECT user_id, ts, event_type,
+             (lag(ts) OVER w IS NULL
+              OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ),
+    k AS (SELECT user_id, ts, event_type FROM m WHERE chg)
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM k
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_type)
+    """,
+)
+def q82_scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history of each user's event_type: consecutive
+    unchanged rows collapse, each change opens a validity interval
+    [valid_from, valid_to) with NULL valid_to marking the current row —
+    the warehouse-standard Type-2 complement of the graded q10
+    latest-version collapse. One exchange: both windows share the
+    (user_id × ts) sort."""
+    from .operators.dedup import scd2_history
+
+    return scd2_history(
+        _t(spark, sf_dir, "events"), "user_id", "ts", ["event_type"]
+    )

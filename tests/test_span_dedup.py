@@ -1,0 +1,111 @@
+"""Verbatim duplicated-span detection and removal (Lee et al. 2022,
+arXiv:2107.06499 — the suffix-array dedup pass, re-expressed as a
+hash-groupBy over k-token windows)."""
+
+from __future__ import annotations
+
+from data_pipelines_examples_spark.operators.dedup import (
+    duplicate_spans,
+    strip_duplicate_spans,
+)
+
+# A 10-token verbatim sentence shared by docs 1 and 2, embedded at
+# different offsets, plus unique prefixes/suffixes. Doc 3 is unrelated,
+# doc 4 is shorter than k and must never appear.
+SHARED = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+DOCS = [
+    (1, f"unique one prefix {SHARED} unique one suffix"),
+    (2, f"two {SHARED} trailing words here two"),
+    (3, "totally different text with no overlap at all whatsoever in it"),
+    (4, "short doc"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_duplicate_spans_maximal_merge(spark):
+    # k=8 over a 10-token shared run -> 3 duplicated windows per doc,
+    # overlapping, merging into ONE maximal span of exactly 10 tokens.
+    out = duplicate_spans(_docs(spark), k=8).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert set(by_doc) == {1, 2}
+    # doc 1: prefix "unique one prefix" = 3 tokens, span covers tokens 4..13
+    r1 = by_doc[1]
+    assert (r1["span_start"], r1["span_end"]) == (4, 13)
+    assert r1["span_tokens"] == 10
+    assert r1["n_windows"] == 3
+    # doc 2: prefix "two" = 1 token, span covers tokens 2..11
+    r2 = by_doc[2]
+    assert (r2["span_start"], r2["span_end"]) == (2, 11)
+    assert r2["span_tokens"] == 10
+
+
+def test_duplicate_spans_min_docs_threshold(spark):
+    # min_docs=3: the sentence is only in 2 docs -> nothing flagged.
+    assert duplicate_spans(_docs(spark), k=8, min_docs=3).count() == 0
+
+
+def test_duplicate_spans_disjoint_islands(spark):
+    # Two separate shared runs inside one doc stay two spans when the
+    # gap between them exceeds k.
+    a = "one two three four five six seven eight"  # 8 tokens
+    b = "red orange yellow green blue indigo violet ultraviolet"  # 8 tokens
+    gap = "g1 g2 g3 g4 g5 g6 g7 g8 g9"  # 9 unique tokens > k=8
+    docs = spark.createDataFrame(
+        [(1, f"{a} {gap} {b}"), (2, a), (3, b)], "doc_id int, text string"
+    )
+    out = duplicate_spans(docs, k=8).filter("doc_id = 1").collect()
+    spans = sorted((r["span_start"], r["span_end"]) for r in out)
+    assert spans == [(1, 8), (18, 25)]
+
+
+def test_strip_keeps_canonical_occurrence(spark):
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(_docs(spark), k=8).collect()}
+    # doc 1 is canonical (min id) -> keeps full text verbatim (lowercased
+    # whitespace-normalized form).
+    assert out[1]["text"] == f"unique one prefix {SHARED} unique one suffix"
+    assert out[1]["n_tokens_kept"] == 16
+    # doc 2 loses exactly the 10 shared tokens.
+    assert out[2]["text"] == "two trailing words here two"
+    assert out[2]["n_tokens_kept"] == 5
+    # untouched docs survive verbatim.
+    assert out[3]["n_tokens_kept"] == 11
+    assert out[4]["text"] == "short doc"
+
+
+def test_strip_drops_fully_covered_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, SHARED), (2, SHARED)], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(docs, k=8).collect()}
+    assert set(out) == {1}  # doc 2 entirely duplicated -> dropped
+    assert out[1]["n_tokens_kept"] == 10
+
+
+def test_scd2_history_intervals(spark):
+    from data_pipelines_examples_spark.operators.dedup import scd2_history
+
+    rows = [
+        (1, 10, "a"),
+        (1, 20, "a"),   # unchanged -> collapses into the t=10 interval
+        (1, 30, "b"),   # change
+        (1, 40, None),  # value -> NULL opens a new interval
+        (1, 50, None),  # unchanged NULL collapses
+        (1, 60, "a"),   # NULL -> value opens a new interval
+        (2, 15, "x"),   # single-row key: one current interval
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, v string")
+    out = sorted(
+        scd2_history(df, "k", "t", ["v"]).collect(),
+        key=lambda r: (r["k"], r["valid_from"]),
+    )
+    got = [(r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"]) for r in out]
+    assert got == [
+        (1, "a", 10, 30, False),
+        (1, "b", 30, 40, False),
+        (1, None, 40, 60, False),
+        (1, "a", 60, None, True),
+        (2, "x", 15, None, True),
+    ]
