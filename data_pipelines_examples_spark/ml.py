@@ -138,6 +138,75 @@ def fit_evaluate(
         base.unpersist()
 
 
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    num_features: int = 1 << 18,
+    use_idf: bool = False,
+    reg_param: float = 0.0,
+    max_iter: int = 50,
+):
+    """Train a fasttext-style linear quality classifier: hashed
+    bag-of-tokens features → logistic regression — the standard
+    model-based rung of the corpus quality ladder (the heuristic rungs
+    are ``text.quality_score`` and the surprisal filters): label a seed
+    set (e.g. curated vs crawled sources), fit, then score the whole
+    corpus and keep the high-probability tail.
+
+    Pipeline: RegexTokenizer (``\\s+``, matching every other tokenizer in
+    the engine) → HashingTF (feature hashing — no vocabulary broadcast,
+    the trick that makes the featurizer corpus-size-independent) →
+    optional IDF → LogisticRegression. Returns the fitted PipelineModel.
+
+    Scale shape: featurization is a narrow map (hashing, no dictionary);
+    the only distributed iteration is LBFGS's gradient treeAggregate —
+    one pass over the corpus per iteration with map-side combine, the
+    same shape MLlib uses at any cluster size. ``num_features`` bounds
+    the model vector (2^18 doubles ≈ 2 MB broadcast).
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import IDF, HashingTF, RegexTokenizer
+
+    stages = [
+        RegexTokenizer(
+            inputCol=text_col, outputCol="__tokens", pattern=r"\s+", toLowercase=True
+        ),
+        HashingTF(inputCol="__tokens", outputCol="__tf", numFeatures=num_features),
+    ]
+    feat_col = "__tf"
+    if use_idf:
+        stages.append(IDF(inputCol="__tf", outputCol="__tfidf"))
+        feat_col = "__tfidf"
+    stages.append(
+        LogisticRegression(
+            featuresCol=feat_col,
+            labelCol=label_col,
+            regParam=reg_param,
+            maxIter=max_iter,
+        )
+    )
+    return Pipeline(stages=stages).fit(df)
+
+
+def score_quality(
+    model,
+    df: DataFrame,
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Score a corpus with a trained quality classifier: append the
+    positive-class probability and drop the intermediate feature
+    columns. Pure transform — no shuffle; filters on ``out_col``
+    compose with the scan."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(df)
+    return scored.withColumn(
+        out_col, vector_to_array(F.col("probability"))[1]
+    ).drop("__tokens", "__tf", "__tfidf", "rawPrediction", "probability", "prediction")
+
+
 def quartile_strata(
     df: DataFrame, cols: list[str], n: int = 4, suffix: str = "_qtile"
 ) -> DataFrame:

@@ -223,6 +223,73 @@ def compact_path(
     }
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+    fmt: str = "parquet",
+) -> dict:
+    """Materialize a training corpus as ``n_shards`` globally-ordered
+    shard files plus a ``_manifest.json`` — the handoff artifact a data
+    loader consumes (shard list, per-shard row counts, totals, the seed
+    that reproduces the order).
+
+    Order comes from ``sampling.epoch_shuffle``: the seeded hash key IS
+    the global shuffle order, so ``repartitionByRange(n_shards, key)`` +
+    ``sortWithinPartitions(key)`` lands the epoch totally ordered across
+    shard files with ONE range exchange and no global rank bottleneck.
+    Re-running with the same seed reproduces every shard bit-for-bit;
+    a new epoch is a new seed. Per-shard counts come from the written
+    files themselves (grouped on ``input_file_name``), so the manifest
+    describes what is actually on disk.
+
+    Returns the manifest dict: {"path", "format", "seed", "n_shards",
+    "total_rows", "shards": [{"file", "rows"}...]} (also written to
+    ``<path>/_manifest.json``, name underscore-prefixed so Spark scans
+    skip it).
+    """
+    import json
+
+    from ..operators.sampling import epoch_shuffle
+
+    spark = df.sparkSession
+    keyed = epoch_shuffle(df, id_col, seed=seed)
+    (
+        keyed.repartitionByRange(n_shards, "shuffle_key")
+        .sortWithinPartitions("shuffle_key")
+        .drop("shuffle_key")
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )
+    per_file = (
+        spark.read.format(fmt)
+        .load(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    )
+    shards = sorted(
+        ({"file": r["file"].rsplit("/", 1)[-1], "rows": r["rows"]} for r in per_file),
+        key=lambda s: s["file"],
+    )
+    manifest = {
+        "path": path,
+        "format": fmt,
+        "seed": seed,
+        "n_shards": n_shards,
+        "total_rows": sum(s["rows"] for s in shards),
+        "shards": shards,
+    }
+    fs, hpath = _hadoop_fs(spark, path.rstrip("/") + "/_manifest.json")
+    out = fs.create(hpath, True)
+    out.write(bytearray(json.dumps(manifest, indent=2).encode()))
+    out.close()
+    return manifest
+
+
 def write_single_file(df: DataFrame, path: str, fmt: str = "csv", header: bool = True) -> None:
     """coalesce(1) export for handoff files — never for large data."""
     w = df.coalesce(1).write.mode("overwrite")

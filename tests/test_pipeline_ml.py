@@ -177,3 +177,49 @@ def test_propensity_match_equal_score_control_visible(spark):
     )
     got = propensity_match(df, "treated", "score", "pid").collect()
     assert len(got) == 1 and got[0].match_id == 2 and got[0].score_dist == 0.0
+
+
+def test_quality_classifier_separable(spark):
+    from data_pipelines_examples_spark.ml import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    # Clean docs use one vocabulary, junk docs another — linearly
+    # separable, so the classifier must score them apart decisively.
+    clean = [
+        (i, 1.0, f"thoughtful prose about careful analysis topic{i % 5}")
+        for i in range(20)
+    ]
+    junk = [
+        (100 + i, 0.0, f"click here buy now free offer spam{i % 5}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(clean + junk, "doc_id int, label double, text string")
+    model = train_quality_classifier(df, "label")
+    scored = score_quality(model, df)
+    rows = {r["doc_id"]: r["quality_prob"] for r in scored.collect()}
+    assert all(rows[i] > 0.9 for i, _, _ in clean)
+    assert all(rows[i] < 0.1 for i, _, _ in junk)
+    # intermediate feature columns are gone; original columns survive
+    assert set(scored.columns) == {"doc_id", "label", "text", "quality_prob"}
+
+
+def test_quality_classifier_generalizes_to_unseen(spark):
+    from data_pipelines_examples_spark.ml import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    train = spark.createDataFrame(
+        [(i, 1.0, "careful analysis of query engines") for i in range(10)]
+        + [(10 + i, 0.0, "free spam offer click now") for i in range(10)],
+        "doc_id int, label double, text string",
+    )
+    unseen = spark.createDataFrame(
+        [(100, "careful engines analysis"), (101, "spam click free")],
+        "doc_id int, text string",
+    )
+    model = train_quality_classifier(train, "label")
+    got = {r["doc_id"]: r["quality_prob"] for r in score_quality(model, unseen).collect()}
+    assert got[100] > 0.5 > got[101]
