@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     # join and persist regressions show up round-over-round.
     "q67_unigram_surprisal",
     "q71_tfidf_top_terms",
+    # verbatim-span dedup (round 4 cont.): the heaviest window-hash
+    # pipeline — k-token window explode + frequency groupBy + islands.
+    "q80_duplicate_spans",
 ]
 
 

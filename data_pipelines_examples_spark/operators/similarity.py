@@ -564,3 +564,38 @@ def semantic_dedup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cluster", "cosine_sim")
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    k: int | None = None,
+) -> DataFrame:
+    """Per-query recall@k of an approximate neighbor list against the
+    exact one — the acceptance gate every ANN index (LSH, IVF, PQ) must
+    pass before it replaces brute force in a pipeline. Both inputs are
+    (query_id, vec_id[, rank]) top-k tables; with ``k`` the lists are
+    first cut to rank <= k.
+
+    Returns (query_id, n_exact, n_hit, recall). Aggregate the mean
+    downstream; keeping per-query rows makes the failure mode visible
+    (ANN recall is never uniform — it fails on specific queries, and the
+    mean hides that).
+
+    Scale shape: one semi-join on (query, neighbor) pairs + one groupBy
+    query — ids only, never vectors."""
+    if k is not None:
+        approx = approx.filter(F.col("rank") <= k)
+        exact = exact.filter(F.col("rank") <= k)
+    a = approx.select(query_id_col, id_col)
+    e = exact.select(query_id_col, id_col)
+    hits = e.join(a, [query_id_col, id_col], "left_semi")
+    n_e = e.groupBy(query_id_col).agg(F.count("*").alias("n_exact"))
+    n_h = hits.groupBy(query_id_col).agg(F.count("*").alias("n_hit"))
+    return (
+        n_e.join(n_h, query_id_col, "left")
+        .na.fill({"n_hit": 0})
+        .withColumn("recall", F.col("n_hit") / F.col("n_exact"))
+    )

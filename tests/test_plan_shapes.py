@@ -189,3 +189,26 @@ def test_bm25_filters_terms_before_shuffle(spark):
     plan = physical_plan(bm25_topk(d, ["table", "merge"], k=5))
     # the isin filter must appear in the plan (pre-shuffle projection side)
     assert "__t" in plan and ("table" in plan and "merge" in plan)
+
+
+def test_scd2_single_shuffle(spark):
+    """Change-detect lag and valid_to lead share one (keys x ts) sort:
+    exactly one exchange for the whole Type-2 build."""
+    from data_pipelines_examples_spark.operators.dedup import scd2_history
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    df = scd2_history(ev, "user_id", "ts", ["event_type"])
+    assert count_shuffles(df) == 1
+
+
+def test_duplicate_spans_shuffle_budget(spark):
+    """Window-hash frequency agg + join-back + islands window: three
+    exchanges, none carrying document bodies (the plan projects only
+    ids, positions, and 8-byte hashes past the scan)."""
+    from data_pipelines_examples_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = duplicate_spans(docs, k=8)
+    assert count_shuffles(df) <= 3
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan

@@ -129,3 +129,48 @@ def test_arrow_buckets_bit_identical_to_expression_fold(spark):
         ).collect()
     }
     assert expr == arrow
+
+
+def test_recall_at_k_exact_vs_itself_and_lsh(spark):
+    from data_pipelines_examples_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        recall_at_k,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = (
+        emb.limit(5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    # exact vs itself: recall == 1.0 for every query
+    self_r = recall_at_k(exact, exact).collect()
+    assert len(self_r) == 5
+    assert all(r["recall"] == 1.0 for r in self_r)
+    # LSH vs exact: recall is measurable and bounded [0, 1]; n_exact = k
+    from data_pipelines_examples_spark.oracles import gauss_planes
+
+    approx = lsh_topk(emb, queries, gauss_planes(n_planes=4, dim=64, seed=7), k=10)
+    rows = recall_at_k(approx, exact).collect()
+    assert len(rows) == 5
+    assert all(0.0 <= r["recall"] <= 1.0 and r["n_exact"] == 10 for r in rows)
+
+
+def test_recall_at_k_counts_misses(spark):
+    from data_pipelines_examples_spark.operators.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2)],
+        "query_id int, vec_id int, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2), (2, 98, 1), (2, 97, 2)],
+        "query_id int, vec_id int, rank int",
+    )
+    got = {r["query_id"]: r for r in recall_at_k(approx, exact).collect()}
+    assert got[1]["n_hit"] == 1 and got[1]["recall"] == 0.5
+    assert got[2]["n_hit"] == 0 and got[2]["recall"] == 0.0
