@@ -121,6 +121,42 @@ def scd2_history(
     )
 
 
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: str | list[str],
+    op_col: str,
+    version_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply an insert/update/delete change log to a base snapshot — the
+    CDC-merge every incremental ingestion pipeline runs (the reference's
+    exactly-once upsert, servicenow_api_extract.py:2328-2350, extended
+    with delete semantics; with a table format this is MERGE INTO WHEN
+    MATCHED AND op='D' THEN DELETE).
+
+    Per key, the latest change (by ``version_col``) wins: a delete
+    removes the key, anything else replaces (or inserts) the row.
+    Earlier changes for the same key are superseded entirely — the
+    standard snapshot-apply semantics, idempotent under replayed logs.
+
+    ``changes`` must carry the base columns plus ``op_col`` and
+    ``version_col``. Returns the new snapshot with exactly the base
+    columns. Scale shape: one window collapse over the (small) change
+    log + one anti join against base on keys — base rows never shuffle
+    beyond the join, and with AQE the collapsed log broadcasts.
+    """
+    parts = [keys] if isinstance(keys, str) else list(keys)
+    missing = [c for c in base.columns if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing base columns: {missing}")
+    latest = scd_latest(changes, parts, version_col)
+    touched = latest.select(*parts)
+    survivors = base.join(touched, parts, "left_anti")
+    upserts = latest.filter(F.col(op_col) != delete_op).select(*base.columns)
+    return survivors.unionByName(upserts)
+
+
 # ---------------------------------------------------------------------------
 # Near-duplicate detection
 # ---------------------------------------------------------------------------

@@ -332,3 +332,64 @@ def asof_join(
             *[F.col(f"__match.{c}").alias(c) for c in value_cols],
         )
     )
+
+
+def temporal_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-time join of facts to an SCD2 dimension history: each
+    fact row attaches the dimension version whose [valid_from, valid_to)
+    interval contains the fact's timestamp (NULL valid_to = open/current,
+    the ``scd2_history`` convention).
+
+    NOT the textbook ``f.key = h.key AND f.ts >= h.valid_from AND
+    (f.ts < h.valid_to OR h.valid_to IS NULL)`` theta join — that shape
+    cross-products every fact with every version of its key before
+    filtering. Because SCD2 intervals are non-overlapping per key,
+    "interval containing ts" is exactly "latest valid_from <= ts", so
+    this rides ``asof_join`` (one union + one window sort, ONE shuffle,
+    linear) and then null-checks: a fact earlier than its key's first
+    version gets NULL dimension columns, and a ``valid_to`` at-or-before
+    the fact's ts (possible only for GAPPED histories, where a key's
+    latest version was closed without a successor) is masked back to
+    NULL rather than mis-attributed.
+
+    Returns all fact columns + ``value_cols`` (default: history columns
+    minus key/interval bounds) + ``valid_from``/``valid_to`` of the
+    matched version (both NULL on no match).
+    """
+    if value_cols is None:
+        value_cols = [
+            c for c in history.columns if c not in (key, valid_from, valid_to)
+        ]
+    joined = asof_join(
+        facts,
+        history,
+        key,
+        ts_col,
+        valid_from,
+        value_cols=value_cols + [valid_to],
+    )
+    # Materialize the match predicate BEFORE masking: the when() below
+    # rewrites valid_to, and a lazily re-evaluated predicate would then
+    # see its own output (masked NULL valid_to == "open interval").
+    out = joined.withColumn(
+        "__matched",
+        F.col("asof_ts").isNotNull()
+        & (
+            F.col(valid_to).isNull()
+            | (F.col(ts_col).cast("timestamp") < F.col(valid_to).cast("timestamp"))
+        ),
+    )
+    for c in value_cols + [valid_to]:
+        out = out.withColumn(c, F.when(F.col("__matched"), F.col(c)))
+    return (
+        out.withColumn(valid_from, F.when(F.col("__matched"), F.col("asof_ts")))
+        .drop("asof_ts", "__matched")
+    )

@@ -427,3 +427,97 @@ def q82_scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(
         _t(spark, sf_dir, "events"), "user_id", "ts", ["event_type"]
     )
+
+
+@query(
+    "q83_apply_cdc_snapshot",
+    """
+    WITH ch AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(o_totalprice AS DOUBLE) AS c_acctbal,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+             o_orderkey AS ver
+      FROM orders
+    ),
+    latest AS (
+      SELECT c_custkey, c_acctbal, op FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+          PARTITION BY c_custkey ORDER BY ver DESC
+        ) AS rn FROM ch
+      ) WHERE rn = 1
+    )
+    SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+    UNION ALL
+    SELECT c_custkey, c_acctbal FROM latest WHERE op <> 'D'
+    """,
+)
+def q83_apply_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-merge: the orders stream as an I/U/D change log applied to the
+    customer snapshot (finalized orders delete the key, open orders set
+    the balance; latest change per key wins by order key). One window
+    collapse of the log + one anti join — the MERGE INTO shape without a
+    table format."""
+    from .operators.dedup import apply_cdc
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    changes = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_totalprice").cast("double").alias("c_acctbal"),
+        F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+        F.col("o_orderkey").alias("ver"),
+    )
+    return apply_cdc(cust, changes, "c_custkey", "op", "ver")
+
+
+@query(
+    "q84_temporal_regime_join",
+    """
+    WITH m AS (
+      SELECT user_id, ts, event_type,
+             (lag(ts) OVER w IS NULL
+              OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ),
+    k AS (SELECT user_id, ts, event_type FROM m WHERE chg),
+    h AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER w2 AS valid_to
+      FROM k
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_type)
+    )
+    SELECT e.event_id, e.user_id,
+           h.event_type AS regime_type,
+           h.valid_from AS regime_start
+    FROM events e
+    JOIN h ON e.user_id = h.user_id
+          AND e.ts >= h.valid_from
+          AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    """,
+)
+def q84_temporal_regime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of every event to its containing SCD2 regime
+    (the q82 history): the oracle uses the textbook BETWEEN theta join;
+    the engine rides the as-of union-window instead — ONE shuffle,
+    linear, no per-key cross product — and must produce identical rows."""
+    from .operators.dedup import scd2_history
+    from .operators.relational import temporal_join
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_history(ev, "user_id", "ts", ["event_type"])
+    joined = temporal_join(
+        ev.select("event_id", "user_id", "ts"),
+        hist.drop("is_current"),
+        "user_id",
+        "ts",
+        value_cols=["event_type"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("regime_type"),
+        F.col("valid_from").alias("regime_start"),
+    )

@@ -109,3 +109,96 @@ def test_scd2_history_intervals(spark):
         (1, "a", 60, None, True),
         (2, "x", 15, None, True),
     ]
+
+
+def test_apply_cdc_upsert_delete_supersede(spark):
+    from data_pipelines_examples_spark.operators.dedup import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "U", 10),   # update key 2
+            (3, "c1", "U", 10),   # superseded by the later delete
+            (3, "c2", "D", 20),   # delete key 3
+            (4, "d", "I", 10),    # insert new key 4
+            (5, "e1", "D", 10),   # superseded by the later re-insert
+            (5, "e2", "I", 20),   # delete-then-insert -> present
+        ],
+        "k int, v string, op string, ver int",
+    )
+    out = apply_cdc(base, changes, "k", "op", "ver")
+    got = sorted((r["k"], r["v"]) for r in out.collect())
+    assert got == [(1, "a"), (2, "b2"), (4, "d"), (5, "e2")]
+    assert out.columns == base.columns
+    # idempotent: re-applying the same log is a no-op
+    again = apply_cdc(out, changes, "k", "op", "ver")
+    assert sorted((r["k"], r["v"]) for r in again.collect()) == got
+
+
+def test_apply_cdc_rejects_schema_mismatch(spark):
+    import pytest
+
+    from data_pipelines_examples_spark.operators.dedup import apply_cdc
+
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    bad = spark.createDataFrame([(1, "U", 1)], "k int, op string, ver int")
+    with pytest.raises(ValueError, match="missing base columns"):
+        apply_cdc(base, bad, "k", "op", "ver")
+
+
+def test_temporal_join_point_in_time(spark):
+    from data_pipelines_examples_spark.operators.dedup import scd2_history
+    from data_pipelines_examples_spark.operators.relational import temporal_join
+
+    hist_src = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "bronze"),
+            (1, "2024-02-01 00:00:00", "silver"),
+            (1, "2024-03-01 00:00:00", "gold"),
+            (2, "2024-01-15 00:00:00", "bronze"),
+        ],
+        "k int, t string, tier string",
+    ).selectExpr("k", "cast(t as timestamp) as t", "tier")
+    hist = scd2_history(hist_src, "k", "t", ["tier"])
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-20 12:00:00"),  # inside bronze
+            (101, 1, "2024-02-01 00:00:00"),  # boundary -> silver (from-inclusive)
+            (102, 1, "2024-12-31 00:00:00"),  # open current -> gold
+            (103, 1, "2023-06-01 00:00:00"),  # before first version -> NULL
+            (104, 2, "2024-02-02 00:00:00"),  # key 2 current
+        ],
+        "fact_id int, k int, ts string",
+    ).selectExpr("fact_id", "k", "cast(ts as timestamp) as ts")
+    out = {r["fact_id"]: r for r in temporal_join(facts, hist, "k", "ts").collect()}
+    assert out[100]["tier"] == "bronze" and out[100]["valid_to"] is not None
+    assert out[101]["tier"] == "silver"
+    assert out[102]["tier"] == "gold" and out[102]["valid_to"] is None
+    assert out[103]["tier"] is None and out[103]["valid_from"] is None
+    assert out[104]["tier"] == "bronze"
+    assert len(out) == 5
+
+
+def test_temporal_join_gapped_history_no_misattribution(spark):
+    from data_pipelines_examples_spark.operators.relational import temporal_join
+
+    # Hand-built gapped history: key 1's only version is CLOSED at Feb 1
+    # with no successor; a March fact must get NULL, not the stale row.
+    hist = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-02-01 00:00:00", "x")],
+        "k int, valid_from string, valid_to string, v string",
+    ).selectExpr(
+        "k",
+        "cast(valid_from as timestamp) as valid_from",
+        "cast(valid_to as timestamp) as valid_to",
+        "v",
+    )
+    facts = spark.createDataFrame(
+        [(1, 1, "2024-01-10 00:00:00"), (2, 1, "2024-03-10 00:00:00")],
+        "fact_id int, k int, ts string",
+    ).selectExpr("fact_id", "k", "cast(ts as timestamp) as ts")
+    out = {r["fact_id"]: r for r in temporal_join(facts, hist, "k", "ts").collect()}
+    assert out[1]["v"] == "x"
+    assert out[2]["v"] is None and out[2]["valid_from"] is None
