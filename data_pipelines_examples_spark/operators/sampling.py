@@ -240,3 +240,54 @@ def temperature_mix(
     return stratified_mod_sample(
         df, strata_col, rates, id_col, buckets=buckets, default_rate=0
     )
+
+
+# 2^53: the largest power of two whose reciprocals are exact doubles —
+# (h mod M + 0.5)/M lands every uniform strictly inside (0,1) with
+# identical bits in any IEEE-754 engine.
+_ARES_M = 1 << 53
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: int = 0,
+    hash_how: str = "xxhash64",
+    key_out: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-Spirakis
+    A-Res order statistic: each row draws a deterministic uniform
+    u = (hash(seed:id) mod 2^53 + 0.5) / 2^53 and ranks by
+    ``ln(u) / weight`` descending; the global top-``n`` is the sample.
+    Inclusion probability is proportional to weight, the draw is
+    reproducible bit-for-bit per seed (audit requirement — no RNG
+    state), and rows with NULL or non-positive weight are excluded.
+
+    Scale shape: the key is a narrow per-row projection; the top-n
+    compiles to TakeOrderedAndProject (per-partition heaps + one
+    driver-side merge of n·partitions candidates — no global sort, no
+    single-reducer window). ``hash_how='portable'`` makes the draw
+    re-derivable in any engine with md5 (the oracle path); xxhash64 is
+    the 100 TB default.
+
+    With ``key_out`` the selection key is exposed (rounded use only —
+    see q85's DECIMAL guard for cross-engine ranking).
+    """
+    from ..functions.hashing import hash64
+
+    u = (
+        F.pmod(hash64(F.col(id_col).cast("string"), seed=seed, how=hash_how), F.lit(_ARES_M))
+        + F.lit(0.5)
+    ) / F.lit(float(_ARES_M))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    out = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__ares_key", key)
+        .orderBy(F.col("__ares_key").desc(), F.col(id_col))
+        .limit(n)
+    )
+    if key_out is not None:
+        return out.withColumnRenamed("__ares_key", key_out)
+    return out.drop("__ares_key")

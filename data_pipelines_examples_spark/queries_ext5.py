@@ -521,3 +521,36 @@ def q84_temporal_regime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("regime_type"),
         F.col("valid_from").alias("regime_start"),
     )
+
+
+@query(
+    "q85_weighted_sample",
+    f"""
+    SELECT doc_id, text, lang, source, n_chars FROM (
+      SELECT d.*,
+             ln(((({sql_hash64_seeded("CAST(doc_id AS VARCHAR)", 42)})
+                  % 9007199254740992) + 0.5) / 9007199254740992.0)
+               / CAST(n_chars AS DOUBLE) AS k
+      FROM documents d
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ) ORDER BY k DESC, doc_id LIMIT 100
+    """,
+)
+def q85_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    100 documents drawn with probability proportional to length, from a
+    seeded portable-hash uniform — bit-reproducible, no RNG state, and
+    fully replicated by the oracle (same md5-derived uniform, same
+    ln(u)/w order statistic; adjacent top keys are ~1e-5 apart so 1-ulp
+    libm divergence cannot flip membership). The engine's top-n is
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    from .operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "n_chars",
+        100,
+        seed=42,
+        hash_how="portable",
+    )

@@ -139,3 +139,40 @@ def test_temperature_mix_shares_approach_target(spark):
     got2 = {r["src"]: r["n"] for r in
             out2.groupBy("src").agg(F.count("*").alias("n")).collect()}
     assert got == got2
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    from data_pipelines_examples_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id int, w double")
+    s1 = sorted(r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 100, seed=1).collect())
+    s2 = sorted(r["doc_id"] for r in weighted_sample(df.repartition(13), "doc_id", "w", 100, seed=1).collect())
+    s3 = sorted(r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 100, seed=2).collect())
+    assert s1 == s2          # partitioning-independent, seed-reproducible
+    assert s1 != s3          # a new seed is a new draw
+    assert len(s1) == 100
+    # the 50 heavy rows (weight 100x) should be drawn near-certainly:
+    # P(include) ~ 1 - exp(-100k/W) >> the light rows'
+    heavy = sum(1 for i in s1 if i < 50)
+    assert heavy >= 45
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from data_pipelines_examples_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 5.0)],
+        "doc_id int, w double",
+    )
+    got = sorted(r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 10).collect())
+    assert got == [1, 5]
+
+
+def test_weighted_sample_plan_uses_takeordered(spark):
+    from data_pipelines_examples_spark.operators.sampling import weighted_sample
+    from data_pipelines_examples_spark.plans.inspect import physical_plan
+
+    df = spark.range(0, 10000).selectExpr("id as doc_id", "1.0 + id % 7 as w")
+    plan = physical_plan(weighted_sample(df, "doc_id", "w", 50))
+    assert "TakeOrderedAndProject" in plan
