@@ -393,3 +393,71 @@ def temporal_join(
         out.withColumn(valid_from, F.when(F.col("__matched"), F.col("asof_ts")))
         .drop("asof_ts", "__matched")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: str | list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Diff two snapshots of a keyed table: one row per key with status
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` and the list of
+    columns whose values differ (null-safe — NULL vs value counts as a
+    change, NULL vs NULL does not). The audit primitive behind CDC
+    validation, reconciliation reports, and regression gates on rebuilt
+    tables (the reference count-validates writes; this is the row-level
+    generalization).
+
+    Returns keys + ``diff_status`` + ``changed_cols`` (empty array for
+    added/removed/unchanged). ``compare_cols`` defaults to all shared
+    non-key columns. Unchanged rows are dropped unless requested — at
+    100 TB the diff output should be the (small) delta, not a full copy.
+
+    Scale shape: one full-outer shuffle join on the keys; comparisons are
+    narrow projections; no column values survive into the output, only
+    names — so wide tables diff without wide shuffles beyond the join
+    itself.
+    """
+    parts = [keys] if isinstance(keys, str) else list(keys)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in parts
+        ]
+    o = old.select(*parts, *[F.col(c).alias(f"__o_{c}") for c in compare_cols]).withColumn(
+        "__in_old", F.lit(True)
+    )
+    nw = new.select(*parts, *[F.col(c).alias(f"__n_{c}") for c in compare_cols]).withColumn(
+        "__in_new", F.lit(True)
+    )
+    j = o.join(nw, parts, "full_outer")
+    changed_cols = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        )
+    )
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.size(changed_cols) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        *parts,
+        status.alias("diff_status"),
+        F.when(
+            F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull(),
+            changed_cols,
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("changed_cols"),
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("diff_status") != "unchanged")
+    return out

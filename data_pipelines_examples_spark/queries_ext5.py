@@ -554,3 +554,70 @@ def q85_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
         hash_how="portable",
     )
+
+
+@query(
+    "q86_snapshot_diff_reconcile",
+    """
+    WITH o AS (
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM customer
+    ),
+    ch AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(o_totalprice AS DOUBLE) AS c_acctbal,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+             o_orderkey AS ver
+      FROM orders
+    ),
+    latest AS (
+      SELECT c_custkey, c_acctbal, op FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+          PARTITION BY c_custkey ORDER BY ver DESC
+        ) AS rn FROM ch
+      ) WHERE rn = 1
+    ),
+    n AS (
+      SELECT c_custkey, c_acctbal FROM o
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+      UNION ALL
+      SELECT c_custkey, c_acctbal FROM latest WHERE op <> 'D'
+    ),
+    j AS (
+      SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+             o.c_acctbal AS ob, n.c_acctbal AS nb,
+             o.c_custkey IS NOT NULL AS in_o,
+             n.c_custkey IS NOT NULL AS in_n
+      FROM o FULL JOIN n ON o.c_custkey = n.c_custkey
+    )
+    SELECT c_custkey,
+           CASE WHEN NOT in_o THEN 'added'
+                WHEN NOT in_n THEN 'removed'
+                WHEN ob IS DISTINCT FROM nb THEN 'changed'
+                ELSE 'unchanged' END AS diff_status,
+           CASE WHEN in_o AND in_n AND (ob IS DISTINCT FROM nb)
+                THEN 'c_acctbal' ELSE '' END AS changed_cols
+    FROM j
+    WHERE NOT (in_o AND in_n AND (ob IS NOT DISTINCT FROM nb))
+    """,
+)
+def q86_snapshot_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff the customer snapshot against its
+    CDC-applied successor (q83's merge) — one full-outer join on the
+    key, null-safe per-column change detection, per-row changed-column
+    list. Output is the delta only (added/removed/changed), the audit
+    artifact a rebuild gate consumes."""
+    from .operators.dedup import apply_cdc
+    from .operators.relational import snapshot_diff
+
+    old = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    changes = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_totalprice").cast("double").alias("c_acctbal"),
+        F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+        F.col("o_orderkey").alias("ver"),
+    )
+    new = apply_cdc(old, changes, "c_custkey", "op", "ver")
+    diff = snapshot_diff(old, new, "c_custkey")
+    return diff.withColumn("changed_cols", F.array_join("changed_cols", ","))

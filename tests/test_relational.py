@@ -94,3 +94,41 @@ def test_band_join(spark):
     out = band_join(vals, bands, "v", "lo", "hi", how="left")
     got = {(r.v, r.band) for r in out.collect()}
     assert got == {(5, "lo"), (20, "mid"), (99, None)}
+
+
+def test_snapshot_diff_statuses(spark):
+    from data_pipelines_examples_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k int, name string, bal double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 21.0), (3, "c", 30.0), (5, "e", 50.0)],
+        "k int, name string, bal double",
+    )
+    out = {r["k"]: r for r in snapshot_diff(old, new, "k").collect()}
+    assert set(out) == {2, 3, 4, 5}  # k=1 unchanged -> dropped
+    assert out[2]["diff_status"] == "changed"
+    assert sorted(out[2]["changed_cols"]) == ["bal", "name"]
+    assert out[3]["diff_status"] == "changed"  # NULL -> value is a change
+    assert out[3]["changed_cols"] == ["bal"]
+    assert out[4]["diff_status"] == "removed" and out[4]["changed_cols"] == []
+    assert out[5]["diff_status"] == "added" and out[5]["changed_cols"] == []
+    full = snapshot_diff(old, new, "k", include_unchanged=True)
+    assert {r["k"]: r["diff_status"] for r in full.collect()}[1] == "unchanged"
+
+
+def test_snapshot_diff_roundtrip_with_cdc(spark):
+    """apply_cdc then snapshot_diff reconciles exactly to the log."""
+    from data_pipelines_examples_spark.operators.dedup import apply_cdc
+    from data_pipelines_examples_spark.operators.relational import snapshot_diff
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    changes = spark.createDataFrame(
+        [(2, "b2", "U", 1), (3, "c", "I", 1), (1, "a", "D", 1)],
+        "k int, v string, op string, ver int",
+    )
+    new = apply_cdc(base, changes, "k", "op", "ver")
+    diff = {r["k"]: r["diff_status"] for r in snapshot_diff(base, new, "k").collect()}
+    assert diff == {1: "removed", 2: "changed", 3: "added"}
