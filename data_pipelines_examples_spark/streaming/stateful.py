@@ -270,3 +270,69 @@ def stream_running_counts(df: DataFrame, key_cols: list[str]) -> DataFrame:
             count, out_schema, "n bigint", "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def tws_available():
+    """Capability probe for ``transformWithStateInPandas``: returns True
+    when usable, else a human-readable reason (missing protobuf — the
+    state-server wire protocol — is the common gap in minimal images)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return "the 'protobuf' Python package is not installed"
+    return True
+
+
+def stream_running_counts_tws(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-key lifetime counts via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (SPARK-49564) and the forward path for
+    every custom stateful operator in this module: typed state variables
+    (ValueState/ListState/MapState) with per-state TTLs, timers decoupled
+    from the grouping pass, and schema-evolvable state — capabilities
+    ``applyInPandasWithState`` (``stream_running_counts``) cannot
+    express. Output and semantics are identical to the legacy twin; the
+    equivalence is pytest-pinned.
+
+    Requires the RocksDB state store provider (transformWithState is
+    implemented only there) — set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...RocksDBStateStoreProvider``, which is the production profile's
+    default anyway (see session.PROFILES / SCALING.md: verified-snapshot
+    RocksDB is the 100 TB state backend). ALSO requires the
+    ``protobuf`` Python package (the API's state server speaks protobuf
+    to the Python worker); ``tws_available()`` probes both so callers
+    fail fast with the reason instead of a mid-query worker crash.
+    """
+    missing = tws_available()
+    if missing is not True:
+        raise RuntimeError(f"transformWithStateInPandas unavailable: {missing}")
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = ", ".join(f"{c} string" for c in key_cols) + ", n_events bigint"
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._count.get()
+            n = got[0] if got is not None else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame(
+                [{**{c: str(k) for c, k in zip(key_cols, key)}, "n_events": n}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -376,3 +376,82 @@ def test_rocksdb_state_store_provider_runs(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_tws_probe_reports_missing_protobuf():
+    """The capability probe names the gap instead of letting the query
+    crash mid-stream: in this env protobuf is absent, so the operator
+    must refuse with the reason (and the e2e twin below auto-enables
+    once the dependency exists)."""
+    from data_pipelines_examples_spark.streaming.stateful import tws_available
+
+    avail = tws_available()
+    assert avail is True or "protobuf" in avail
+
+
+def test_tws_operator_fails_fast_when_unavailable(spark):
+    import pytest
+
+    from data_pipelines_examples_spark.streaming.stateful import (
+        stream_running_counts_tws,
+        tws_available,
+    )
+
+    if tws_available() is True:
+        pytest.skip("transformWithState available — covered by the e2e twin")
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(RuntimeError, match="unavailable"):
+        stream_running_counts_tws(df, ["value"])
+
+
+def test_stream_running_counts_tws_matches_legacy(spark, tmp_path):
+    """transformWithStateInPandas twin: identical lifetime counts to the
+    applyInPandasWithState implementation (requires the RocksDB state
+    store provider — the production profile's default — and the protobuf
+    package for the API's Python state server)."""
+    import pytest
+
+    from data_pipelines_examples_spark.streaming.stateful import (
+        stream_running_counts_tws,
+        tws_available,
+    )
+
+    avail = tws_available()
+    if avail is not True:
+        pytest.skip(f"transformWithStateInPandas env-gated: {avail}")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "src"
+        _write_batches(src)
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        counts = stream_running_counts_tws(stream, ["k"])
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("counts_tws_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        latest = {}
+        for r in spark.table("counts_tws_out").collect():
+            latest[r.k] = r.n_events
+        assert latest == {"a": 2, "b": 1, "c": 1}
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
