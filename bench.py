@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     # verbatim-span dedup (round 4 cont.): the heaviest window-hash
     # pipeline — k-token window explode + frequency groupBy + islands.
     "q80_duplicate_spans",
+    # xxhash64 fast-path twins of q33/q34: the throughput users actually
+    # get (the oracle-portable md5 variants above pay the md5 tax).
+    "q87_minhash_fast_path",
+    "q88_simhash_fast_path",
 ]
 
 

@@ -141,6 +141,11 @@ _DEPRIORITIZED = [
     # semantics, q56 vocab counts are a subset of q71's TF-IDF term
     # statistics, and q64's packing manifest is re-derived end-to-end
     # by the graded q68 materialization.
+    # Fast-path twins (xxhash64) of q33/q34 — bench-only visibility;
+    # no oracle can exist (DuckDB lacks xxhash64), semantics verified
+    # via the portable twins, so they must never occupy a graded slot.
+    "q87_minhash_fast_path",
+    "q88_simhash_fast_path",
     "q28_transitive_closure",
     "q33_minhash_candidates",
     "q43_lsh_topk",

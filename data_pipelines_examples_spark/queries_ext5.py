@@ -621,3 +621,31 @@ def q86_snapshot_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = apply_cdc(old, changes, "c_custkey", "op", "ver")
     diff = snapshot_diff(old, new, "c_custkey")
     return diff.withColumn("changed_cols", F.array_join("changed_cols", ","))
+
+
+@query("q87_minhash_fast_path", None)
+def q87_minhash_fast_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB fast path of q33: identical MinHash-LSH plan with
+    hash_how='xxhash64' (JVM intrinsic) instead of the oracle-portable
+    md5 prefix. No SQL oracle CAN exist (DuckDB has no xxhash64) — the
+    semantics are hash-verified via the portable twin q33; this entry
+    exists so the bench tracks the throughput users actually get."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, num_hashes=32, bands=8, shingle_n=3, hash_how="xxhash64"
+    ).select("id_a", "id_b", "est_jaccard")
+
+
+@query("q88_simhash_fast_path", None)
+def q88_simhash_fast_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB fast path of q34: identical SimHash banding with
+    64-bit xxhash64 fingerprints. Semantics hash-verified via the
+    portable twin q34; benched for real-throughput tracking."""
+    from .operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(
+        d, max_hamming=6, bands=4, num_bits=64, hash_how="xxhash64"
+    ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
