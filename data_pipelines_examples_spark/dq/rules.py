@@ -136,3 +136,41 @@ def new_values(today: DataFrame, yesterday: DataFrame, col: str) -> DataFrame:
     """Values present today but never seen yesterday (reference:
     dq_utils.py:97-111 EXCEPT-based new-value detection)."""
     return today.select(col).distinct().subtract(yesterday.select(col).distinct())
+
+
+def quarantine_split(
+    df: DataFrame,
+    rules: list[DQRule],
+    reasons_col: str = "dq_failed_rules",
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: route every row to (valid, quarantined), the
+    quarantine side tagged with the comma-joined names of ALL rules it
+    violates — the row-level complement of ``run_rules``'s counting.
+    Valid rows keep the input schema exactly; quarantined rows gain
+    ``reasons_col`` so the dead-letter sink is self-describing (the
+    audit-table idiom of dq_check_for_target_table.py:46-334 applied at
+    ingestion time instead of post-hoc).
+
+    ONE narrow projection computes every rule's verdict per row — both
+    sides filter the same tagged frame, so the input is scanned once per
+    materialized side and no rule ever triggers its own job. All-rule
+    evaluation (not first-failure) is deliberate: a quarantine row that
+    names ONLY the first broken rule sends the fix-loop through N
+    round-trips.
+    """
+    conds = [
+        F.expr(r.condition) if isinstance(r.condition, str) else r.condition
+        for r in rules
+    ]
+    reasons = F.array_compact(
+        F.array(
+            *[
+                F.when(F.coalesce(c.cast("boolean"), F.lit(False)), F.lit(r.name))
+                for c, r in zip(conds, rules)
+            ]
+        )
+    )
+    tagged = df.withColumn(reasons_col, F.array_join(reasons, ","))
+    valid = tagged.filter(F.col(reasons_col) == "").drop(reasons_col)
+    quarantined = tagged.filter(F.col(reasons_col) != "")
+    return valid, quarantined

@@ -649,3 +649,39 @@ def q88_simhash_fast_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
         d, max_hamming=6, bands=4, num_bits=64, hash_how="xxhash64"
     ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+@query(
+    "q89_quarantine_orders",
+    """
+    SELECT o_orderkey,
+           array_to_string(
+             list_filter(
+               [CASE WHEN o_totalprice > 300000 THEN 'high_price' END,
+                CASE WHEN o_orderstatus = 'F' THEN 'finalized' END,
+                CASE WHEN o_orderpriority = '1-URGENT' AND o_orderdate < DATE '1993-01-01'
+                     THEN 'stale_urgent' END],
+               x -> x IS NOT NULL),
+             ',') AS dq_failed_rules
+    FROM orders
+    WHERE o_totalprice > 300000 OR o_orderstatus = 'F'
+       OR (o_orderpriority = '1-URGENT' AND o_orderdate < DATE '1993-01-01')
+    """,
+)
+def q89_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter quarantine: rows violating any DQ rule, tagged with
+    ALL failed rule names in one narrow projection (no per-rule jobs).
+    The valid side keeps the input schema exactly; this entry grades the
+    quarantine side's row-level reason strings."""
+    from .dq.rules import DQRule, quarantine_split
+
+    rules = [
+        DQRule("high_price", "o_totalprice > 300000"),
+        DQRule("finalized", "o_orderstatus = 'F'"),
+        DQRule(
+            "stale_urgent",
+            "o_orderpriority = '1-URGENT' AND o_orderdate < DATE '1993-01-01'",
+        ),
+    ]
+    _, quarantined = quarantine_split(_t(spark, sf_dir, "orders"), rules)
+    return quarantined.select("o_orderkey", "dq_failed_rules")

@@ -195,3 +195,49 @@ def run_stream_to_completion(
         time.sleep(0.5)
     query.stop()
     query.awaitTermination(10)
+
+
+def stream_enrich_scd2(
+    stream: DataFrame,
+    dim_history: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-time enrichment of a stream against an SCD2 dimension
+    history (``dedup.scd2_history`` output): each streaming row joins
+    the dimension version whose [valid_from, valid_to) interval contains
+    its EVENT time — so late-arriving events pick up the attributes that
+    were true when they happened, not today's (the classic streaming
+    enrichment bug this operator exists to prevent).
+
+    Stream-static join: stateless per micro-batch, and a file-backed
+    static side is re-listed each batch, so dimension updates flow in
+    without restarting the query. Here the containment condition IS the
+    right shape (unlike batch ``temporal_join``): the dim side is
+    dimension-sized and broadcasts, so there is no per-key cross product
+    at scale — each micro-batch row probes a broadcast hash of its key's
+    few versions. SCD2 non-overlap guarantees at most one match per row
+    (left join: unmatched rows pass through with NULL attributes).
+    """
+    if value_cols is None:
+        value_cols = [
+            c for c in dim_history.columns if c not in (key, valid_from, valid_to)
+        ]
+    dim = F.broadcast(
+        dim_history.select(key, valid_from, valid_to, *value_cols)
+    )
+    cond = (
+        (stream[key] == dim[key])
+        & (stream[ts_col] >= dim[valid_from])
+        & (dim[valid_to].isNull() | (stream[ts_col] < dim[valid_to]))
+    )
+    joined = stream.join(dim, cond, "left")
+    return joined.select(
+        *[stream[c] for c in stream.columns],
+        *[dim[c] for c in value_cols],
+        dim[valid_from].alias(valid_from),
+        dim[valid_to].alias(valid_to),
+    )

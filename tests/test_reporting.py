@@ -102,3 +102,37 @@ def test_send_report_requires_a_route():
 
     with _pytest.raises(ValueError, match="delivery route"):
         send_report("<p/>", ["a@x"], "f@x", "s")
+
+
+def test_quarantine_split_tags_all_failed_rules(spark):
+    from data_pipelines_examples_spark.dq.rules import DQRule, quarantine_split
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),    # clean
+            (2, -5.0, "a"),    # fails neg
+            (3, -1.0, None),   # fails neg AND null
+            (4, 20.0, None),   # fails null
+        ],
+        "id int, amount double, tag string",
+    )
+    rules = [
+        DQRule("neg_amount", "amount < 0"),
+        DQRule("null_tag", "tag IS NULL"),
+    ]
+    valid, quarantined = quarantine_split(df, rules)
+    assert [r["id"] for r in valid.collect()] == [1]
+    assert valid.columns == df.columns  # schema preserved exactly
+    got = {r["id"]: r["dq_failed_rules"] for r in quarantined.collect()}
+    assert got == {2: "neg_amount", 3: "neg_amount,null_tag", 4: "null_tag"}
+
+
+def test_quarantine_split_null_condition_is_not_a_violation(spark):
+    """A rule condition evaluating to NULL (e.g. comparison on a NULL
+    column) must not quarantine the row — only a definite TRUE does."""
+    from data_pipelines_examples_spark.dq.rules import DQRule, quarantine_split
+
+    df = spark.createDataFrame([(1, None), (2, -1.0)], "id int, amount double")
+    valid, quarantined = quarantine_split(df, [DQRule("neg", "amount < 0")])
+    assert [r["id"] for r in valid.collect()] == [1]
+    assert [r["id"] for r in quarantined.collect()] == [2]

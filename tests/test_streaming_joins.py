@@ -156,3 +156,63 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
     got = {(r.user_id, r.amount): r.page for r in out.collect()}
     assert got[(1, 5.0)] == "a"
     assert (9, 3.0) in got and got[(9, 3.0)] is None  # unmatched emitted
+
+
+def test_stream_enrich_scd2_point_in_time(spark, tmp_path):
+    """Late events get the attributes true at THEIR event time, current
+    events get the open version, pre-history events pass through NULL —
+    and the result matches the batch temporal_join on the same inputs."""
+    import json
+
+    from data_pipelines_examples_spark.operators.relational import temporal_join
+    from data_pipelines_examples_spark.streaming.pipeline import stream_enrich_scd2
+
+    hist = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "2024-02-01 00:00:00", "bronze"),
+            (1, "2024-02-01 00:00:00", None, "gold"),
+            (2, "2024-01-15 00:00:00", None, "silver"),
+        ],
+        "user_id bigint, valid_from string, valid_to string, tier string",
+    ).selectExpr(
+        "user_id",
+        "cast(valid_from as timestamp) as valid_from",
+        "cast(valid_to as timestamp) as valid_to",
+        "tier",
+    )
+    src = tmp_path / "facts"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "user_id": 1, "ts": "2024-01-20 12:00:00"},
+        {"event_id": 2, "user_id": 1, "ts": "2024-03-01 00:00:00"},
+        {"event_id": 3, "user_id": 2, "ts": "2023-12-01 00:00:00"},
+    ]
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, ts string")
+        .json(str(src))
+        .selectExpr("event_id", "user_id", "cast(ts as timestamp) as ts")
+    )
+    enriched = stream_enrich_scd2(stream, hist, "user_id", "ts")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["event_id"]: r["tier"] for r in spark.table("enrich_out").collect()}
+    assert got == {1: "bronze", 2: "gold", 3: None}
+    # batch twin agreement on the same inputs
+    facts = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts string").selectExpr(
+        "event_id", "user_id", "cast(ts as timestamp) as ts"
+    )
+    batch = {
+        r["event_id"]: r["tier"]
+        for r in temporal_join(facts, hist, "user_id", "ts").collect()
+    }
+    assert batch == got
