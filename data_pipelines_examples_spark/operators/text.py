@@ -268,3 +268,48 @@ def bigram_surprisal(
             F.avg("__s").alias("mean_surprisal"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    hash_how: str = "xxhash64",
+) -> DataFrame:
+    """Full winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character ``k``-gram,
+    then keep the minimum hash of every ``w``-length window of
+    consecutive gram hashes. The selected set carries winnowing's
+    GUARANTEE: any verbatim match of length >= w + k - 1 characters
+    between two documents shares at least one fingerprint — the
+    coverage property ``doc_fingerprints``'s single global min (a
+    whole-document robust id) does not have. Shared fingerprints are
+    near-dup/plagiarism candidates via a plain groupBy on the value.
+
+    Returns exploded (id, fp) rows, deduplicated per document.
+
+    Scale shape: gram hashing and window minima are ONE narrow
+    column expression per document (transform over an index range +
+    array_min over slices) — zero shuffles until the caller groups by
+    fingerprint, and that shuffle carries (8-byte fp, id) pairs.
+    Higher-order-function lambdas are interpreted, not codegen'd
+    (see ``shingle_rows``) — ~O(len·w) interpreted ops per doc, fine for
+    document-sized strings; for book-length texts explode to gram rows
+    and take a (pos RANGE w) window min instead.
+    """
+    from ..functions.hashing import hash64
+
+    c = F.col(text_col)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+        lambda i: hash64(c.substr(i, F.lit(k)), how=hash_how),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(hashes) - (w - 1), F.lit(1))),
+            lambda j: F.array_min(F.slice(hashes, j, w)),
+        )
+    )
+    return df.select(F.col(id_col), F.explode(fps).alias("fp"))

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.hashing import sql_hash64_seeded
+from .functions.hashing import sql_hash64, sql_hash64_seeded
 from .oracles import bm25_sql, gauss_planes, minhash_components_sql, semantic_dedup_sql, tfidf_sql
 from .queries import _t, query
 
@@ -685,3 +685,36 @@ def q89_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     _, quarantined = quarantine_split(_t(spark, sf_dir, "orders"), rules)
     return quarantined.select("o_orderkey", "dq_failed_rules")
+
+
+@query(
+    "q90_winnowing_fingerprints",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             [{sql_hash64("substr(text, CAST(i AS INTEGER), 8)")}
+              FOR i IN generate_series(1, greatest(length(text) - 7, 1))] AS hs
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           unnest(list_distinct(
+             [list_min(hs[CAST(j AS INTEGER):CAST(j AS INTEGER)+3])
+              FOR j IN generate_series(1, greatest(len(hs) - 3, 1))]
+           )) AS fp
+    FROM h
+    """,
+)
+def q90_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003) with the
+    portable hash so the oracle re-derives every selected fingerprint:
+    char 8-gram hashes, min of every 4-window, per-doc distinct. The
+    guarantee (any >=11-char verbatim match shares a fingerprint) is
+    pytest-pinned; this entry hash-verifies the selection itself over
+    a deterministic 1-in-5 document subset (the md5-per-char-gram cost
+    is the ORACLE's tax, not the engine's — the xxhash64 path has no
+    per-gram md5; subsetting keeps the gate fast without changing what
+    is verified)."""
+    from .operators.text import winnowing_fingerprints
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return winnowing_fingerprints(d, k=8, w=4, hash_how="portable")

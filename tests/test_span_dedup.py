@@ -202,3 +202,34 @@ def test_temporal_join_gapped_history_no_misattribution(spark):
     out = {r["fact_id"]: r for r in temporal_join(facts, hist, "k", "ts").collect()}
     assert out[1]["v"] == "x"
     assert out[2]["v"] is None and out[2]["valid_from"] is None
+
+
+def test_winnowing_guarantee_and_selectivity(spark):
+    from data_pipelines_examples_spark.operators.text import winnowing_fingerprints
+
+    k, w = 8, 4
+    shared = "the-exact-shared-run-of-characters"  # 34 chars >= w+k-1=11
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix one {shared} suffix one"),
+            (2, f"totally different opening {shared} and closing text"),
+            (3, "no overlap with the others at all, nothing in common here!"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = winnowing_fingerprints(docs, k=k, w=w)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # guarantee: docs 1 and 2 share the >= w+k-1 run -> >=1 common fp
+    assert by_doc[1] & by_doc[2]
+    # selectivity: doc 3 shares nothing with either
+    assert not (by_doc[3] & by_doc[1]) and not (by_doc[3] & by_doc[2])
+
+
+def test_winnowing_short_doc_single_fingerprint(spark):
+    from data_pipelines_examples_spark.operators.text import winnowing_fingerprints
+
+    docs = spark.createDataFrame([(1, "tiny")], "doc_id int, text string")
+    rows = winnowing_fingerprints(docs, k=8, w=4).collect()
+    assert len(rows) == 1  # one truncated gram, one window
