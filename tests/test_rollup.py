@@ -1,0 +1,71 @@
+"""Incremental rollup maintenance: N increments == one-shot aggregate
+over the concatenated history, plus the AVG-as-(sum,count) and
+distinct-as-sketch compositions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_examples_spark.operators.rollup import (
+    incremental_rollup,
+    merge_rollups,
+    partial_rollup,
+)
+
+AGGS = {
+    "revenue": ("sum", "amount"),
+    "n_events": ("count", "amount"),
+    "min_amount": ("min", "amount"),
+    "max_amount": ("max", "amount"),
+}
+
+
+def _day(spark, rows):
+    return spark.createDataFrame(rows, "k string, amount double")
+
+
+def test_incremental_equals_one_shot(spark, tmp_path):
+    d1 = _day(spark, [("a", 1.0), ("a", 2.0), ("b", 10.0)])
+    d2 = _day(spark, [("a", 4.0), ("c", 7.0)])
+    d3 = _day(spark, [("b", -3.0), ("c", 0.5), ("a", 0.25)])
+    path = str(tmp_path / "rollup")
+    for d in (d1, d2, d3):
+        state = incremental_rollup(spark, path, d, ["k"], AGGS)
+    got = {r["k"]: (r["revenue"], r["n_events"], r["min_amount"], r["max_amount"])
+           for r in state.collect()}
+    expected_df = partial_rollup(d1.union(d2).union(d3), ["k"], AGGS)
+    expected = {r["k"]: (r["revenue"], r["n_events"], r["min_amount"], r["max_amount"])
+                for r in expected_df.collect()}
+    assert got == expected
+    # counts merged by summing partials, exact
+    assert got["a"][1] == 4 and got["b"][1] == 2
+
+
+def test_avg_composes_from_sum_and_count(spark, tmp_path):
+    path = str(tmp_path / "avg_rollup")
+    for rows in ([("a", 2.0), ("a", 4.0)], [("a", 9.0)]):
+        state = incremental_rollup(spark, path, _day(spark, rows), ["k"], AGGS)
+    row = state.withColumn("avg_amount", F.col("revenue") / F.col("n_events")).first()
+    assert row["avg_amount"] == 5.0
+
+
+def test_non_mergeable_kind_raises(spark):
+    with pytest.raises(ValueError, match="non-mergeable"):
+        partial_rollup(_day(spark, [("a", 1.0)]), ["k"], {"m": ("median", "amount")})
+
+
+def test_distinct_composes_with_sketches(spark, tmp_path):
+    """COUNT DISTINCT across increments: carry the HLL sketch column
+    through merge_rollups-style maintenance via rollup_sketches."""
+    from data_pipelines_examples_spark.operators.sketches import (
+        distinct_sketches,
+        rollup_sketches,
+    )
+
+    d1 = spark.createDataFrame([("a", 1), ("a", 2)], "k string, user int")
+    d2 = spark.createDataFrame([("a", 2), ("a", 3)], "k string, user int")
+    s1 = distinct_sketches(d1, "user", ["k"])
+    s2 = distinct_sketches(d2, "user", ["k"])
+    merged = rollup_sketches(s1.unionByName(s2), ["k"])
+    assert merged.first()["n_distinct"] == 3  # {1,2,3}; exact at tiny n
