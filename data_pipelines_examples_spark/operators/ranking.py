@@ -174,3 +174,110 @@ def bm25_topk(
     top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval for a whole TABLE of queries at once — eval-set and
+    hard-negative construction run thousands of queries, and one pass
+    per query would rescan the corpus per query. Same Okapi formula and
+    determinism discipline as ``bm25_topk`` (DECIMAL(18,6)-rounded
+    scores, id tiebreak); returns (query_id, id, score, rank), rank
+    1..k per query.
+
+    Plan: the corpus token stream filters to the UNION of all query
+    terms via a broadcast semi join BEFORE the tf shuffle (one corpus
+    pass for any number of queries); per-term df and corpus totals are
+    broadcast-sized; candidate scoring joins tf to the (query, term)
+    pairs on the term key; the top-k window partitions per QUERY — no
+    global single-reducer, each query's candidates rank independently.
+    """
+    from pyspark import StorageLevel
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.trim(F.col(query_text_col))), r"\s+")
+                )
+            ).alias("__t"),
+        )
+    )
+    lens = df.select(
+        F.col(id_col),
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__dl"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    totals = lens.agg(F.count("*").alias("__n"), F.sum("__dl").alias("__sumdl"))
+    term_set = qterms.select("__t").distinct()
+    tf = (
+        _token_rows(df, id_col, text_col)
+        .join(F.broadcast(term_set), "__t", "left_semi")
+        .groupBy(id_col, "__t")
+        .agg(F.count("*").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
+    avgdl = F.col("__sumdl") / F.col("__n")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("__tf")
+        * F.lit(k1 + 1.0)
+        / (F.col("__tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .join(F.broadcast(qterms), "__t")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(totals))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(idf * tf_part).cast("decimal(18,6)").cast("double").alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def mine_hard_negatives(
+    candidates: DataFrame,
+    positives: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Hard negatives for retrieval training: from ANY retriever's
+    scored candidate table (BM25, LSH, brute-force cosine — anything
+    shaped (query_id, id, score)), drop each query's known positives
+    and keep the top-``k`` remaining — the highest-scoring WRONG answers,
+    which is what contrastive training wants. Re-ranks after the anti
+    join so ranks stay contiguous 1..k.
+
+    Fetch candidates with depth > k + max positives per query, or
+    queries whose positives crowd the candidate list come back short.
+    Ids-only anti join; candidate tables are (queries × depth)-sized,
+    never corpus-sized.
+    """
+    neg = candidates.join(positives, [query_id_col, id_col], "left_anti")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .drop("rank")
+    )

@@ -454,3 +454,63 @@ def semantic_dedup_sql(
            CAST(CAST(sim AS DECIMAL(10,6)) AS DOUBLE) AS cosine_sim
     FROM pairs WHERE sim >= {threshold!r}
     """
+
+
+def bm25_batch_sql(
+    queries: list[tuple[int, str]],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Batch-BM25 replication: ``ranking.bm25_topk_batch`` with the query
+    table pinned as VALUES — same score expression and DECIMAL rounding
+    as ``bm25_sql``, ranked per query."""
+    values = ", ".join(f"({qid}, '{text}')" for qid, text in queries)
+    c_k1p1 = f"({k1 + 1.0!r}::DOUBLE)"
+    c_k1 = f"({k1!r}::DOUBLE)"
+    c_1mb = f"({1.0 - b!r}::DOUBLE)"
+    c_b = f"({b!r}::DOUBLE)"
+    return rf"""
+    WITH q(query_id, query_text) AS (VALUES {values}),
+    qt AS (
+      SELECT query_id,
+             unnest(list_distinct(string_split_regex(lower(trim(query_text)), '\s+'))) AS t
+      FROM q
+    ),
+    lens AS (
+      SELECT {id_col},
+             len(string_split_regex(lower(trim(text)), '\s+')) AS dl
+      FROM {table}
+    ),
+    tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM lens),
+    toks AS (
+      SELECT {id_col},
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      FROM {table}
+    ),
+    tf AS (
+      SELECT {id_col}, t, COUNT(*) AS tf FROM toks
+      WHERE t IN (SELECT t FROM qt) GROUP BY {id_col}, t
+    ),
+    dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT qt.query_id AS query_id, tf.{id_col} AS {id_col},
+             CAST(CAST(SUM(
+               ln(1.0::DOUBLE + (n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+               * ((tf * {c_k1p1})
+                  / (tf + {c_k1} * ({c_1mb} + ({c_b} * dl) / (sumdl / CAST(n AS DOUBLE)))))
+             ) AS DECIMAL(18,6)) AS DOUBLE) AS score
+      FROM tf JOIN dfq USING (t) JOIN qt USING (t)
+           JOIN lens USING ({id_col}) CROSS JOIN tot
+      GROUP BY qt.query_id, tf.{id_col}
+    )
+    SELECT query_id, {id_col}, score, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, {id_col} ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

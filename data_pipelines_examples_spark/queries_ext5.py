@@ -17,11 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.hashing import sql_hash64, sql_hash64_seeded
-from .oracles import bm25_sql, gauss_planes, minhash_components_sql, semantic_dedup_sql, tfidf_sql
+from .oracles import bm25_batch_sql, bm25_sql, gauss_planes, minhash_components_sql, semantic_dedup_sql, tfidf_sql
 from .queries import _t, query
 
 # Pinned constants shared by the Spark plans and their oracle SQL.
 _BM25_TERMS = ["hash", "merge", "table"]
+_BM25_BATCH_QUERIES = [(1, "hash merge table"), (2, "window scan batch")]
 _SEMDEDUP_CENTROIDS = gauss_planes(n_planes=4, dim=64, seed=99)
 
 
@@ -718,3 +719,20 @@ def q90_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     return winnowing_fingerprints(d, k=8, w=4, hash_how="portable")
+
+
+@query("q91_bm25_batch_topk", bm25_batch_sql(_BM25_BATCH_QUERIES, k=10))
+def q91_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25: one corpus pass retrieves top-10 for a TABLE of
+    queries (per-query windows, no global reducer) — the eval-set /
+    hard-negative construction shape. Oracle pins the query table as
+    VALUES and replicates the scoring term by term."""
+    from .operators.ranking import bm25_topk_batch
+
+    queries = spark.createDataFrame(
+        _BM25_BATCH_QUERIES, "query_id int, query_text string"
+    )
+    return bm25_topk_batch(
+        _t(spark, sf_dir, "documents"), queries, k=10
+    )
+

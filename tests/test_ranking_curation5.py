@@ -322,3 +322,46 @@ def test_bigram_surprisal_analytic(spark):
     assert abs(out[2]["mean_surprisal"] - s_ab) < 1e-9
     assert out[1]["n_bigrams"] == 3
     assert abs(out[1]["mean_surprisal"] - (2 * s_ab + s_ba) / 3) < 1e-9
+
+
+def test_bm25_batch_matches_single_query(spark):
+    """Each query's batch result must equal running bm25_topk alone with
+    that query's terms."""
+    from conftest import SF_SMOKE
+
+    from data_pipelines_examples_spark.operators.ranking import (
+        bm25_topk,
+        bm25_topk_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    queries = spark.createDataFrame(
+        [(1, "hash merge table"), (2, "window scan")],
+        "query_id int, query_text string",
+    )
+    batch = bm25_topk_batch(docs, queries, k=5)
+    for qid, terms in [(1, ["hash", "merge", "table"]), (2, ["window", "scan"])]:
+        single = {
+            (r["doc_id"], r["score"], r["rank"])
+            for r in bm25_topk(docs, terms, k=5).collect()
+        }
+        got = {
+            (r["doc_id"], r["score"], r["rank"])
+            for r in batch.filter(F.col("query_id") == qid).collect()
+        }
+        assert got == single, qid
+
+
+def test_mine_hard_negatives_excludes_positives(spark):
+    from data_pipelines_examples_spark.operators.ranking import mine_hard_negatives
+
+    candidates = spark.createDataFrame(
+        [(1, 10, 0.9, 1), (1, 11, 0.8, 2), (1, 12, 0.7, 3), (1, 13, 0.6, 4),
+         (2, 20, 0.5, 1), (2, 21, 0.4, 2)],
+        "query_id int, doc_id int, score double, rank int",
+    )
+    positives = spark.createDataFrame([(1, 10), (2, 21)], "query_id int, doc_id int")
+    out = mine_hard_negatives(candidates, positives, k=2)
+    got = {(r["query_id"], r["doc_id"], r["neg_rank"]) for r in out.collect()}
+    # positives gone, ranks recomputed contiguously
+    assert got == {(1, 11, 1), (1, 12, 2), (2, 20, 1)}
