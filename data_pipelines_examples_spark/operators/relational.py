@@ -461,3 +461,65 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("diff_status") != "unchanged")
     return out
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    max_distance: int = 2,
+    block: str | None = None,
+    normalize: bool = True,
+    distance_col: str = "edit_distance",
+) -> DataFrame:
+    """Approximate-key join: pairs whose normalized keys are within
+    ``max_distance`` Levenshtein edits — entity resolution's workhorse
+    (misspelled names, OCR'd codes, vendor-file reconciliation).
+
+    NOT a cross join: candidate pairs come from an EQUI join on a
+    blocking key. The default block is the LENGTH BAND — the right side
+    replicates each row into its key-length ±d slots, so the join key is
+    (length,) exact-match and the pairing is LOSSLESS: any two strings
+    within d edits differ by at most d in length, so no true match can
+    escape the block. ``block='prefix'`` additionally blocks on the
+    first character — far more selective (hot length bands shrink by
+    ~the alphabet size) but drops pairs whose first characters differ;
+    use it when the error model says initials survive (typical for
+    human-entered names) and recall loss is acceptable.
+
+    ``normalize`` lower-cases and trims both keys first. Emits all left
+    and right columns plus ``distance_col``. Levenshtein evaluates
+    JVM-side only on rows sharing a block — never all pairs.
+
+    Cross-engine note: Spark's levenshtein counts Unicode codepoints;
+    DuckDB's counts bytes — identical on ASCII keys (the oracle-gated
+    q92 uses ASCII), divergent past that.
+    """
+    d = int(max_distance)
+    lnorm = F.lower(F.trim(F.col(left_key))) if normalize else F.col(left_key)
+    rnorm = F.lower(F.trim(F.col(right_key))) if normalize else F.col(right_key)
+    l = left.withColumn("__lk", lnorm).withColumn("__llen", F.length("__lk"))
+    r = (
+        right.withColumn("__rk", rnorm)
+        .withColumn("__rlen", F.length("__rk"))
+        .withColumn(
+            "__slot",
+            F.explode(F.sequence(F.col("__rlen") - d, F.col("__rlen") + d)),
+        )
+    )
+    on = [l["__llen"] == r["__slot"]]
+    if block == "prefix":
+        on.append(F.substring(l["__lk"], 1, 1) == F.substring(r["__rk"], 1, 1))
+    elif block is not None:
+        raise ValueError(f"unknown block strategy: {block!r}")
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    dist = F.levenshtein(l["__lk"], r["__rk"])
+    joined = l.join(r, cond).filter(dist <= d)
+    return joined.select(
+        *[l[c] for c in left.columns],
+        *[r[c] for c in right.columns],
+        dist.alias(distance_col),
+    )

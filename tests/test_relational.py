@@ -132,3 +132,54 @@ def test_snapshot_diff_roundtrip_with_cdc(spark):
     new = apply_cdc(base, changes, "k", "op", "ver")
     diff = {r["k"]: r["diff_status"] for r in snapshot_diff(base, new, "k").collect()}
     assert diff == {1: "removed", 2: "changed", 3: "added"}
+
+
+def test_fuzzy_join_matches_bruteforce(spark):
+    """Length-band blocking is lossless: result equals the all-pairs
+    Levenshtein filter."""
+    from data_pipelines_examples_spark.operators.relational import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "Kitten"), (2, "apple"), (3, "spark")], "lid int, name string"
+    )
+    right = spark.createDataFrame(
+        [(10, "sitting"), (11, "aple"), (12, "sparc"), (13, "zzzzzzzzz")],
+        "rid int, label string",
+    )
+    out = fuzzy_join(left, right, "name", "label", max_distance=2)
+    got = {(r["lid"], r["rid"], r["edit_distance"]) for r in out.collect()}
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def rec(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                rec(i - 1, j) + 1,
+                rec(i, j - 1) + 1,
+                rec(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+
+        return rec(len(a), len(b))
+
+    expected = set()
+    for lid, a in [(1, "kitten"), (2, "apple"), (3, "spark")]:
+        for rid, b in [(10, "sitting"), (11, "aple"), (12, "sparc"), (13, "zzzzzzzzz")]:
+            if lev(a, b) <= 2:
+                expected.add((lid, rid, lev(a, b)))
+    assert got == expected
+    assert (2, 11, 1) in got and (3, 12, 1) in got  # apple~aple, spark~sparc
+
+
+def test_fuzzy_join_prefix_block_drops_initial_typos(spark):
+    from data_pipelines_examples_spark.operators.relational import fuzzy_join
+
+    left = spark.createDataFrame([(1, "kitten")], "lid int, name string")
+    right = spark.createDataFrame([(10, "sitten")], "rid int, label string")
+    # one edit apart, but first chars differ -> prefix blocking loses it
+    assert fuzzy_join(left, right, "name", "label", 2).count() == 1
+    assert fuzzy_join(left, right, "name", "label", 2, block="prefix").count() == 0
