@@ -599,3 +599,82 @@ def recall_at_k(
         .na.fill({"n_hit": 0})
         .withColumn("recall", F.col("n_hit") / F.col("n_exact"))
     )
+
+
+def pca_reduce(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_pca",
+):
+    """Project embeddings onto their top-``k`` principal components —
+    the standard pre-ANN compression step (a 64-dim corpus searched at
+    16 dims is ~4x less dot-product work and a smaller index; PQ
+    codebooks and LSH planes both train better in the reduced space).
+
+    Fits MLlib PCA (one distributed covariance pass + a driver-side
+    eigendecomposition — the model is a k x dim matrix, broadcast-sized)
+    on CENTERED vectors and transforms in place; output stays a plain
+    ``array<float>`` so every downstream operator (brute-force/LSH/IVF
+    top-k, semantic dedup) consumes it unchanged. Returns (reduced
+    DataFrame, bundle {model, mean}) — persist the bundle to project
+    queries into the SAME space later; projecting queries through a
+    refit (or forgetting the centering mean) is the classic serving bug
+    this return shape exists to prevent.
+
+    Deterministic for a fixed input (covariance eigenvectors; no random
+    init). Sign of each component is arbitrary ACROSS DIFFERENT INPUTS
+    but fixed for a given fit — another reason the fitted model is
+    returned and reused.
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    # Center explicitly: MLlib's PCA derives components from the
+    # covariance (mean-removed) but transform() projects the RAW
+    # vectors — the uncentered mean then dominates the projected space
+    # and cosine geometry collapses (every vector nearly parallel to
+    # the mean's image). W^T(x - mu) is the actual PCA projection; mu
+    # rides with the model so queries center identically.
+    mean = [
+        float(v)
+        for v in df.agg(
+            *[
+                F.avg(F.col(vec_col)[i]).alias(f"m{i}")
+                for i in range(len(df.select(vec_col).first()[0]))
+            ]
+        ).first()
+    ]
+    centered = df.withColumn("__c", _center(vec_col, mean))
+    vecs = centered.withColumn("__v", array_to_vector(F.col("__c")))
+    model = PCA(k=k, inputCol="__v", outputCol="__p").fit(vecs)
+    bundle = {"model": model, "mean": mean}
+    out = pca_transform(bundle, df, vec_col=vec_col, out_col=out_col)
+    return out, bundle
+
+
+def _center(vec_col: str, mean: list[float]) -> Column:
+    m = F.array(*[F.lit(float(x)) for x in mean])
+    return F.zip_with(F.col(vec_col), m, lambda x, mu: x - mu)
+
+
+def pca_transform(
+    bundle,
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_pca",
+) -> DataFrame:
+    """Project new vectors (queries, a crawl delta) with an ALREADY
+    FITTED ``pca_reduce`` bundle ({model, mean}) so they center and
+    rotate into the same space as the corpus."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = df.withColumn(
+        "__v", array_to_vector(_center(vec_col, bundle["mean"]))
+    )
+    return (
+        bundle["model"]
+        .transform(vecs)
+        .withColumn(out_col, vector_to_array(F.col("__p"), dtype="float32"))
+        .drop("__v", "__p")
+    )

@@ -187,3 +187,54 @@ def streaks(
         F.when(F.col(flag_col) == 1, F.row_number().over(w2)).otherwise(F.lit(0)),
     )
     return df.drop("__start")
+
+
+def resample_asof(
+    df,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    interval: str = "1 hour",
+    trunc_unit: str = "hour",
+):
+    """Downsample an irregular per-key time series onto a regular grid
+    with as-of (forward-fill) semantics: for every ``interval`` tick
+    between a key's first and last observation, take the latest
+    observation at-or-before the tick — the feature-store/market-data
+    resample (the reference's stock pipelines hand-roll this shape with
+    calendar joins, automl_linearreg_process_stocks.py:100-335).
+
+    Grid construction is per key (one min/max aggregate + a ``sequence``
+    explode — no driver-side calendar); the fill rides ``asof_join``
+    (union + one window sort, ONE shuffle, no per-key cross product).
+    Ticks before a key's first observation cannot exist by construction
+    (the grid starts at the first observation's truncated tick, and that
+    tick's as-of lookback finds the first observation only if the
+    observation IS at the boundary — otherwise the first tick is the
+    next one after it... grid starts at date_trunc(first) which is <=
+    first, so the very first tick may precede the first observation and
+    carry NULLs; callers wanting a fully-dense frame drop or backfill
+    that edge row explicitly).
+
+    Returns (key, grid_ts, *value_cols, asof_ts). ``interval`` must be
+    expressible as an INTERVAL literal and ``trunc_unit`` must be the
+    matching date_trunc unit so ticks are aligned.
+    """
+    from pyspark.sql import functions as F
+
+    from .relational import asof_join
+
+    bounds = df.groupBy(key_col).agg(
+        F.date_trunc(trunc_unit, F.min(ts_col)).alias("__t0"),
+        F.max(ts_col).cast("timestamp").alias("__t1"),
+    )
+    grid = bounds.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(
+                F.col("__t0"), F.col("__t1"), F.expr(f"INTERVAL {interval}")
+            )
+        ).alias("grid_ts"),
+    )
+    obs = df.select(key_col, ts_col, *value_cols)
+    return asof_join(grid, obs, key_col, "grid_ts", ts_col, value_cols=value_cols)

@@ -766,3 +766,35 @@ def q92_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("key_a") < F.col("key_b")).select(
         "key_a", "key_b", "edit_distance"
     )
+
+
+@query(
+    "q93_hourly_resample_asof",
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+      FROM b
+    )
+    SELECT g.user_id, g.grid_ts,
+           e.ts AS asof_ts, e.value AS value
+    FROM grid g
+    ASOF LEFT JOIN events e ON g.user_id = e.user_id AND e.ts <= g.grid_ts
+    """,
+)
+def q93_hourly_resample_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of each user's irregular event series with
+    forward-fill (as-of) semantics: per-key grid from one min/max
+    aggregate + sequence explode, fill via the union-window as-of join
+    (one shuffle). Oracle uses DuckDB's native ASOF JOIN over the
+    generated grid."""
+    from .operators.windows import resample_asof
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_asof(
+        ev, "user_id", "ts", ["value"], interval="1 hour", trunc_unit="hour"
+    )
+    return out.select("user_id", "grid_ts", "asof_ts", "value")

@@ -174,3 +174,83 @@ def test_recall_at_k_counts_misses(spark):
     got = {r["query_id"]: r for r in recall_at_k(approx, exact).collect()}
     assert got[1]["n_hit"] == 1 and got[1]["recall"] == 0.5
     assert got[2]["n_hit"] == 0 and got[2]["recall"] == 0.0
+
+
+def test_pca_reduce_preserves_neighborhoods(spark):
+    """On data WITH low-rank structure (clusters in a subspace), reduced-
+    space top-1 neighbors keep the query's cluster. (The parquet corpus
+    is isotropic — unit-norm, ~0 mean, top-16 PCs explain only ~38% —
+    so no dimension reduction can preserve ITS neighborhoods; structure
+    in, structure out.)"""
+    import random
+
+    from data_pipelines_examples_spark.operators.similarity import (
+        brute_force_topk,
+        pca_reduce,
+    )
+
+    rng = random.Random(5)
+    dim, n_per = 64, 30
+    centers = []
+    for c_i in range(3):
+        v = [0.0] * dim
+        v[c_i] = 10.0  # clusters live in a 3-dim subspace
+        centers.append(v)
+    rows = []
+    for c_i, ctr in enumerate(centers):
+        for j in range(n_per):
+            rows.append(
+                (
+                    c_i * n_per + j,
+                    c_i,
+                    [x + rng.gauss(0, 0.5) for x in ctr],
+                )
+            )
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    reduced, bundle = pca_reduce(df, k=4)
+    assert len(reduced.first()["embedding_pca"]) == 4
+    ev = list(bundle["model"].explainedVariance)
+    assert ev == sorted(ev, reverse=True)
+    corpus = reduced.select("vec_id", F.col("embedding_pca").alias("embedding"))
+    queries = corpus.limit(15).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top1 = brute_force_topk(corpus, queries, k=1)
+    label_of = {r["vec_id"]: r["label"] for r in df.select("vec_id", "label").collect()}
+    for r in top1.collect():
+        assert label_of[r["query_id"]] == label_of[r["vec_id"]]
+
+
+def test_pca_projection_matches_numpy_geometry(spark):
+    """The projected Gram matrix (pairwise dots) must match numpy's
+    centered-SVD projection — rotation/sign-invariant equivalence, so
+    the pin survives eigenvector sign flips."""
+    import numpy as np
+
+    from conftest import SF_SMOKE
+    from data_pipelines_examples_spark.operators.similarity import pca_reduce
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").orderBy("vec_id").limit(50)
+    reduced, _ = pca_reduce(emb, k=8)
+    rows = reduced.orderBy("vec_id").select("vec_id", "embedding_pca", "embedding").collect()
+    P = np.array([list(r["embedding_pca"]) for r in rows], dtype=np.float64)
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    _, _, Vt = np.linalg.svd(Xc, full_matrices=False)
+    Q = Xc @ Vt[:8].T
+    assert np.allclose(P @ P.T, Q @ Q.T, atol=1e-3)
+
+
+def test_pca_transform_is_deterministic_per_model(spark):
+    from data_pipelines_examples_spark.operators.similarity import (
+        pca_reduce,
+        pca_transform,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(50)
+    _, model = pca_reduce(emb, k=4)
+    a = pca_transform(model, emb).select("vec_id", "embedding_pca").collect()
+    b = pca_transform(model, emb).select("vec_id", "embedding_pca").collect()
+    assert {r["vec_id"]: list(r["embedding_pca"]) for r in a} == {
+        r["vec_id"]: list(r["embedding_pca"]) for r in b
+    }

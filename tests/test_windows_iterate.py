@@ -102,3 +102,27 @@ def test_fixpoint_raises_on_non_convergence(spark, tmp_path):
         init, grow, max_iterations=3, state_path=str(tmp_path / "fp2")
     )
     assert out.count() == 6
+
+
+def test_resample_asof_forward_fill(spark):
+    from data_pipelines_examples_spark.operators.windows import resample_asof
+
+    rows = [
+        (1, "2024-01-01 00:15:00", 10.0),
+        (1, "2024-01-01 02:45:00", 20.0),
+        (2, "2024-01-01 05:30:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts string, v double").selectExpr(
+        "k", "cast(ts as timestamp) as ts", "v"
+    )
+    out = resample_asof(df, "k", "ts", ["v"], interval="1 hour", trunc_unit="hour")
+    got = {
+        (r["k"], str(r["grid_ts"])): r["v"] for r in out.collect()
+    }
+    # key 1: grid 00:00..02:00; 00:00 precedes the first obs -> NULL edge
+    assert got[(1, "2024-01-01 00:00:00")] is None
+    assert got[(1, "2024-01-01 01:00:00")] == 10.0  # forward-filled
+    assert got[(1, "2024-01-01 02:00:00")] == 10.0  # 02:45 obs is later
+    # key 2: single obs -> single tick at 05:00, NULL edge
+    assert got[(2, "2024-01-01 05:00:00")] is None
+    assert len(got) == 4
