@@ -204,16 +204,19 @@ def copy_into(
     if pattern is not None:
         reader = reader.option("pathGlobFilter", pattern)
     df = reader.format(fmt).load(source_glob)
-    # Pin ONE scan for both the count and the write: files matching the
-    # glob that appear/disappear between two separate jobs would make the
-    # returned count diverge from what was actually appended.
-    df = df.cache()
-    try:
-        loaded = df.count()
-        df.write.mode("append").parquet(target_path)
-    finally:
-        df.unpersist()
-    return loaded
+    # ONE scan for both the count and the write: an Observation attached
+    # to the write plan counts the rows of the SAME job that appends
+    # them, so files matching the glob that appear/disappear between
+    # jobs can't make the returned count diverge from what was actually
+    # written (and nothing needs a cache pin).
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("copy_into")
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("append").parquet(
+        target_path
+    )
+    return obs.get["n"]
 
 
 def range_table(spark: SparkSession, n: int, col: str = "id") -> DataFrame:
