@@ -241,3 +241,51 @@ def stream_enrich_scd2(
         dim[valid_from].alias(valid_from),
         dim[valid_to].alias(valid_to),
     )
+
+
+def attach_progress_collector(spark: SparkSession):
+    """Streaming observability: a ``StreamingQueryListener`` that records
+    every micro-batch's progress (batch id, input rows, processed rows/s,
+    per-operator state rows) into an in-memory list — the hook a real
+    deployment points at its metrics sink (StatsD, CloudWatch; the
+    reference's usage reports poll the same numbers from the Jobs API
+    after the fact, send_email_job_usage_report_html.py).
+
+    Returns the collector; read ``collector.records`` (list of dicts) and
+    call ``collector.detach()`` when done — listeners outlive queries,
+    and a forgotten one keeps accumulating for every later query on the
+    session.
+    """
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Collector(StreamingQueryListener):
+        def __init__(self):
+            self.records: list[dict] = []
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            self.records.append(
+                {
+                    "query_id": str(p.id),
+                    "batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "processed_rows_per_second": p.processedRowsPerSecond,
+                    "duration_ms": dict(p.durationMs or {}),
+                }
+            )
+
+        def onQueryTerminated(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def detach(self):
+            spark.streams.removeListener(self)
+
+    collector = _Collector()
+    spark.streams.addListener(collector)
+    return collector
