@@ -174,3 +174,57 @@ def quarantine_split(
     valid = tagged.filter(F.col(reasons_col) == "").drop(reasons_col)
     quarantined = tagged.filter(F.col(reasons_col) != "")
     return valid, quarantined
+
+
+def flag_outliers(
+    df: DataFrame,
+    cols: list[str],
+    method: str = "iqr",
+    factor: float = 1.5,
+    relative_error: float = 0.001,
+    suffix: str = "_outlier",
+) -> DataFrame:
+    """Append per-column boolean outlier flags: ``iqr`` marks values
+    outside [Q1 − factor·IQR, Q3 + factor·IQR] (Tukey fences), ``zscore``
+    marks |x − mean| > factor·stddev. NULLs are never outliers.
+
+    Bounds come from ONE stats pass for all columns (a single
+    approxQuantile call / a single aggregate row) and are embedded as
+    literals, so flagging is a narrow projection that composes with
+    ``quarantine_split`` (build DQRules from the flag columns) and
+    fuses into the scan.  Approximate quantiles (Greenwald-Khanna) are
+    deliberate: exact quantiles cost a global sort per column at 100 TB
+    and fence positions don't need them — tune ``relative_error`` if
+    the fences must tighten.
+    """
+    out = df
+    if method == "iqr":
+        qs = df.approxQuantile(cols, [0.25, 0.75], relative_error)
+        for c, (q1, q3) in zip(cols, qs):
+            iqr = q3 - q1
+            lo, hi = q1 - factor * iqr, q3 + factor * iqr
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(F.col(c).isNull(), F.lit(False)).otherwise(
+                    (F.col(c) < lo) | (F.col(c) > hi)
+                ),
+            )
+    elif method == "zscore":
+        row = df.agg(
+            *[F.avg(c).alias(f"__m_{c}") for c in cols],
+            *[F.stddev_samp(c).alias(f"__s_{c}") for c in cols],
+        ).first()
+        for c in cols:
+            m, s = row[f"__m_{c}"], row[f"__s_{c}"]
+            if s is None or s == 0.0:
+                out = out.withColumn(f"{c}{suffix}", F.lit(False))
+            else:
+                out = out.withColumn(
+                    f"{c}{suffix}",
+                    F.when(F.col(c).isNull(), F.lit(False)).otherwise(
+                        F.abs(F.col(c) - m) > factor * s
+                    ),
+                )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    return out

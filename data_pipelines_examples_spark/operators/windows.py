@@ -238,3 +238,39 @@ def resample_asof(
     )
     obs = df.select(key_col, ts_col, *value_cols)
     return asof_join(grid, obs, key_col, "grid_ts", ts_col, value_cols=value_cols)
+
+
+def detect_gaps(
+    df,
+    key_col: str,
+    ts_col: str,
+    max_gap_seconds: int,
+):
+    """Report every gap in a per-key event series longer than
+    ``max_gap_seconds``: (key, gap_start=last seen, gap_end=next seen,
+    gap_seconds) — the monitoring complement of ``resample_asof`` (which
+    silently forward-fills through gaps; this is the operator that tells
+    you where fills are masking dead sensors / stalled feeds).
+
+    One window sort per key (lag), narrow everywhere else.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    # microsecond-exact: casting each timestamp to long FLOORS to whole
+    # seconds first, which shifts sub-second gaps by up to a second
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+    return (
+        df.select(key_col, F.col(ts_col).cast("timestamp").alias(ts_col))
+        .withColumn("__prev", prev)
+        .withColumn("__gap_us", gap_us)
+        .filter(F.col("__gap_us") > int(max_gap_seconds) * 1_000_000)
+        .select(
+            F.col(key_col),
+            F.col("__prev").alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            (F.col("__gap_us") / F.lit(1_000_000.0)).alias("gap_seconds"),
+        )
+    )

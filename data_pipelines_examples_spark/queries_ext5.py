@@ -798,3 +798,30 @@ def q93_hourly_resample_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", ["value"], interval="1 hour", trunc_unit="hour"
     )
     return out.select("user_id", "grid_ts", "asof_ts", "value")
+
+
+@query(
+    "q94_event_feed_gaps",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    )
+    SELECT user_id, prev AS gap_start, ts AS gap_end,
+           CAST(epoch_us(ts) - epoch_us(prev) AS BIGINT) / 1000000.0::DOUBLE
+             AS gap_seconds
+    FROM g
+    WHERE epoch_us(ts) - epoch_us(prev) > 3600 * 1000000::BIGINT
+    """,
+)
+def q94_event_feed_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-gap monitoring: every >1h silence per user — the complement
+    of the q93 forward-fill (which masks exactly these). Microsecond-
+    exact arithmetic on both sides (floor-to-second casts would shift
+    sub-second gaps); gap_seconds is the same integer-micros / 1e6
+    division in both engines, so the doubles are bit-identical."""
+    from .operators.windows import detect_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    return detect_gaps(ev, "user_id", "ts", max_gap_seconds=3600)

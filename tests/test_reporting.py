@@ -136,3 +136,40 @@ def test_quarantine_split_null_condition_is_not_a_violation(spark):
     valid, quarantined = quarantine_split(df, [DQRule("neg", "amount < 0")])
     assert [r["id"] for r in valid.collect()] == [1]
     assert [r["id"] for r in quarantined.collect()] == [2]
+
+
+def test_flag_outliers_iqr_and_zscore(spark):
+    from data_pipelines_examples_spark.dq.rules import flag_outliers
+
+    rows = [(i, float(i % 10), None if i == 50 else 1.0) for i in range(100)]
+    rows.append((100, 1000.0, 1.0))  # planted outlier in col a
+    df = spark.createDataFrame(rows, "id int, a double, b double")
+    out = flag_outliers(df, ["a", "b"], method="iqr")
+    got = {r["id"]: (r["a_outlier"], r["b_outlier"]) for r in out.collect()}
+    assert got[100][0] is True
+    assert all(not got[i][0] for i in range(100))
+    assert not any(v[1] for v in got.values())  # constant col: no outliers, NULL not flagged
+    z = flag_outliers(df, ["a"], method="zscore", factor=3.0)
+    zg = {r["id"]: r["a_outlier"] for r in z.collect()}
+    assert zg[100] is True and sum(zg.values()) == 1
+
+
+def test_detect_gaps(spark):
+    from data_pipelines_examples_spark.operators.windows import detect_gaps
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),
+        (1, "2024-01-01 02:00:00"),  # 110-minute gap
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts string").selectExpr(
+        "k", "cast(ts as timestamp) as ts"
+    )
+    out = detect_gaps(df, "k", "ts", max_gap_seconds=3600)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["k"] == 1 and r["gap_seconds"] == 6600.0
+    assert str(r["gap_start"]) == "2024-01-01 00:10:00"
+    assert str(r["gap_end"]) == "2024-01-01 02:00:00"
