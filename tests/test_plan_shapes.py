@@ -212,3 +212,43 @@ def test_duplicate_spans_shuffle_budget(spark):
     assert count_shuffles(df) <= 3
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_is_equi_not_cartesian(spark):
+    """Length-band blocking must plan as an equi join (hash/sort-merge),
+    never a cartesian/broadcast-nested-loop over all pairs."""
+    from data_pipelines_examples_spark.operators.relational import fuzzy_join
+
+    n = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    left = n.selectExpr("n_nationkey as key_a", "n_name as name_a")
+    right = n.selectExpr("n_nationkey as key_b", "n_name as name_b")
+    plan = physical_plan(fuzzy_join(left, right, "name_a", "name_b", 4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temporal_join_shuffle_budget(spark):
+    """As-of union-window formulation: the whole facts x SCD2 containment
+    join costs ONE exchange (the window by key), not a per-key cross
+    product."""
+    from data_pipelines_examples_spark.operators.relational import temporal_join
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    hist = ev.selectExpr(
+        "user_id", "ts as valid_from",
+        "cast(null as timestamp) as valid_to", "event_type",
+    )
+    df = temporal_join(ev.select("event_id", "user_id", "ts"), hist, "user_id", "ts")
+    assert count_shuffles(df) == 1
+    assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_bm25_batch_no_cartesian_and_term_filter_early(spark):
+    from data_pipelines_examples_spark.operators.ranking import bm25_topk_batch
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    queries = spark.createDataFrame(
+        [(1, "hash merge"), (2, "scan table")], "query_id int, query_text string"
+    )
+    plan = physical_plan(bm25_topk_batch(docs, queries, k=5))
+    assert "CartesianProduct" not in plan
