@@ -204,19 +204,22 @@ def copy_into(
     if pattern is not None:
         reader = reader.option("pathGlobFilter", pattern)
     df = reader.format(fmt).load(source_glob)
-    # ONE scan for both the count and the write: an Observation attached
-    # to the write plan counts the rows of the SAME job that appends
-    # them, so files matching the glob that appear/disappear between
-    # jobs can't make the returned count diverge from what was actually
-    # written (and nothing needs a cache pin).
-    from pyspark.sql import Observation
-    from pyspark.sql import functions as F
-
-    obs = Observation("copy_into")
-    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("append").parquet(
-        target_path
-    )
-    return obs.get["n"]
+    # Pin ONE scan for both the count and the write: files matching the
+    # glob that appear/disappear between two separate jobs would make the
+    # returned count diverge from what was actually appended.
+    #
+    # Deliberately NOT the Observation API: registering any Observation
+    # on this session leaves Spark 4.1's ObservationManager captured in
+    # later ML-vector collect closures, which then fail with
+    # NotSerializableException (regression-pinned in
+    # tests/test_catalog_copyinto.py::test_copy_into_does_not_poison_ml_collect).
+    df = df.cache()
+    try:
+        loaded = df.count()
+        df.write.mode("append").parquet(target_path)
+    finally:
+        df.unpersist()
+    return loaded
 
 
 def range_table(spark: SparkSession, n: int, col: str = "id") -> DataFrame:

@@ -83,14 +83,15 @@ def write_validated(
     post-write validation idiom. Returns the validated count of rows
     WRITTEN BY THIS CALL (for append: target delta, not target total).
 
-    The source count comes from an ``Observation`` attached to the write
-    plan itself — ONE job produces both the files and the expected
-    count, from the SAME scan (no cache pin, no separate count job, and
-    no count-vs-write divergence window on a changing source). The sink
-    side is counted from the files actually written.
-    """
-    from pyspark.sql import Observation
+    The source is counted from a cached plan so write+count don't recompute
+    differently; the sink is counted from the files actually written.
 
+    Deliberately NOT the Observation API (which would fold the count into
+    the write job): registering any Observation on the session leaves
+    Spark 4.1's ObservationManager captured in later ML-vector collect
+    closures, failing them with NotSerializableException — pinned in
+    tests/test_catalog_copyinto.py::test_copy_into_does_not_poison_ml_collect.
+    """
     spark = df.sparkSession
     pre_existing = 0
     if mode == "append" and _path_exists(spark, path):
@@ -99,22 +100,25 @@ def write_validated(
         # surface later as a spurious WriteValidationError hiding the
         # real error).
         pre_existing = spark.read.format(fmt).load(path).count()
-    obs = Observation("write_validated")
-    out = df.observe(obs, F.count(F.lit(1)).alias("n"))
-    if target_parallelism is not None:
-        out = out.repartition(target_parallelism)
-    writer = out.write.format(fmt).mode(mode)
-    if partition_by:
-        parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-        writer = writer.partitionBy(*parts)
-    writer.save(path)
-    expected = obs.get["n"]
-    actual = spark.read.format(fmt).load(path).count() - pre_existing
-    if actual != expected:
-        raise WriteValidationError(
-            f"wrote {actual} rows to {path}, expected {expected}"
-        )
-    return actual
+    df = df.cache()
+    try:
+        expected = df.count()
+        out = df
+        if target_parallelism is not None:
+            out = out.repartition(target_parallelism)
+        writer = out.write.format(fmt).mode(mode)
+        if partition_by:
+            parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            writer = writer.partitionBy(*parts)
+        writer.save(path)
+        actual = spark.read.format(fmt).load(path).count() - pre_existing
+        if actual != expected:
+            raise WriteValidationError(
+                f"wrote {actual} rows to {path}, expected {expected}"
+            )
+        return actual
+    finally:
+        df.unpersist()
 
 
 def upsert_by_key(

@@ -166,3 +166,23 @@ def test_analyze_table_stats_for_cbo(spark, tmp_path):
         assert out["v"].get("min") == "0" and out["v"].get("max") == "6"
     finally:
         drop_table(spark, "t_stats")
+
+
+def test_copy_into_does_not_poison_ml_collect(spark, tmp_path):
+    """Regression: Spark 4.1's Observation API leaves the session's
+    ObservationManager captured in later ML-vector collect closures
+    (NotSerializableException) — so the validated writers must never
+    register Observations. This test IS the canary: copy_into followed
+    by an MLlib transform + collect must succeed."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("id,v\n1,x\n")
+    copy_into(spark, str(tmp_path / "out"), str(src), "id bigint, v string", pattern="*.txt")
+    from data_pipelines_examples_spark.ml import score_quality, train_quality_classifier
+
+    df = spark.createDataFrame(
+        [(1, 1.0, "good careful text"), (2, 0.0, "spam click now")] * 5,
+        "doc_id int, label double, text string",
+    )
+    model = train_quality_classifier(df, "label")
+    assert len(score_quality(model, df).collect()) == 10
