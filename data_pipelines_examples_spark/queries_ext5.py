@@ -641,9 +641,11 @@ def q87_minhash_fast_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q88_simhash_fast_path", None)
 def q88_simhash_fast_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB fast path of q34: identical SimHash banding with
-    64-bit xxhash64 fingerprints. Semantics hash-verified via the
-    portable twin q34; benched for real-throughput tracking."""
+    """The xxhash64 twin of q34 (64-bit fingerprints). The bench shows
+    what the portable twin can't: simhash is VOTE-bound, not hash-bound
+    — 64 conditional bit-sums dominate, so swapping md5 for the JVM
+    intrinsic gains almost nothing (unlike minhash's 4x, q87). Kept in
+    the bench precisely because that asymmetry is the scaling fact."""
     from .operators.dedup import simhash_pairs
 
     d = _t(spark, sf_dir, "documents")
