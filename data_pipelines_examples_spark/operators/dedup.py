@@ -938,3 +938,35 @@ def dedup_corpus_lines(
             F.count("*").alias("n_lines_kept"),
         )
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 13,
+) -> DataFrame:
+    """The audit complement of ``decontaminate``: instead of silently
+    dropping contaminated documents, report WHICH benchmark document
+    each training document overlaps and by how many shared word
+    ``shingle_n``-grams — the evidence sheet a decontamination decision
+    gets reviewed on (and the number that distinguishes a quoted
+    benchmark answer from an incidental phrase match).
+
+    Returns (train_id, bench_id, n_shared_grams). Scale shape: both
+    sides shingle narrowly to (id, 8-byte hash) rows, the benchmark
+    side (small by construction) broadcasts, and the pair aggregation
+    groups hash-join output — document bodies never shuffle.
+    """
+    t = shingle_rows(train, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("train_id"), F.xxhash64("__g").alias("__h")
+    )
+    b = shingle_rows(benchmark, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("bench_id"), F.xxhash64("__g").alias("__h")
+    )
+    return (
+        t.join(F.broadcast(b), "__h")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )

@@ -827,3 +827,70 @@ def q94_event_feed_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return detect_gaps(ev, "user_id", "ts", max_gap_seconds=3600)
+
+
+@query(
+    "q95_contamination_report",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct([
+               array_to_string(w[i:i+12], ' ')
+               FOR i IN generate_series(1, greatest(len(w)-12, 1))
+             ])) AS g
+      FROM t
+    )
+    SELECT a.doc_id AS train_id, b.doc_id AS bench_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM (SELECT * FROM g WHERE doc_id % 50 <> 0) a
+    JOIN (SELECT * FROM g WHERE doc_id % 50 = 0) b USING (g)
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def q95_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination evidence sheet: per (train doc, benchmark doc)
+    pair, the count of shared 13-grams — what q-style kill decisions
+    get reviewed on. 1-in-50 docs stand in as the benchmark side; the
+    oracle replicates gram construction and the pair aggregation on
+    gram text (the engine joins 8-byte hashes — same pairs)."""
+    from .operators.dedup import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return contamination_report(train, bench, shingle_n=13)
+
+
+@query(
+    "q96_budget_selection",
+    r"""
+    SELECT doc_id, quality, n_tokens FROM (
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE) AS quality,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+               AS n_tokens,
+             SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT))
+               OVER (ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS cum
+      FROM documents
+    ) WHERE cum <= 15000
+    """,
+)
+def q96_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy corpus selection under a 15k-token budget (quality proxy:
+    document length). The oracle states the semantics as ONE global
+    window cumsum; the engine's two-phase level-table selection must be
+    row-identical while bounding any reducer to a single quality level
+    — the graded equivalence IS the scale claim."""
+    from .operators.sampling import select_within_token_budget
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("quality"),
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return select_within_token_budget(d, "quality", "n_tokens", 15000)

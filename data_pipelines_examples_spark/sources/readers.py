@@ -20,6 +20,7 @@ import time
 from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -225,3 +226,41 @@ def copy_into(
 def range_table(spark: SparkSession, n: int, col: str = "id") -> DataFrame:
     """``RANGE(n)`` generator table (reference: sas_conversion...sql:30 salt ids)."""
     return spark.range(n).withColumnRenamed("id", col)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str | T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-on-read JSON-lines ingestion with dead-letter routing:
+    PERMISSIVE parsing keeps malformed lines in ``corrupt_col`` instead
+    of dropping (DROPMALFORMED) or failing the job (FAILFAST), and this
+    splits them out — (good rows with the declared schema, bad rows as
+    (raw_line,)) — so ingestion never silently loses data and the
+    quarantine sink preserves the original bytes for replay after a
+    parser fix.
+
+    Spark quirk handled here: a row is only SAFELY "good" if the corrupt
+    column is null — but referencing the corrupt column requires it in
+    the declared schema, and Spark refuses to prune a query that selects
+    ONLY the corrupt column, so the split caches one parsed pass and
+    filters twice.
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    # copy, don't .add() in place — StructType.add mutates the caller's object
+    full = T.StructType(list(schema.fields) + [T.StructField(corrupt_col, T.StringType())])
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()
+    )
+    good = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = parsed.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad

@@ -334,3 +334,25 @@ def test_dedup_corpus_lines_max_docs(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     out = dedup_corpus_lines(df, max_docs=2)
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+def test_contamination_report_counts_shared_grams(spark):
+    from data_pipelines_examples_spark.operators.dedup import contamination_report
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id int, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta epsilon zeta y"),  # shares 3 4-grams... see below
+            (2, "nothing in common at all here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = contamination_report(train, bench, shingle_n=4)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["train_id"], r["bench_id"]) == (1, 100)
+    # bench has 3 distinct 4-grams; all appear verbatim in train doc 1
+    assert r["n_shared_grams"] == 3

@@ -176,3 +176,50 @@ def test_weighted_sample_plan_uses_takeordered(spark):
     df = spark.range(0, 10000).selectExpr("id as doc_id", "1.0 + id % 7 as w")
     plan = physical_plan(weighted_sample(df, "doc_id", "w", 50))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_select_within_token_budget_matches_global_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipelines_examples_spark.operators.sampling import (
+        select_within_token_budget,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, float(rng.choice([0.2, 0.5, 0.5, 0.8, 0.9])), rng.randint(10, 200))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, q double, toks int")
+    for budget in (0, 500, 7_000, 40_000, 10**9):
+        got = {
+            r["doc_id"]
+            for r in select_within_token_budget(df, "q", "toks", budget).collect()
+        }
+        w = Window.orderBy(F.col("q").desc(), F.col("doc_id").asc())
+        ref = {
+            r["doc_id"]
+            for r in df.withColumn("cum", F.sum("toks").over(w))
+            .filter(F.col("cum") <= budget)
+            .collect()
+        }
+        assert got == ref, budget
+
+
+def test_select_within_token_budget_boundary_level_partial(spark):
+    from data_pipelines_examples_spark.operators.sampling import (
+        select_within_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 100), (2, 0.9, 100), (3, 0.5, 100), (4, 0.5, 100), (5, 0.5, 100)],
+        "doc_id int, q double, toks int",
+    )
+    # budget 400: both 0.9-docs + first two 0.5-docs (id order)
+    got = sorted(
+        r["doc_id"] for r in select_within_token_budget(df, "q", "toks", 400).collect()
+    )
+    assert got == [1, 2, 3, 4]

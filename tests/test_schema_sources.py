@@ -294,3 +294,21 @@ def test_sensor_status_tristate(spark):
     assert sensor_status(empty, "paid_at", dt.datetime(2024, 1, 1)) == "failed"
     assert sensor_status(df, "paid_at", dt.datetime(2024, 1, 1)) == "run"
     assert sensor_status(df, "paid_at", dt.datetime(2024, 1, 5)) == "retry"
+
+
+def test_read_jsonl_quarantine_routes_corrupt_lines(spark, tmp_path):
+    from data_pipelines_examples_spark.sources.readers import read_jsonl_quarantine
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "this is not json at all\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": "NOT_A_NUMBER", "v": "c"}\n'
+    )
+    good, bad = read_jsonl_quarantine(spark, str(p), "id bigint, v string")
+    g = sorted((r["id"], r["v"]) for r in good.collect())
+    assert g == [(1, "a"), (2, "b")]
+    assert good.columns == ["id", "v"]
+    raws = sorted(r["raw_line"] for r in bad.collect())
+    assert raws == ["this is not json at all", '{"id": "NOT_A_NUMBER", "v": "c"}']
