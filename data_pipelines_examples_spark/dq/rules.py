@@ -228,3 +228,34 @@ def flag_outliers(
     else:
         raise ValueError(f"unknown method: {method!r}")
     return out
+
+
+def numeric_drift(
+    today: DataFrame,
+    yesterday: DataFrame,
+    cols: list[str],
+    n_quantiles: int = 10,
+    max_shift: float = 0.2,
+    relative_error: float = 0.001,
+) -> dict[str, tuple[float, bool]]:
+    """Distribution drift between two snapshots of numeric columns: the
+    maximum relative shift across ``n_quantiles`` quantile points (a
+    sketch-friendly stand-in for a KS test — quantile sketches merge and
+    ship, empirical CDFs don't). Complements ``distinct_drift`` (which
+    sees cardinality changes but is blind to value shifts: a feed whose
+    amounts silently 100x keeps its distinct count).
+
+    Returns {col: (max_relative_shift, ok)}. Shift is |t−y| / max(|y|,
+    1) per quantile, maxed. One approxQuantile pass per side covers all
+    columns.
+    """
+    probs = [i / n_quantiles for i in range(1, n_quantiles)]
+    tq = today.approxQuantile(cols, probs, relative_error)
+    yq = yesterday.approxQuantile(cols, probs, relative_error)
+    out = {}
+    for c, t_qs, y_qs in zip(cols, tq, yq):
+        shift = max(
+            abs(t - y) / max(abs(y), 1.0) for t, y in zip(t_qs, y_qs)
+        )
+        out[c] = (shift, shift <= max_shift)
+    return out

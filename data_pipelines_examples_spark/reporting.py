@@ -163,3 +163,63 @@ def record_execution(
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {table_name} USING PARQUET LOCATION '{table_path}'"
     )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str | None = "source",
+    lang_col: str | None = "lang",
+    save_path: str | None = None,
+) -> dict:
+    """One datacard dict for a document corpus — the release artifact a
+    training dataset ships with (counts, token volume, length deciles,
+    composition by source/language, exact-duplicate rate). Three
+    aggregation jobs total regardless of corpus size: one global stats
+    pass (count / tokens / distinct text hashes / length deciles via
+    percentile_approx in a single aggregate row), plus one
+    dimension-sized groupBy each for source and language composition.
+
+    With ``save_path`` the card is also written as a single JSON file
+    next to the data (the ``_manifest.json`` discipline of
+    ``write_training_shards``).
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    ntok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    row = df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).alias("n_tokens"),
+        F.countDistinct(F.xxhash64(text_col)).alias("n_distinct_texts"),
+        F.percentile_approx(
+            ntok.cast("double"), [i / 10.0 for i in range(1, 10)], 10000
+        ).alias("token_deciles"),
+    ).first()
+    card = {
+        "n_docs": row["n_docs"],
+        "n_tokens": row["n_tokens"],
+        "n_distinct_texts": row["n_distinct_texts"],
+        "exact_dup_rate": (
+            round(1.0 - row["n_distinct_texts"] / row["n_docs"], 6)
+            if row["n_docs"]
+            else 0.0
+        ),
+        "token_deciles": [float(x) for x in row["token_deciles"]],
+    }
+    for key, col in (("by_source", source_col), ("by_lang", lang_col)):
+        if col is not None and col in df.columns:
+            card[key] = {
+                r[col]: r["n"]
+                for r in df.groupBy(col).agg(F.count("*").alias("n")).collect()
+            }
+    if save_path is not None:
+        from .sources.writers import _hadoop_fs
+
+        fs, hpath = _hadoop_fs(df.sparkSession, save_path)
+        out = fs.create(hpath, True)
+        out.write(bytearray(_json.dumps(card, indent=2, sort_keys=True).encode()))
+        out.close()
+    return card

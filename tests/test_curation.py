@@ -104,3 +104,44 @@ def test_curate_rejects_conflicting_mix_args(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     with _pytest.raises(ValueError):
         curate_corpus(docs, mix_rates={"en": 10}, mix_alpha=0.5)
+
+
+def test_publishable_corpus_pipeline_end_to_end(spark, tmp_path):
+    """The full release pipeline composed from this round's operators:
+    curate (quality floor + exact/near dedup + mix) -> strip verbatim
+    duplicated spans -> select under a token budget -> materialize
+    epoch-ordered shards with a manifest -> emit the datacard. Every
+    stage's invariant is checked on the final artifact."""
+    import json
+
+    from data_pipelines_examples_spark.curation import curate_corpus
+    from data_pipelines_examples_spark.operators.dedup import strip_duplicate_spans
+    from data_pipelines_examples_spark.operators.sampling import (
+        select_within_token_budget,
+    )
+    from data_pipelines_examples_spark.reporting import corpus_datacard
+    from data_pipelines_examples_spark.sources.writers import write_training_shards
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    curated, _ = curate_corpus(docs, quality_quantile=0.1)
+    stripped = strip_duplicate_spans(curated.select("doc_id", "text"), k=8)
+    with_stats = stripped.selectExpr(
+        "doc_id",
+        "text",
+        "cast(n_tokens_kept as double) as quality",
+        "n_tokens_kept as n_tokens",
+    )
+    budgeted = select_within_token_budget(with_stats, "quality", "n_tokens", 8000)
+    picked = budgeted.join(stripped, "doc_id").select("doc_id", "text")
+    assert 0 < picked.count() < docs.count()
+    path = str(tmp_path / "corpus")
+    manifest = write_training_shards(picked, path, "doc_id", n_shards=2, seed=3)
+    back = spark.read.parquet(path)
+    assert back.count() == manifest["total_rows"] == picked.count()
+    card = corpus_datacard(back, source_col=None, lang_col=None,
+                           save_path=f"{path}/_datacard.json")
+    assert card["n_docs"] == manifest["total_rows"]
+    assert card["n_tokens"] <= 8000  # the budget held through materialization
+    assert card["exact_dup_rate"] == 0.0  # dedup held end to end
+    with open(f"{path}/_datacard.json") as f:
+        assert json.load(f)["n_docs"] == card["n_docs"]

@@ -173,3 +173,45 @@ def test_detect_gaps(spark):
     assert r["k"] == 1 and r["gap_seconds"] == 6600.0
     assert str(r["gap_start"]) == "2024-01-01 00:10:00"
     assert str(r["gap_end"]) == "2024-01-01 02:00:00"
+
+
+def test_corpus_datacard_values_and_artifact(spark, tmp_path):
+    import json
+
+    from data_pipelines_examples_spark.reporting import corpus_datacard
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three", "web", "en"),
+            (2, "one two three", "web", "en"),   # exact dup of 1
+            (3, "four five", "books", "en"),
+            (4, "sechs sieben acht", "web", "de"),
+        ],
+        "doc_id int, text string, source string, lang string",
+    )
+    path = str(tmp_path / "card.json")
+    card = corpus_datacard(df, save_path=path)
+    assert card["n_docs"] == 4
+    assert card["n_tokens"] == 3 + 3 + 2 + 3
+    assert card["n_distinct_texts"] == 3
+    assert card["exact_dup_rate"] == 0.25
+    assert card["by_source"] == {"web": 3, "books": 1}
+    assert card["by_lang"] == {"en": 3, "de": 1}
+    assert len(card["token_deciles"]) == 9
+    with open(path) as f:
+        assert json.load(f)["n_docs"] == 4
+
+
+def test_numeric_drift_detects_scale_shift(spark):
+    from data_pipelines_examples_spark.dq.rules import numeric_drift
+
+    y = spark.range(1000).selectExpr("cast(id as double) as a", "cast(id % 7 as double) as b")
+    t_same = spark.range(1000).selectExpr("cast(id as double) as a", "cast(id % 7 as double) as b")
+    t_scaled = spark.range(1000).selectExpr(
+        "cast(id * 100 as double) as a", "cast(id % 7 as double) as b"
+    )
+    same = numeric_drift(t_same, y, ["a", "b"])
+    assert same["a"][1] and same["b"][1]
+    shifted = numeric_drift(t_scaled, y, ["a", "b"])
+    assert not shifted["a"][1]   # 100x amounts caught
+    assert shifted["b"][1]       # untouched column stays ok
