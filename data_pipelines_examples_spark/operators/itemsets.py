@@ -1,0 +1,89 @@
+"""Frequent-itemset / co-occurrence mining — the market-basket family
+(which parts ship together, which event types co-fire in a session).
+
+Two tiers, verified against each other:
+
+- ``cooccurrence_pairs``: EXACT pairwise co-occurrence counts with a
+  support floor — the explainable workhorse (almost every production
+  "frequently bought together" is pairs). Self-join on the basket key
+  restricted to frequent items; fully SQL-replicable (oracle q97).
+- ``frequent_itemsets``: MLlib FP-Growth for itemsets of any size —
+  tree-based, no candidate explosion (Han et al., SIGMOD 2000). Its
+  size-2 output must agree exactly with ``cooccurrence_pairs`` at the
+  same support, which is pytest-pinned.
+
+Scale notes: the pair self-join prunes to frequent items FIRST (classic
+a-priori monotonicity — an infrequent item cannot be in a frequent
+pair), so the join fans out only over items that already passed the
+floor; hot baskets bound the per-basket pair fan-out quadratically, so
+``max_basket_size`` guards against degenerate baskets (a basket with a
+million items is a data bug, not a signal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_size: int | None = 10_000,
+) -> DataFrame:
+    """Exact (item_a, item_b, n_baskets) for unordered item pairs
+    appearing together in at least ``min_support`` baskets. Items
+    deduplicate within a basket; pairs are emitted once with
+    item_a < item_b.
+    """
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_basket_size is not None:
+        sizes = items.groupBy("__b").agg(F.count("*").alias("__n"))
+        ok = sizes.filter(F.col("__n") <= max_basket_size).select("__b")
+        items = items.join(ok, "__b", "left_semi")
+    freq = (
+        items.groupBy("__i")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_support)
+        .select("__i")
+    )
+    pruned = items.join(freq, "__i", "left_semi")
+    a = pruned.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = pruned.select(F.col("__b"), F.col("__i").alias("item_b"))
+    return (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_support)
+    )
+
+
+def frequent_itemsets(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.01,
+    min_confidence: float = 0.5,
+):
+    """FP-Growth frequent itemsets + association rules over (basket,
+    item) rows. Returns (itemsets DataFrame with ``items`` array +
+    ``freq``, rules DataFrame). ``min_support`` is a FRACTION of
+    baskets (MLlib convention), unlike ``cooccurrence_pairs``'s
+    absolute count."""
+    from pyspark.ml.fpm import FPGrowth
+
+    baskets = (
+        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .distinct()
+        .groupBy("__b")
+        .agg(F.collect_list("__i").alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=min_support, minConfidence=min_confidence
+    ).fit(baskets)
+    return model.freqItemsets, model.associationRules

@@ -894,3 +894,28 @@ def q96_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
     )
     return select_within_token_budget(d, "quality", "n_tokens", 15000)
+
+
+@query(
+    "q97_copurchase_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    freq AS (SELECT i FROM items GROUP BY i HAVING COUNT(*) >= 2),
+    p AS (SELECT * FROM items WHERE i IN (SELECT i FROM freq))
+    SELECT a.i AS item_a, b.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_baskets
+    FROM p a JOIN p b ON a.b = b.b AND a.i < b.i
+    GROUP BY a.i, b.i
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q97_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pairs: parts co-ordered in >=2 orders — the exact,
+    a-priori-pruned tier of the frequent-itemset family (items below
+    the support floor never enter the pair join; FP-Growth covers
+    higher-order sets and is pinned to agree with this at size 2)."""
+    from .operators.itemsets import cooccurrence_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_support=2)

@@ -69,3 +69,51 @@ def test_distinct_composes_with_sketches(spark, tmp_path):
     s2 = distinct_sketches(d2, "user", ["k"])
     merged = rollup_sketches(s1.unionByName(s2), ["k"])
     assert merged.first()["n_distinct"] == 3  # {1,2,3}; exact at tiny n
+
+
+def test_cooccurrence_pairs_analytic(spark):
+    from data_pipelines_examples_spark.operators.itemsets import cooccurrence_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "b"),  # duplicate item in basket dedupes
+        (4, "c"), (4, "d"),            # d appears once -> pruned
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in cooccurrence_pairs(df, "basket", "item", min_support=2).collect()
+    }
+    assert out == {("a", "b"): 3}  # (a,c)/(b,c) in 1 basket only; d pruned
+
+
+def test_fpgrowth_size2_agrees_with_exact_pairs(spark):
+    from data_pipelines_examples_spark.operators.itemsets import (
+        cooccurrence_pairs,
+        frequent_itemsets,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for b in range(200):
+        for i in rng.sample("abcdefgh", rng.randint(1, 5)):
+            rows.append((b, i))
+    df = spark.createDataFrame(rows, "basket int, item string")
+    n_baskets = 200
+    min_sup_abs = 20
+    exact = {
+        frozenset((r["item_a"], r["item_b"])): r["n_baskets"]
+        for r in cooccurrence_pairs(df, "basket", "item", min_support=min_sup_abs).collect()
+    }
+    itemsets, _ = frequent_itemsets(
+        df, "basket", "item", min_support=min_sup_abs / n_baskets
+    )
+    fp = {
+        frozenset(r["items"]): r["freq"]
+        for r in itemsets.collect()
+        if len(r["items"]) == 2
+    }
+    assert fp == exact and exact  # identical pairs AND non-trivial
