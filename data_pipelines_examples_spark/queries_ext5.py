@@ -919,3 +919,31 @@ def q97_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+@query(
+    "q98_normalize_text",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               nfc_normalize('cafe' || chr(769) || ' ' || text),
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             '\s+', ' ', 'g')) AS text
+    FROM documents
+    """,
+)
+def q98_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + control strip + whitespace squeeze,
+    with an accent-carrying prefix on every row (decomposed via
+    chr(769) on the oracle side) so the engines must agree on real
+    composition work, not just ASCII identity. The Spark side runs the Arrow pandas UDF (one of
+    the engine's few justified Python hops — no JVM UNICODE_NORM
+    exists); the oracle is DuckDB's INDEPENDENT C nfc_normalize — two
+    implementations of the Unicode tables agreeing byte-for-byte."""
+    from .operators.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("café "), F.col("text")).alias("text")
+    )
+    return normalize_text(d, form="NFC")

@@ -233,3 +233,30 @@ def test_winnowing_short_doc_single_fingerprint(spark):
     docs = spark.createDataFrame([(1, "tiny")], "doc_id int, text string")
     rows = winnowing_fingerprints(docs, k=8, w=4).collect()
     assert len(rows) == 1  # one truncated gram, one window
+
+
+def test_normalize_text_nfc_controls_whitespace(spark):
+    from data_pipelines_examples_spark.operators.text import normalize_text
+
+    decomposed = "café"        # e + combining acute
+    composed = "café"
+    docs = spark.createDataFrame(
+        [
+            (1, f"  {decomposed}\tand\x00junk\n\nhere "),
+            (2, composed),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in normalize_text(docs).collect()}
+    assert out[1] == f"{composed} andjunk here"  # NUL strips, no space injected
+    assert out[2] == composed
+    # post-normalization, hash-based dedup sees the two forms as equal
+    assert out[1].split(" ")[0] == out[2]
+
+
+def test_normalize_text_nfkc_folds_compatibility(spark):
+    from data_pipelines_examples_spark.operators.text import normalize_text
+
+    docs = spark.createDataFrame([(1, "ﬁle ①")], "doc_id int, text string")
+    out = normalize_text(docs, form="NFKC").first()["text"]
+    assert out == "file 1"  # fi ligature and circled-one fold under NFKC
