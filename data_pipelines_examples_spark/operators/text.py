@@ -356,3 +356,39 @@ def normalize_text(
     if squeeze_whitespace:
         c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(out_col or text_col, c)
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "compression_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic cheap proxy for templated or degenerate text: boilerplate
+    and repeated spans compress far below natural prose, keyboard-mash
+    entropy compresses barely at all, so both tails of the ratio are
+    removal candidates (used alongside the Gopher repetition ratios,
+    which see only exact line/n-gram repeats — zlib sees long-range and
+    approximate structure too).
+
+    Arrow-batched pandas UDF (a justified Python hop: Spark exposes no
+    compression expression); empty/NULL texts get ratio NULL rather
+    than a fake number. The ``level`` is pinned per corpus — ratios are
+    only comparable within one level.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))

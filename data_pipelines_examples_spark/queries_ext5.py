@@ -947,3 +947,26 @@ def q98_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.lit("café "), F.col("text")).alias("text")
     )
     return normalize_text(d, form="NFC")
+
+
+@query(
+    "q99_corpus_checksum",
+    f"""
+    SELECT CAST(bit_xor({sql_hash64("concat_ws(chr(31), CAST(doc_id AS VARCHAR), text, lang, source, CAST(n_chars AS VARCHAR))")}) AS BIGINT)
+             AS checksum_xor,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents
+    """,
+)
+def q99_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent corpus checksum (XOR of portable row hashes +
+    row count): equal values across engines, partitionings, and row
+    orders certify the same multiset of rows — the artifact-equality
+    check behind compaction/migration sign-off. The md5-derived hash
+    makes the checksum re-derivable by ANY engine, which is the point
+    of a checksum you hand to someone else."""
+    from .reporting import corpus_checksum_frame
+
+    return corpus_checksum_frame(
+        _t(spark, sf_dir, "documents"), hash_how="portable"
+    )

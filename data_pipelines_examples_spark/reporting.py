@@ -223,3 +223,58 @@ def corpus_datacard(
         out.write(bytearray(_json.dumps(card, indent=2, sort_keys=True).encode()))
         out.close()
     return card
+
+
+def corpus_checksum(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    hash_how: str = "xxhash64",
+) -> int:
+    """Order-independent content checksum of a whole DataFrame: XOR of
+    per-row 64-bit hashes over ``cols`` (default: all columns). Equal
+    checksums over the same columns ⇒ same multiset of rows NO MATTER
+    the partitioning, file layout, or row order — the artifact-equality
+    primitive behind "did the rewrite/compaction/migration change the
+    data?" (complements write_validated's count check, which a
+    swap-two-values corruption passes).
+
+    XOR, not SUM: self-inverse, overflow-free, and still detects any
+    single-row change. Caveat shared by every XOR scheme: a row
+    appearing an EVEN number of times cancels out — pair it with the
+    row count. ``hash_how='portable'`` makes the checksum re-derivable
+    outside Spark (md5-based, engine-independent).
+    """
+    from pyspark.sql import functions as F
+
+    from .functions.hashing import hash64
+
+    row = corpus_checksum_frame(df, cols, hash_how).first()
+    x = row["checksum_xor"] if row["checksum_xor"] is not None else 0
+    # fold the count in so even-multiplicity cancellation can't alias an
+    # empty/smaller corpus
+    return int(x) ^ int(row["n_rows"])
+
+
+def corpus_checksum_frame(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    hash_how: str = "xxhash64",
+) -> DataFrame:
+    """The 1-row (checksum_xor, n_rows) frame behind ``corpus_checksum``
+    — exposed so the checksum itself is oracle-verifiable (q99) and can
+    be written as a tiny artifact next to the data."""
+    from pyspark.sql import functions as F
+
+    from .functions.hashing import hash64
+
+    cols = cols or df.columns
+    struct = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    h = (
+        F.xxhash64(*[F.col(c) for c in cols])
+        if hash_how == "xxhash64"
+        else hash64(struct, how="portable")
+    )
+    return df.agg(
+        F.bit_xor(h).cast("long").alias("checksum_xor"),
+        F.count("*").alias("n_rows"),
+    )

@@ -215,3 +215,54 @@ def test_numeric_drift_detects_scale_shift(spark):
     shifted = numeric_drift(t_scaled, y, ["a", "b"])
     assert not shifted["a"][1]   # 100x amounts caught
     assert shifted["b"][1]       # untouched column stays ok
+
+
+def test_compression_ratio_orders_text_quality(spark):
+    from data_pipelines_examples_spark.operators.text import compression_ratio
+
+    import random
+
+    rng = random.Random(1)
+    mash = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(2000))
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 400),                       # templated -> tiny ratio
+            (
+                2,
+                "the quick brown fox jumps over one lazy dog near a quiet river "
+                "while seventeen distant engines hum under gray november skies and "
+                "several careful readers annotate unusual margins with green ink "
+                "before walking home through narrow streets past closed bakeries",
+            ),
+            (3, mash),                                # high entropy -> ratio ~1
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(docs).collect()}
+    # templated text sits far below both natural prose and entropy; the
+    # prose/mash ORDER is length-dependent (zlib overhead), so only the
+    # templated-vs-rest separation is asserted
+    assert out[1] < 0.05
+    assert out[2] > 0.3 and out[3] > 0.3
+    assert out[4] is None and out[5] is None
+
+
+def test_corpus_checksum_order_independent_and_sensitive(spark):
+    from data_pipelines_examples_spark.reporting import corpus_checksum
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", None)], "id int, v string, x double"
+    )
+    base = corpus_checksum(df)
+    assert corpus_checksum(df.repartition(7)) == base          # layout-independent
+    assert corpus_checksum(df.orderBy("v")) == base            # order-independent
+    changed = df.replace(2.5, 99.0, subset=["x"])
+    assert corpus_checksum(changed) != base                    # value change detected
+    assert corpus_checksum(df.limit(2)) != base                # row-count folded in
+    assert corpus_checksum(spark.createDataFrame([], df.schema)) != base
+    # portable path is deterministic too
+    assert corpus_checksum(df, hash_how="portable") == corpus_checksum(
+        df.repartition(3), hash_how="portable"
+    )
