@@ -60,6 +60,28 @@ def merge_rollups(
     )
 
 
+_LEDGER = "_applied_batches.json"
+
+
+def _read_ledger(spark, state_path: str) -> list[str]:
+    import json
+
+    from ..sources.writers import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, state_path.rstrip("/") + "/" + _LEDGER)
+    if not fs.exists(p):
+        return []
+    stream = fs.open(p)
+    try:
+        # py4j can't fill a Python buffer in place — read JVM-side
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+        return json.loads(text)
+    finally:
+        stream.close()
+
+
 def incremental_rollup(
     spark,
     state_path: str,
@@ -67,24 +89,33 @@ def incremental_rollup(
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
     fmt: str = "parquet",
+    batch_tag: str | None = None,
 ) -> DataFrame:
     """Fold one delta into the persisted rollup at ``state_path`` and
     atomically swap the new state in (staging + rename, the
     ``upsert_by_key`` discipline). Returns the new state DataFrame.
 
-    NOT idempotent by itself: re-applying the same delta double-counts.
-    Exactly-once comes from the caller's batch discipline — partition
-    deltas by batch id and record applied ids, or drive this from
-    ``foreachBatch`` whose epoch id Spark already de-duplicates (see
-    ``streaming/ingest.py`` for the replay-safe pattern).
+    Exactly-once: pass ``batch_tag`` (a batch/epoch id) and replays are
+    NO-OPS — the tag ledger lives INSIDE the state directory and is
+    written into the staging dir BEFORE the atomic swap, so state and
+    ledger can never disagree: a crash before the swap leaves both
+    unapplied, after it leaves both applied. (A side-car ledger written
+    after the swap would double-apply on a crash between the two.)
+    Without a tag, re-applying the same delta double-counts — the
+    caller owns batch discipline.
 
     Scale shape: the delta aggregates with map-side combine (its raw
     rows never meet history); the merge touches two AGGREGATE tables —
     size = key cardinality, not history length. History is never
     rescanned, which is the entire point.
     """
+    import json
+
     from ..sources.writers import _hadoop_fs, _path_exists
 
+    applied = _read_ledger(spark, state_path) if batch_tag is not None else []
+    if batch_tag is not None and batch_tag in applied:
+        return spark.read.format(fmt).load(state_path)
     partial = partial_rollup(delta, keys, aggs)
     if _path_exists(spark, state_path):
         state = spark.read.format(fmt).load(state_path)
@@ -93,7 +124,44 @@ def incremental_rollup(
         merged = partial
     staging = state_path.rstrip("/") + "__staging"
     merged.write.format(fmt).mode("overwrite").save(staging)
+    if batch_tag is not None:
+        fs, lp = _hadoop_fs(spark, staging.rstrip("/") + "/" + _LEDGER)
+        out = fs.create(lp, True)
+        out.write(bytearray(json.dumps(applied + [batch_tag]).encode()))
+        out.close()
     fs, target = _hadoop_fs(spark, state_path)
     fs.delete(target, True)
     fs.rename(_hadoop_fs(spark, staging)[1], target)
     return spark.read.format(fmt).load(state_path)
+
+
+def stream_incremental_rollup(
+    stream: DataFrame,
+    state_path: str,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    checkpoint: str,
+    fmt: str = "parquet",
+):
+    """Maintain a rollup table from a stream: each micro-batch folds into
+    the persisted state via ``incremental_rollup`` tagged with the epoch
+    id, so Structured Streaming's replay semantics (a failed batch
+    re-runs with the SAME epoch id) land exactly-once on the state.
+    Returns the started StreamingQuery."""
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        incremental_rollup(
+            batch_df.sparkSession,
+            state_path,
+            batch_df,
+            keys,
+            aggs,
+            fmt=fmt,
+            batch_tag=f"epoch-{epoch_id}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

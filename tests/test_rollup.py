@@ -117,3 +117,54 @@ def test_fpgrowth_size2_agrees_with_exact_pairs(spark):
         if len(r["items"]) == 2
     }
     assert fp == exact and exact  # identical pairs AND non-trivial
+
+
+def test_incremental_rollup_tagged_replay_is_noop(spark, tmp_path):
+    from data_pipelines_examples_spark.operators.rollup import incremental_rollup
+
+    path = str(tmp_path / "state")
+    d1 = _day(spark, [("a", 1.0), ("b", 2.0)])
+    d2 = _day(spark, [("a", 10.0)])
+    incremental_rollup(spark, path, d1, ["k"], AGGS, batch_tag="b1")
+    incremental_rollup(spark, path, d1, ["k"], AGGS, batch_tag="b1")  # replay
+    state = incremental_rollup(spark, path, d2, ["k"], AGGS, batch_tag="b2")
+    got = {r["k"]: (r["revenue"], r["n_events"]) for r in state.collect()}
+    assert got == {"a": (11.0, 2), "b": (2.0, 1)}  # b1 applied ONCE
+    # ledger survives the swap inside the state dir
+    again = incremental_rollup(spark, path, d2, ["k"], AGGS, batch_tag="b2")
+    got2 = {r["k"]: (r["revenue"], r["n_events"]) for r in again.collect()}
+    assert got2 == got
+
+
+def test_stream_incremental_rollup_exactly_once(spark, tmp_path):
+    import json
+
+    from data_pipelines_examples_spark.operators.rollup import (
+        stream_incremental_rollup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for b in range(2):
+        (src / f"b{b}.json").write_text(
+            "\n".join(
+                json.dumps({"k": k, "amount": float(10 * b + i)})
+                for i, k in enumerate(["x", "x", "y"])
+            )
+        )
+    stream = (
+        spark.readStream.schema("k string, amount double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    state_path = str(tmp_path / "state")
+    q = stream_incremental_rollup(
+        stream, state_path, ["k"], AGGS, checkpoint=str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["k"]: (r["revenue"], r["n_events"]) for r in spark.read.parquet(state_path).collect()}
+    # x: 0+1 + 10+11 = 22 over 4 events; y: 2 + 12 = 14 over 2
+    assert got == {"x": (22.0, 4), "y": (14.0, 2)}
