@@ -125,3 +125,46 @@ def parse_log_record(df, text_col: str = "value"):
         F.regexp_extract(c, pat, 8).alias("referrer"),
         F.regexp_extract(c, pat, 9).alias("user_agent"),
     )
+
+
+def pseudonymize(
+    df,
+    cols: list[str],
+    seed: int = 0,
+    hash_how: str = "xxhash64",
+    suffix: str = "",
+):
+    """Deterministic pseudonymization of identifier columns: each value
+    is replaced by its seeded 64-bit hash, so the SAME value maps to the
+    SAME token in every table of a release — joins and referential
+    integrity survive, while the raw identifier never leaves the
+    cluster (the governance counterpart of ``text.redact_pii``, which
+    handles free text; this handles keys).
+
+    The seed is the unlinkability boundary: a new seed is a new
+    pseudonym universe, so per-release seeds prevent cross-release
+    linkage. Narrow projection — fuses into the scan; NULLs stay NULL.
+    ``hash_how='portable'`` makes tokens re-derivable outside Spark
+    (and oracle-verifiable, q100).
+
+    Honest caveat (same as every deterministic scheme): frequency and
+    join-degree structure is preserved BY DESIGN — that is what keeps
+    analytics working — so high-frequency identifiers remain subject to
+    frequency analysis; use random suppression for those.
+    """
+    from pyspark.sql import functions as F
+
+    from .hashing import hash64
+
+    out = df
+    for c in cols:
+        token = F.when(
+            F.col(c).isNotNull(),
+            hash64(F.col(c).cast("string"), seed=seed, how=hash_how),
+        )
+        out = out.withColumn(c + suffix, token)
+        if suffix:
+            # writing to a NEW column: the raw identifier must not ride
+            # along into the release
+            out = out.drop(c)
+    return out

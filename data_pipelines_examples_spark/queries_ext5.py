@@ -970,3 +970,43 @@ def q99_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_checksum_frame(
         _t(spark, sf_dir, "documents"), hash_how="portable"
     )
+
+
+@query(
+    "q100_pseudonymized_order_counts",
+    f"""
+    WITH c AS (
+      SELECT {sql_hash64_seeded("CAST(c_custkey AS VARCHAR)", 17)} AS cust_token
+      FROM customer
+    ),
+    o AS (
+      SELECT {sql_hash64_seeded("CAST(o_custkey AS VARCHAR)", 17)} AS cust_token
+      FROM orders
+    )
+    SELECT c.cust_token, CAST(COUNT(o.cust_token) AS BIGINT) AS n_orders
+    FROM c LEFT JOIN o USING (cust_token)
+    GROUP BY c.cust_token
+    """,
+)
+def q100_pseudonymized_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization with referential integrity: both
+    tables tokenize custkey under the same seed, then join and count ON
+    THE TOKENS — raw identifiers never appear in the output, yet every
+    per-customer aggregate is intact. The oracle re-derives the same
+    tokens from the same md5 scheme, proving the pseudonym universe is
+    engine-independent (auditable by a third party without Spark)."""
+    from .functions.udfs import pseudonymize
+
+    cust = pseudonymize(
+        _t(spark, sf_dir, "customer").select("c_custkey"),
+        ["c_custkey"], seed=17, hash_how="portable",
+    ).select(F.col("c_custkey").alias("cust_token"))
+    orders = pseudonymize(
+        _t(spark, sf_dir, "orders").select("o_custkey"),
+        ["o_custkey"], seed=17, hash_how="portable",
+    ).select(F.col("o_custkey").alias("cust_token"))
+    return (
+        cust.join(orders, "cust_token", "left")
+        .groupBy(cust["cust_token"])
+        .agg(F.count(orders["cust_token"]).alias("n_orders"))
+    )

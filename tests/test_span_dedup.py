@@ -260,3 +260,31 @@ def test_normalize_text_nfkc_folds_compatibility(spark):
     docs = spark.createDataFrame([(1, "ﬁle ①")], "doc_id int, text string")
     out = normalize_text(docs, form="NFKC").first()["text"]
     assert out == "file 1"  # fi ligature and circled-one fold under NFKC
+
+
+def test_pseudonymize_referential_integrity_and_unlinkability(spark):
+    from data_pipelines_examples_spark.functions.udfs import pseudonymize
+
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (None, "z")], "k int, v string")
+    b = spark.createDataFrame([(1, 10.0), (1, 20.0), (3, 30.0)], "k int, amt double")
+    pa = pseudonymize(a, ["k"], seed=5)
+    pb = pseudonymize(b, ["k"], seed=5)
+    # same seed -> same tokens: the join works and matches raw-key semantics
+    joined = pa.join(pb, "k")
+    assert joined.count() == 2  # key 1 matches twice; 2/3 unmatched; NULL stays out
+    # tokens are not the raw keys
+    toks = {r["k"] for r in pa.collect() if r["k"] is not None}
+    assert toks.isdisjoint({1, 2})
+    # NULL stays NULL
+    assert any(r["k"] is None for r in pa.collect())
+    # a different seed is a different pseudonym universe
+    pa9 = pseudonymize(a, ["k"], seed=9)
+    assert {r["k"] for r in pa9.collect()} != {r["k"] for r in pa.collect()}
+
+
+def test_pseudonymize_suffix_drops_raw_column(spark):
+    from data_pipelines_examples_spark.functions.udfs import pseudonymize
+
+    df = spark.createDataFrame([(1, "x")], "k int, v string")
+    out = pseudonymize(df, ["k"], seed=5, suffix="_token")
+    assert set(out.columns) == {"k_token", "v"}  # raw k gone
