@@ -129,6 +129,17 @@ def _load_all() -> None:
 # conditional-aggregate family, and q21 NTILE shares the graded q52
 # quantile family. All stay in the catalog, locally oracle-checked,
 # and pytest-pinned.
+# ROUND-5 ROTATION CANDIDATES (not yet retired — next round's call):
+# the session-2 surface q80-q100 (span dedup, SCD2/CDC/temporal,
+# weighted sample, snapshot diff, quarantine, winnowing, batch BM25,
+# fuzzy join, resample/gaps, contamination, budget selection, NFC,
+# checksum, co-purchase, pseudonymization) sits past the window, all
+# hash-verified at the local gate. Natural retirements to promote them:
+# q11 (sessionize — gaps-and-islands family graded via q03), q20 (lag
+# cascade ≈ graded q49 as-of family), q13 (exact dedup subsumed by the
+# graded q62 full pipeline), q16/q17 (band/wildcard rule joins — two
+# slots, one family), q29 (fiscal battery, pytest-heavy), q38 (null-safe
+# join ≈ q02 family).
 _DEPRIORITIZED = [
     # Round-4 continued rotation — six more near-twins retire so the
     # window reaches the round-5 surface (q71-q76 promoted): q28's
