@@ -1,0 +1,88 @@
+"""Funnel (ordered event-sequence) analytics: for each key, the earliest
+time it completed step 1, then step 2 STRICTLY AFTER step 1, and so on —
+the product-analytics workhorse (view → click → purchase) and the
+simplest member of the MATCH_RECOGNIZE pattern family, expressed with
+joins and aggregates Spark already optimizes.
+
+Semantics: step i's timestamp is the MINIMUM event time of step i's
+event type occurring strictly after the key's step i−1 timestamp
+("earliest strictly-ordered completion"). A key that never reaches step
+i has NULL from there on; ``steps_completed`` counts the contiguous
+prefix reached. Greedy-earliest is the standard funnel definition and
+is order-deterministic.
+
+Scale shape: one aggregation per step plus one key-equi-join per step
+transition — every join is on the funnel key (dimension-keyed, AQE
+handles skew), the per-step candidate sets are filtered to ONE event
+type before any shuffle, and nothing is ever windowed over the whole
+event stream. k steps = k narrow passes, not a per-key sort of all
+events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Per-key funnel table: (key, step_1_ts..step_k_ts,
+    steps_completed). Only keys that complete step 1 appear."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    cur = (
+        df.filter(F.col(event_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("step_1_ts"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        cand = df.filter(F.col(event_col) == step).select(
+            F.col(key_col), F.col(ts_col).alias("__t")
+        )
+        nxt = (
+            cur.select(key_col, f"step_{i - 1}_ts")
+            .join(cand, key_col)
+            .filter(F.col("__t") > F.col(f"step_{i - 1}_ts"))
+            .groupBy(key_col)
+            .agg(F.min("__t").alias(f"step_{i}_ts"))
+        )
+        cur = cur.join(nxt, key_col, "left")
+    completed = F.lit(0)
+    # ascending wrap order: the LAST when() built is evaluated first, so
+    # the deepest completed step must be the outermost branch
+    for i in range(1, len(steps) + 1):
+        completed = F.when(
+            F.col(f"step_{i}_ts").isNotNull(), F.lit(i)
+        ).otherwise(completed)
+    return cur.withColumn("steps_completed", completed.cast("int"))
+
+
+def funnel_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Aggregate funnel: one row per step with the count of keys whose
+    ordered journey reached it (monotonically non-increasing by
+    construction) — the conversion chart."""
+    per_key = funnel_steps(df, key_col, ts_col, event_col, steps)
+    return per_key.agg(
+        *[
+            F.count(F.col(f"step_{i}_ts")).alias(f"n_step_{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    ).selectExpr(
+        "stack("
+        + str(len(steps))
+        + ", "
+        + ", ".join(f"{i}, '{s}', n_step_{i}" for i, s in enumerate(steps, start=1))
+        + ") as (step, event_type, n_keys)"
+    )

@@ -1010,3 +1010,42 @@ def q100_pseudonymized_order_counts(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy(cust["cust_token"])
         .agg(F.count(orders["cust_token"]).alias("n_orders"))
     )
+
+
+@query(
+    "q101_event_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS step_1_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS step_2_ts
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.step_1_ts
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS step_3_ts
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.step_2_ts
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.step_1_ts, s2.step_2_ts, s3.step_3_ts,
+           CAST(CASE WHEN s3.step_3_ts IS NOT NULL THEN 3
+                     WHEN s2.step_2_ts IS NOT NULL THEN 2
+                     ELSE 1 END AS INTEGER) AS steps_completed
+    FROM s1
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+)
+def q101_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel per user: each step's timestamp is
+    the earliest occurrence STRICTLY after the previous step — the
+    product-analytics pattern query, built from one per-step aggregate +
+    key-equi-join (never a per-user sort of the whole event stream)."""
+    from .operators.funnel import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])

@@ -168,3 +168,34 @@ def test_stream_incremental_rollup_exactly_once(spark, tmp_path):
     got = {r["k"]: (r["revenue"], r["n_events"]) for r in spark.read.parquet(state_path).collect()}
     # x: 0+1 + 10+11 = 22 over 4 events; y: 2 + 12 = 14 over 2
     assert got == {"x": (22.0, 4), "y": (14.0, 2)}
+
+
+def test_funnel_steps_strict_ordering(spark):
+    from data_pipelines_examples_spark.operators.funnel import (
+        funnel_counts,
+        funnel_steps,
+    )
+
+    rows = [
+        # user 1: full ordered journey
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # user 2: clicked BEFORE viewing -> click doesn't count; no purchase
+        (2, 20, "click"), (2, 30, "view"),
+        # user 3: view then click, purchase BEFORE click -> stops at 2
+        (3, 10, "view"), (3, 5, "purchase"), (3, 15, "click"),
+        # user 4: never viewed -> not in the funnel at all
+        (4, 10, "purchase"),
+        # user 5: earliest-strict chain across repeats
+        (5, 10, "view"), (5, 11, "click"), (5, 12, "click"), (5, 13, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u int, t int, e string")
+    out = {r["u"]: r for r in funnel_steps(df, "u", "t", "e", ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert (out[1]["step_1_ts"], out[1]["step_2_ts"], out[1]["step_3_ts"]) == (10, 20, 30)
+    assert out[1]["steps_completed"] == 3
+    assert out[2]["step_2_ts"] is None and out[2]["steps_completed"] == 1
+    assert out[3]["step_2_ts"] == 15 and out[3]["step_3_ts"] is None
+    assert out[3]["steps_completed"] == 2
+    assert (out[5]["step_2_ts"], out[5]["step_3_ts"]) == (11, 13)
+    counts = {r["step"]: r["n_keys"] for r in funnel_counts(df, "u", "t", "e", ["view", "click", "purchase"]).collect()}
+    assert counts == {1: 4, 2: 3, 3: 2}
