@@ -86,3 +86,39 @@ def funnel_counts(
         + ", ".join(f"{i}, '{s}', n_step_{i}" for i, s in enumerate(steps, start=1))
         + ") as (step, event_type, n_keys)"
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: keys cohort by the DAY-GRID period of
+    their first event (period 0 = first ``period_days`` days from the
+    cohort start), and each later period counts the cohort's keys active
+    in it — the (cohort, periods_since, n_active) long-form behind every
+    retention curve. Day-based arithmetic (floor(days_since /
+    period_days)) keeps the bucketing exact and engine-independent —
+    calendar weeks/months vary by engine and locale; a day grid doesn't.
+
+    Shape: one aggregate for first-seen, one key join back, one distinct
+    on (cohort, period, key), one count — all keyed shuffles; period 0
+    equals cohort size by construction, so the curve normalizes in SQL.
+    """
+    first = df.groupBy(key_col).agg(F.min(F.to_date(ts_col)).alias("__c0"))
+    activity = (
+        df.select(F.col(key_col), F.to_date(ts_col).alias("__d"))
+        .join(first, key_col)
+        .select(
+            F.col(key_col),
+            F.col("__c0").alias("cohort_start"),
+            F.floor(F.datediff(F.col("__d"), F.col("__c0")) / period_days)
+            .cast("int")
+            .alias("periods_since"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_start", "periods_since").agg(
+        F.countDistinct(key_col).alias("n_active")
+    )

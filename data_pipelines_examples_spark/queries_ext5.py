@@ -1049,3 +1049,30 @@ def q101_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return funnel_steps(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+@query(
+    "q102_retention_cohorts",
+    """
+    WITH first AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS c0 FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, first.c0 AS cohort_start,
+             CAST(FLOOR(date_diff('day', first.c0, CAST(e.ts AS DATE)) / 7)
+                  AS INTEGER) AS periods_since
+      FROM events e JOIN first USING (user_id)
+    )
+    SELECT cohort_start, periods_since,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM act GROUP BY cohort_start, periods_since
+    """,
+)
+def q102_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-grid cohort retention over events: day-based period
+    arithmetic on both sides (calendar weeks vary by engine; a day grid
+    is exact), distinct-activity per (cohort, period), distinct-user
+    counts per cell."""
+    from .operators.funnel import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"), "user_id", "ts", period_days=7)

@@ -199,3 +199,25 @@ def test_funnel_steps_strict_ordering(spark):
     assert (out[5]["step_2_ts"], out[5]["step_3_ts"]) == (11, 13)
     counts = {r["step"]: r["n_keys"] for r in funnel_counts(df, "u", "t", "e", ["view", "click", "purchase"]).collect()}
     assert counts == {1: 4, 2: 3, 3: 2}
+
+
+def test_retention_cohorts_day_grid(spark):
+    from data_pipelines_examples_spark.operators.funnel import retention_cohorts
+
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-03"), (1, "2024-01-10"),  # p0, p0, p1
+        (2, "2024-01-02"), (2, "2024-01-20"),                      # p0, p2
+        (3, "2024-01-08"),                                         # own cohort, p0
+    ]
+    df = spark.createDataFrame(rows, "u int, d string").selectExpr(
+        "u", "cast(d as timestamp) as ts"
+    )
+    out = {
+        (str(r["cohort_start"]), r["periods_since"]): r["n_active"]
+        for r in retention_cohorts(df, "u", "ts", period_days=7).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
+        ("2024-01-02", 0): 1, ("2024-01-02", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
