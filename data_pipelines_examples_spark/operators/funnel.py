@@ -122,3 +122,51 @@ def retention_cohorts(
     return activity.groupBy("cohort_start", "periods_since").agg(
         F.countDistinct(key_col).alias("n_active")
     )
+
+
+def ab_test_summary(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Two-proportion z-test summary for an A/B experiment: one row with
+    each arm's size and conversion rate, the absolute lift, and the
+    pooled-variance z statistic — the number a launch review reads
+    (|z| > 1.96 ≈ 95%). The p-value lookup stays caller-side: Spark has
+    no erf expression, and shipping a hand-rolled approximation would
+    imply precision the normal approximation doesn't have at small n.
+
+    ``success_col`` is boolean/0-1 per exposure row. One aggregation
+    pass; all arithmetic is exact-input division and a correctly-rounded
+    sqrt, so the statistic is engine-deterministic (z additionally
+    rounds through DECIMAL(18,8) for cross-engine hashing).
+    """
+    s = F.col(success_col).cast("double")
+    v = F.col(variant_col)
+    agg = df.filter(v.isin([control, treatment])).agg(
+        F.count(F.when(v == control, True)).alias("n_control"),
+        F.sum(F.when(v == control, s)).alias("x_control"),
+        F.count(F.when(v == treatment, True)).alias("n_treatment"),
+        F.sum(F.when(v == treatment, s)).alias("x_treatment"),
+    )
+    p0 = F.col("x_control") / F.col("n_control")
+    p1 = F.col("x_treatment") / F.col("n_treatment")
+    pp = (F.col("x_control") + F.col("x_treatment")) / (
+        F.col("n_control") + F.col("n_treatment")
+    )
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_control") + F.lit(1.0) / F.col("n_treatment"))
+    )
+    return agg.select(
+        "n_control",
+        "x_control",
+        "n_treatment",
+        "x_treatment",
+        p0.alias("rate_control"),
+        p1.alias("rate_treatment"),
+        (p1 - p0).alias("lift"),
+        ((p1 - p0) / se).cast("decimal(18,8)").cast("double").alias("z"),
+    )

