@@ -281,3 +281,39 @@ def mine_hard_negatives(
         .filter(F.col("neg_rank") <= k)
         .drop("rank")
     )
+
+
+def build_inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Materialize the corpus's inverted index: one row per term with
+    its document frequency and the doc-sorted posting list
+    (array<struct<doc, tf>>) — the artifact a lexical search service
+    loads, and the staging table that makes repeated BM25/TF-IDF runs
+    corpus-scan-free (both derive from postings alone; build once per
+    corpus version, query forever).
+
+    Scale shape: one tokenize+explode pass, one (id, term) tf groupBy,
+    one term groupBy with an IN-AGGREGATE array sort (sort_array over
+    collected structs — no per-term window); ``min_df`` prunes hapax
+    noise before the posting arrays materialize. Terms are the natural
+    partition key downstream — a posting row's size is bounded by the
+    term's df, and stop-word-scale terms are exactly what ``min_df``'s
+    dual (a max_df cap) would remove; at web scale add one.
+    """
+    toks = _token_rows(df, id_col, text_col)
+    tf = toks.groupBy(id_col, "__t").agg(F.count("*").alias("tf"))
+    return (
+        tf.groupBy("__t")
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("doc"), F.col("tf")))
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+        .select(F.col("__t").alias("term"), "df", "postings")
+    )

@@ -1121,3 +1121,38 @@ def q103_ab_test_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ok")
     ).withColumn("arm", (F.col("user_id") % 2).cast("string"))
     return ab_test_summary(exposed, "arm", "ok", control="0", treatment="1")
+
+
+@query(
+    "q104_inverted_index",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t)
+    SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS df,
+           string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY t HAVING COUNT(*) >= 2
+    """,
+)
+def q104_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus inverted index (min_df=2), posting lists serialized as
+    'doc:tf' strings so both clients hash the same scalar (nested-struct
+    stringification differs across drivers; the array form is the
+    operator's real output and is pytest-pinned)."""
+    from .operators.ranking import build_inverted_index
+
+    idx = build_inverted_index(_t(spark, sf_dir, "documents"), min_df=2)
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(
+            F.transform(
+                F.col("postings"),
+                lambda p: F.concat_ws(":", p["doc"].cast("string"), p["tf"].cast("string")),
+            ),
+            " ",
+        ).alias("postings"),
+    )

@@ -365,3 +365,20 @@ def test_mine_hard_negatives_excludes_positives(spark):
     got = {(r["query_id"], r["doc_id"], r["neg_rank"]) for r in out.collect()}
     # positives gone, ranks recomputed contiguously
     assert got == {(1, 11, 1), (1, 12, 2), (2, 20, 1)}
+
+
+def test_inverted_index_postings(spark):
+    from data_pipelines_examples_spark.operators.ranking import build_inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "red blue red"), (2, "blue green"), (3, "red")],
+        "doc_id int, text string",
+    )
+    idx = {r["term"]: r for r in build_inverted_index(docs).collect()}
+    assert idx["red"]["df"] == 2
+    assert [(p["doc"], p["tf"]) for p in idx["red"]["postings"]] == [(1, 2), (3, 1)]
+    assert [(p["doc"], p["tf"]) for p in idx["blue"]["postings"]] == [(1, 1), (2, 1)]
+    assert idx["green"]["df"] == 1
+    # min_df prunes hapax terms
+    pruned = {r["term"] for r in build_inverted_index(docs, min_df=2).collect()}
+    assert pruned == {"red", "blue"}
