@@ -13,7 +13,7 @@ generated oracle SQL, the q42 pattern).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.hashing import sql_hash64, sql_hash64_seeded
@@ -1155,4 +1155,92 @@ def q104_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             " ",
         ).alias("postings"),
+    )
+
+
+@query(
+    "q105_revenue_share_of_region",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, revenue,
+           CAST(CAST(revenue / SUM(revenue) OVER (PARTITION BY region)
+                AS DECIMAL(18,8)) AS DOUBLE) AS region_share
+    FROM rev
+    """,
+)
+def q105_revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue —
+    the percent-of-total window over an already-aggregated dimension
+    (the window sees nations, never order rows). Decimal-exact sums,
+    share rounded through DECIMAL(18,8) on both sides."""
+    from .queries import _dsum
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(r["r_name"].alias("region"), n["n_name"].alias("nation"))
+        .agg(_dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("region")
+    return rev.withColumn(
+        "region_share",
+        (F.col("revenue") / F.sum("revenue").over(w))
+        .cast("decimal(18,8)")
+        .cast("double"),
+    )
+
+
+@query(
+    "q106_abc_customer_classes",
+    """
+    WITH rev AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c_custkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, c_custkey)
+               / SUM(revenue) OVER () AS cum_share
+      FROM rev
+    )
+    SELECT c_custkey, revenue,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def q106_abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: customers by cumulative revenue
+    share (A = first 80%, B = to 95%, C = tail) — the merchandising
+    segmentation. The global cumsum runs over the AGGREGATED customer
+    dimension (bounded), never raw orders; the share is a ratio of
+    decimal-exact sums, so the class boundaries cannot drift between
+    engines."""
+    o = _t(spark, sf_dir, "orders")
+    from .queries import _dsum
+
+    rev = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        _dsum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    total = Window.partitionBy()
+    cum_share = F.sum("revenue").over(w) / F.sum("revenue").over(total)
+    return rev.withColumn(
+        "abc_class",
+        F.when(cum_share <= 0.8, "A").when(cum_share <= 0.95, "B").otherwise("C"),
     )
