@@ -87,3 +87,57 @@ def frequent_itemsets(
         itemsCol="items", minSupport=min_support, minConfidence=min_confidence
     ).fit(baskets)
     return model.freqItemsets, model.associationRules
+
+
+def association_metrics(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_size: int | None = 10_000,
+) -> DataFrame:
+    """Directional association rules from the exact pair tier:
+    (antecedent, consequent, n_both, n_antecedent, confidence, lift) for
+    both directions of every supported pair. confidence = P(c|a);
+    lift = confidence / P(c) — lift > 1 is genuine affinity, which raw
+    co-occurrence counts can't distinguish from two independently
+    popular items (the reason this operator exists).
+
+    Ratios divide exact integer counts, so both engines produce
+    bit-identical doubles; n_baskets rides a 1-row broadcast.
+    """
+    pairs = cooccurrence_pairs(
+        df, basket_col, item_col, min_support=min_support, max_basket_size=max_basket_size
+    )
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    item_n = items.groupBy("__i").agg(F.count("*").alias("__n"))
+    totals = items.select("__b").distinct().agg(F.count("*").alias("__nb"))
+    directed = pairs.selectExpr(
+        "item_a as antecedent", "item_b as consequent", "n_baskets as n_both"
+    ).unionByName(
+        pairs.selectExpr(
+            "item_b as antecedent", "item_a as consequent", "n_baskets as n_both"
+        )
+    )
+    out = (
+        directed.join(
+            F.broadcast(item_n.selectExpr("__i as antecedent", "__n as n_antecedent")),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(item_n.selectExpr("__i as consequent", "__n as __nc")),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    conf = F.col("n_both") / F.col("n_antecedent")
+    return out.select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        "n_antecedent",
+        conf.alias("confidence"),
+        (conf / (F.col("__nc") / F.col("__nb"))).alias("lift"),
+    )

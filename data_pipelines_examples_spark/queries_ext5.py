@@ -1244,3 +1244,46 @@ def q106_abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "abc_class",
         F.when(cum_share <= 0.8, "A").when(cum_share <= 0.95, "B").otherwise("C"),
     )
+
+
+@query(
+    "q107_copurchase_rules",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    freq AS (SELECT i FROM items GROUP BY i HAVING COUNT(*) >= 2),
+    p AS (SELECT * FROM items WHERE i IN (SELECT i FROM freq)),
+    pairs AS (
+      SELECT a.i AS ia, b.i AS ib, COUNT(*) AS nb
+      FROM p a JOIN p b ON a.b = b.b AND a.i < b.i
+      GROUP BY a.i, b.i HAVING COUNT(*) >= 2
+    ),
+    directed AS (
+      SELECT ia AS antecedent, ib AS consequent, nb AS n_both FROM pairs
+      UNION ALL
+      SELECT ib, ia, nb FROM pairs
+    ),
+    itemn AS (SELECT i, COUNT(*) AS n FROM items GROUP BY i),
+    tot AS (SELECT COUNT(DISTINCT b) AS nbask FROM items)
+    SELECT d.antecedent, d.consequent,
+           CAST(d.n_both AS BIGINT) AS n_both,
+           CAST(na.n AS BIGINT) AS n_antecedent,
+           CAST(d.n_both AS DOUBLE) / na.n AS confidence,
+           (CAST(d.n_both AS DOUBLE) / na.n)
+             / (CAST(nc.n AS DOUBLE) / tot.nbask) AS lift
+    FROM directed d
+    JOIN itemn na ON na.i = d.antecedent
+    JOIN itemn nc ON nc.i = d.consequent
+    CROSS JOIN tot
+    """,
+)
+def q107_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules over the q97 pair tier: confidence
+    and lift from exact integer counts (bit-identical division in both
+    engines) — lift separates genuine affinity from two independently
+    popular parts."""
+    from .operators.itemsets import association_metrics
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_metrics(li, "l_orderkey", "l_partkey", min_support=2)

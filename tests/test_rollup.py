@@ -244,3 +244,27 @@ def test_ab_test_summary_analytic(spark):
     z = 0.15 / math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
     assert abs(r["z"] - z) < 1e-7
     assert r["z"] > 1.96  # a real effect at these sizes
+
+
+def test_association_metrics_confidence_and_lift(spark):
+    from data_pipelines_examples_spark.operators.itemsets import association_metrics
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (4, "c"), (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_metrics(df, "basket", "item", min_support=2).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["n_both"] == 2 and ab["n_antecedent"] == 3
+    assert abs(ab["confidence"] - 2 / 3) < 1e-12
+    # P(b) = 3/4 baskets; lift = (2/3)/(3/4) = 8/9 < 1: a and b are
+    # actually slightly ANTI-correlated despite co-occurring twice
+    assert abs(ab["lift"] - 8 / 9) < 1e-12
+    ba = out[("b", "a")]
+    assert abs(ba["confidence"] - 2 / 3) < 1e-12
