@@ -170,3 +170,40 @@ def ab_test_summary(
         (p1 - p0).alias("lift"),
         ((p1 - p0) / se).cast("decimal(18,8)").cast("double").alias("z"),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+) -> DataFrame:
+    """First-order (Markov) transition statistics over per-key event
+    sequences: (from_state, to_state, n_transitions, probability) where
+    probability is row-normalized per from_state — the behavioral map
+    behind next-action prediction, anomaly scoring (improbable
+    transitions), and journey visualization.
+
+    One window sort per key builds the adjacent pairs (lead), then a
+    dimension-sized groupBy; normalization joins the per-from totals
+    back — states² rows at most, tiny regardless of event volume.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    pairs = (
+        df.select(key_col, ts_col, F.col(state_col).alias("from_state"))
+        .withColumn("to_state", F.lead("from_state").over(w))
+        .filter(F.col("to_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count("*").alias("n_transitions")
+    )
+    totals = counts.groupBy("from_state").agg(
+        F.sum("n_transitions").alias("__t")
+    )
+    return (
+        counts.join(F.broadcast(totals), "from_state")
+        .withColumn("probability", F.col("n_transitions") / F.col("__t"))
+        .drop("__t")
+    )

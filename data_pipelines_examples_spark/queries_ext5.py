@@ -1287,3 +1287,35 @@ def q107_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return association_metrics(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+@query(
+    "q108_event_transition_matrix",
+    """
+    WITH pairs AS (
+      SELECT event_type AS from_state,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+               AS to_state
+      FROM events
+    ),
+    counts AS (
+      SELECT from_state, to_state, COUNT(*) AS n_transitions
+      FROM pairs WHERE to_state IS NOT NULL
+      GROUP BY from_state, to_state
+    )
+    SELECT from_state, to_state,
+           CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY from_state)
+             AS probability
+    FROM counts
+    """,
+)
+def q108_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix with row-normalized
+    probabilities — next-action statistics from one window sort + a
+    states²-sized aggregation; exact-integer ratio divisions are
+    bit-identical cross-engine."""
+    from .operators.funnel import transition_matrix
+
+    return transition_matrix(_t(spark, sf_dir, "events"), "user_id", "ts", "event_type")

@@ -268,3 +268,23 @@ def test_association_metrics_confidence_and_lift(spark):
     assert abs(ab["lift"] - 8 / 9) < 1e-12
     ba = out[("b", "a")]
     assert abs(ba["confidence"] - 2 / 3) < 1e-12
+
+
+def test_transition_matrix_analytic(spark):
+    from data_pipelines_examples_spark.operators.funnel import transition_matrix
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 1, "a"), (2, 2, "a"),
+    ]
+    df = spark.createDataFrame(rows, "u int, t int, s string")
+    out = {
+        (r["from_state"], r["to_state"]): (r["n_transitions"], r["probability"])
+        for r in transition_matrix(df, "u", "t", "s").collect()
+    }
+    # from 'a': a->b twice (user 1), a->a once (user 2) -> probs 2/3, 1/3
+    assert out[("a", "b")] == (2, 2 / 3)
+    assert out[("a", "a")] == (1, 1 / 3)
+    assert out[("b", "a")] == (1, 1.0)
+    # rows are within-user only: no cross-user transition u1->u2
+    assert sum(n for n, _ in out.values()) == 4
