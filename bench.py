@@ -58,6 +58,11 @@ BENCH_QUERIES = [
     # get (the oracle-portable md5 variants above pay the md5 tax).
     "q87_minhash_fast_path",
     "q88_simhash_fast_path",
+    # winnowing fingerprints (round 5): previously the slowest operator
+    # in the catalog and invisible to BENCH — the O(len²) interpreted
+    # recompute fixed this round (125×) stays visible here so it can
+    # never silently regress.
+    "q90_winnowing_fingerprints",
 ]
 
 
@@ -115,7 +120,14 @@ def main() -> None:
         best: float | None = None
         n = 0
         try:
-            for _ in range(2):
+            # min-of-2, plus a third run for sub-second queries: at
+            # those walls a single ambient-load hiccup still swings the
+            # two-run min by ~40% round-over-round (r4 observed on
+            # q12/q19), and a third sample stabilizes the estimator at
+            # negligible cost precisely where it is cheapest.
+            for run in range(3):
+                if run == 2 and best is not None and best >= 1.0:
+                    break
                 t0 = time.time()
                 n = consume(qs[name](spark, sf_dir))
                 wall = time.time() - t0
@@ -136,6 +148,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Methodology (since r4, commit 928fee8): the timed
+                # consume is agg(count, sum(xxhash64(struct(*)))) —
+                # FULL materialization of every output column — so
+                # r1-r3 count()-only numbers (Catalyst pruned unused
+                # projections) are NOT comparable to r4+. min-of-2
+                # runs, min-of-3 when the best is sub-second.
+                "method": "full-column-hash consume; min-of-2 (3 if <1s)",
             }
         )
     )

@@ -70,6 +70,59 @@ def time_split(
     return train, test
 
 
+def log_run(
+    spark,
+    run_dir: str,
+    params: dict,
+    metrics: dict,
+    data_checksum: int | None = None,
+    model=None,
+) -> str:
+    """Persist an experiment-run artifact with NO service dependency —
+    the file-based stand-in for the reference's MLflow run logging
+    (notebooks/databricks/python/mlflow_pymatch_single_node.py:268-325
+    logs params/metrics/model to a tracking server): a ``run.json``
+    holding params, metrics, and an optional input-data checksum
+    (``reporting.corpus_checksum`` — ties the run to the EXACT training
+    multiset, the lineage answer "what data produced this model"),
+    plus the fitted model saved beside it when given. Returns the
+    run.json path. Works on any Hadoop-visible filesystem — the same
+    ``corpus_datacard`` pattern used for dataset artifacts.
+    """
+    import json
+
+    from .sources.writers import _hadoop_fs
+
+    payload = {
+        "params": params,
+        "metrics": metrics,
+        "data_checksum": data_checksum,
+    }
+    run_path = run_dir.rstrip("/") + "/run.json"
+    fs, p = _hadoop_fs(spark, run_path)
+    out = fs.create(p, True)
+    out.write(bytearray(json.dumps(payload, indent=2, default=str).encode()))
+    out.close()
+    if model is not None:
+        model.write().overwrite().save(run_dir.rstrip("/") + "/model")
+    return run_path
+
+
+def read_run(spark, run_dir: str) -> dict:
+    """Read back a ``log_run`` artifact (the roundtrip half)."""
+    import json
+
+    from .sources.writers import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, run_dir.rstrip("/") + "/run.json")
+    stream = fs.open(p)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
 def fit_evaluate(
     df: DataFrame,
     feature_cols: list[str],
@@ -80,6 +133,7 @@ def fit_evaluate(
     partition_by: str | list[str] | None = None,
     reg_param: float = 0.0,
     elastic_net_param: float = 0.0,
+    run_dir: str | None = None,
 ) -> dict[int, dict]:
     """Train and evaluate one LinearRegression per forecast horizon — the
     reference's AutoML workflow closed end-to-end (train/test date split,
@@ -96,6 +150,10 @@ def fit_evaluate(
 
     Returns ``{horizon: {"rmse": float, "coefficients": [...],
     "intercept": float, "n_train": int, "n_test": int}}``.
+
+    ``run_dir``: when given, persist a ``log_run`` artifact there —
+    params, per-horizon metrics, and a checksum of the input features —
+    completing the reference's MLflow-logging shape file-side.
 
     Scale note: each fit is one pass over the train side (WLS normal
     equations, feature count must be modest); the horizons loop reuses one
@@ -133,6 +191,27 @@ def fit_evaluate(
                 "n_train": train.count(),
                 "n_test": test.count(),
             }
+        if run_dir is not None:
+            from .reporting import corpus_checksum
+
+            log_run(
+                df.sparkSession,
+                run_dir,
+                params={
+                    "feature_cols": feature_cols,
+                    "value_col": value_col,
+                    "ts_col": ts_col,
+                    "split_point": str(split_point),
+                    "horizons": horizons,
+                    "partition_by": partition_by,
+                    "reg_param": reg_param,
+                    "elastic_net_param": elastic_net_param,
+                },
+                metrics={str(h): r for h, r in results.items()},
+                data_checksum=corpus_checksum(
+                    df, cols=[*feature_cols, value_col]
+                ),
+            )
         return results
     finally:
         base.unpersist()
@@ -146,6 +225,7 @@ def train_quality_classifier(
     use_idf: bool = False,
     reg_param: float = 0.0,
     max_iter: int = 50,
+    run_dir: str | None = None,
 ):
     """Train a fasttext-style linear quality classifier: hashed
     bag-of-tokens features → logistic regression — the standard
@@ -187,7 +267,32 @@ def train_quality_classifier(
             maxIter=max_iter,
         )
     )
-    return Pipeline(stages=stages).fit(df)
+    model = Pipeline(stages=stages).fit(df)
+    if run_dir is not None:
+        from .reporting import corpus_checksum
+
+        lr_model = model.stages[-1]
+        summary = lr_model.summary
+        log_run(
+            df.sparkSession,
+            run_dir,
+            params={
+                "label_col": label_col,
+                "text_col": text_col,
+                "num_features": num_features,
+                "use_idf": use_idf,
+                "reg_param": reg_param,
+                "max_iter": max_iter,
+            },
+            metrics={
+                "accuracy": float(summary.accuracy),
+                "area_under_roc": float(summary.areaUnderROC),
+                "n_train": df.count(),
+            },
+            data_checksum=corpus_checksum(df, cols=[text_col, label_col]),
+            model=model,
+        )
+    return model
 
 
 def score_quality(

@@ -658,8 +658,11 @@ def simhash_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # Hamming is a per-pair constant, so filtering BEFORE the dedup
+        # is identical — and shrinks the dedup shuffle to survivors only
+        # instead of shuffling every band-collision candidate.
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
 
@@ -693,9 +696,16 @@ def duplicate_components(
 
     from .iterate import iterate_until_fixpoint
 
+    from pyspark import StorageLevel
+
     fwd = pairs.select(F.col(id_a).alias("id"), F.col(id_b).alias("nbr"))
     rev = pairs.select(F.col(id_b).alias("id"), F.col(id_a).alias("nbr"))
-    edges = fwd.unionByName(rev).distinct()
+    # Persist the edge list: every fixpoint iteration joins against it,
+    # and without the persist each round re-evaluates the FULL upstream
+    # pair lineage (for minhash input that is the whole md5 signature
+    # pipeline — measured as the dominator of q74's 12 s gate wall).
+    # Edges are (id, nbr) longs only — MEMORY_AND_DISK is scale-honest.
+    edges = fwd.unionByName(rev).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     labels = edges.select("id").distinct().withColumn("component", F.col("id"))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
@@ -722,15 +732,20 @@ def duplicate_components(
             ).alias("component"),
         )
 
-    return iterate_until_fixpoint(
-        labels,
-        step,
-        max_iterations=max_iterations,
-        state_path=state_path,
-        metric=lambda df: df.agg(F.sum("component")).first()[0],
-        # a stale label set silently under-merges clusters — fail loudly
-        on_max="raise",
-    )
+    try:
+        return iterate_until_fixpoint(
+            labels,
+            step,
+            max_iterations=max_iterations,
+            state_path=state_path,
+            metric=lambda df: df.agg(F.sum("component")).first()[0],
+            # stale labels silently under-merge clusters — fail loudly
+            on_max="raise",
+        )
+    finally:
+        # safe: the returned state is parquet-materialized, its lineage
+        # no longer references the cached edges
+        edges.unpersist()
 
 
 def dedup_keep_canonical(

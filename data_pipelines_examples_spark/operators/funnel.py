@@ -83,7 +83,10 @@ def funnel_counts(
         "stack("
         + str(len(steps))
         + ", "
-        + ", ".join(f"{i}, '{s}', n_step_{i}" for i, s in enumerate(steps, start=1))
+        + ", ".join(
+            "{}, '{}', n_step_{}".format(i, s.replace("'", "''"), i)
+            for i, s in enumerate(steps, start=1)
+        )
         + ") as (step, event_type, n_keys)"
     )
 

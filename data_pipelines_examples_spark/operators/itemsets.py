@@ -26,6 +26,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _filtered_items(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None,
+) -> DataFrame:
+    """Distinct (basket, item) rows with over-sized baskets dropped —
+    the ONE basket population every downstream count must share.
+    ``association_metrics``'s confidence/lift denominators and
+    ``cooccurrence_pairs``'s numerators both derive from this
+    projection; computing them from different populations silently
+    understates both ratios whenever the size guard fires."""
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_basket_size is not None:
+        sizes = items.groupBy("__b").agg(F.count("*").alias("__n"))
+        ok = sizes.filter(F.col("__n") <= max_basket_size).select("__b")
+        items = items.join(ok, "__b", "left_semi")
+    return items
+
+
 def cooccurrence_pairs(
     df: DataFrame,
     basket_col: str,
@@ -38,13 +60,7 @@ def cooccurrence_pairs(
     deduplicate within a basket; pairs are emitted once with
     item_a < item_b.
     """
-    items = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
-    if max_basket_size is not None:
-        sizes = items.groupBy("__b").agg(F.count("*").alias("__n"))
-        ok = sizes.filter(F.col("__n") <= max_basket_size).select("__b")
-        items = items.join(ok, "__b", "left_semi")
+    items = _filtered_items(df, basket_col, item_col, max_basket_size)
     freq = (
         items.groupBy("__i")
         .agg(F.count("*").alias("__c"))
@@ -109,9 +125,9 @@ def association_metrics(
     pairs = cooccurrence_pairs(
         df, basket_col, item_col, min_support=min_support, max_basket_size=max_basket_size
     )
-    items = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    # Denominators MUST see the same basket population as n_both: reuse
+    # the size-guarded projection, not the raw (basket, item) set.
+    items = _filtered_items(df, basket_col, item_col, max_basket_size)
     item_n = items.groupBy("__i").agg(F.count("*").alias("__n"))
     totals = items.select("__b").distinct().agg(F.count("*").alias("__nb"))
     directed = pairs.selectExpr(

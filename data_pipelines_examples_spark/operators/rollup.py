@@ -92,12 +92,16 @@ def incremental_rollup(
     batch_tag: str | None = None,
 ) -> DataFrame:
     """Fold one delta into the persisted rollup at ``state_path`` and
-    atomically swap the new state in (staging + rename, the
+    swap the new state in via staging + rename-aside (the
     ``upsert_by_key`` discipline). Returns the new state DataFrame.
+    The swap is NOT atomic (HDFS rename is atomic per-rename but the
+    swap is two renames; object-store rename is copy+delete) — the
+    ordering guarantees a live state always exists at ``state_path`` or
+    at ``state_path__old``, and the ledger makes re-runs safe.
 
     Exactly-once: pass ``batch_tag`` (a batch/epoch id) and replays are
     NO-OPS — the tag ledger lives INSIDE the state directory and is
-    written into the staging dir BEFORE the atomic swap, so state and
+    written into the staging dir BEFORE the swap, so state and
     ledger can never disagree: a crash before the swap leaves both
     unapplied, after it leaves both applied. (A side-car ledger written
     after the swap would double-apply on a crash between the two.)
@@ -129,9 +133,21 @@ def incremental_rollup(
         out = fs.create(lp, True)
         out.write(bytearray(json.dumps(applied + [batch_tag]).encode()))
         out.close()
+    # Swap via rename-aside so a LIVE state always exists: a crash
+    # between steps leaves either the old state (recoverable by re-run)
+    # or the new state (+ a stale __old to garbage-collect) — never a
+    # window with NO state at state_path, which delete-then-rename had.
+    # Note: on object stores rename itself is copy+delete, not atomic;
+    # the ledger-inside-staging design is what guards exactly-once
+    # there, the swap ordering just minimizes the no-state window.
     fs, target = _hadoop_fs(spark, state_path)
-    fs.delete(target, True)
+    old = _hadoop_fs(spark, state_path.rstrip("/") + "__old")[1]
+    if fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(target):
+        fs.rename(target, old)
     fs.rename(_hadoop_fs(spark, staging)[1], target)
+    fs.delete(old, True)
     return spark.read.format(fmt).load(state_path)
 
 

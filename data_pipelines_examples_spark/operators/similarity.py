@@ -587,10 +587,21 @@ def recall_at_k(
     Scale shape: one semi-join on (query, neighbor) pairs + one groupBy
     query — ids only, never vectors."""
     if k is not None:
+        # Cutting to rank<=k requires a rank column on BOTH sides —
+        # fail with a clear message, not an analysis error deep in the
+        # plan, when a rank-less list is passed with k.
+        for side, name in ((approx, "approx"), (exact, "exact")):
+            if "rank" not in side.columns:
+                raise ValueError(
+                    f"recall_at_k(k={k}) needs a 'rank' column on the "
+                    f"{name} side; pass k=None for rank-less lists"
+                )
         approx = approx.filter(F.col("rank") <= k)
         exact = exact.filter(F.col("rank") <= k)
-    a = approx.select(query_id_col, id_col)
-    e = exact.select(query_id_col, id_col)
+    # distinct(): duplicate (query, id) rows would inflate n_exact and
+    # deflate recall — neighbor LISTS are sets per query by contract.
+    a = approx.select(query_id_col, id_col).distinct()
+    e = exact.select(query_id_col, id_col).distinct()
     hits = e.join(a, [query_id_col, id_col], "left_semi")
     n_e = e.groupBy(query_id_col).agg(F.count("*").alias("n_exact"))
     n_h = hits.groupBy(query_id_col).agg(F.count("*").alias("n_hit"))

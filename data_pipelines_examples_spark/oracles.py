@@ -467,7 +467,11 @@ def bm25_batch_sql(
     """Batch-BM25 replication: ``ranking.bm25_topk_batch`` with the query
     table pinned as VALUES — same score expression and DECIMAL rounding
     as ``bm25_sql``, ranked per query."""
-    values = ", ".join(f"({qid}, '{text}')" for qid, text in queries)
+    # Escape embedded single quotes: a query containing an apostrophe
+    # must not break the generated VALUES literal.
+    values = ", ".join(
+        "({}, '{}')".format(qid, text.replace("'", "''")) for qid, text in queries
+    )
     c_k1p1 = f"({k1 + 1.0!r}::DOUBLE)"
     c_k1 = f"({k1!r}::DOUBLE)"
     c_1mb = f"({1.0 - b!r}::DOUBLE)"

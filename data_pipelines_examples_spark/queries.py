@@ -129,17 +129,56 @@ def _load_all() -> None:
 # conditional-aggregate family, and q21 NTILE shares the graded q52
 # quantile family. All stay in the catalog, locally oracle-checked,
 # and pytest-pinned.
-# ROUND-5 ROTATION CANDIDATES (not yet retired — next round's call):
-# the session-2 surface q80-q100 (span dedup, SCD2/CDC/temporal,
-# weighted sample, snapshot diff, quarantine, winnowing, batch BM25,
-# fuzzy join, resample/gaps, contamination, budget selection, NFC,
-# checksum, co-purchase, pseudonymization) sits past the window, all
-# hash-verified at the local gate. Natural retirements to promote them:
-# q11 (sessionize — gaps-and-islands family graded via q03), q20 (lag
-# cascade ≈ graded q49 as-of family), q13 (exact dedup subsumed by the
-# graded q62 full pipeline), q16/q17 (band/wildcard rule joins — two
-# slots, one family), q29 (fiscal battery, pytest-heavy), q38 (null-safe
-# join ≈ q02 family).
+# ROUND-5 ROTATION — EXECUTED. The grading-window debt (round-4 verdict:
+# 56 of 106 entries the driver never saw) is paid by PROMOTING every
+# never-driver-graded oracled entry to the front of the catalog:
+# q77-q108 (the whole session-2 surface — span dedup, SCD2/CDC/temporal,
+# winnowing, batch BM25, fuzzy join, resample/gaps, contamination,
+# budget selection, NFC, checksum, analytics family) all carry local
+# hash-verification and now occupy graded slots. The 20 slots after
+# them go to the head of the classic catalog (q01-q24: flagship
+# interval collapse, salted join, JSON shred, ANN top-k, theta join —
+# one representative per foundational family). Entries sliding OUT of
+# the window (q29-q76 band) all have green driver rows in
+# CORRECTNESS_r04 — cumulative driver coverage after this round is the
+# entire oracled catalog. Window composition is pinned by
+# tests/test_grading_window.py.
+_PROMOTED = [
+    "q77_token_heavy_hitters",
+    "q78_bigram_surprisal",
+    "q79_dedup_corpus_lines",
+    "q80_duplicate_spans",
+    "q81_strip_duplicate_spans",
+    "q82_scd2_event_type_history",
+    "q83_apply_cdc_snapshot",
+    "q84_temporal_regime_join",
+    "q85_weighted_sample",
+    "q86_snapshot_diff_reconcile",
+    "q89_quarantine_orders",
+    "q90_winnowing_fingerprints",
+    "q91_bm25_batch_topk",
+    "q92_fuzzy_name_pairs",
+    "q93_hourly_resample_asof",
+    "q94_event_feed_gaps",
+    "q95_contamination_report",
+    "q96_budget_selection",
+    "q97_copurchase_pairs",
+    "q98_normalize_text",
+    "q99_corpus_checksum",
+    "q100_pseudonymized_order_counts",
+    "q101_event_funnel",
+    "q102_retention_cohorts",
+    "q103_ab_test_purchase_rate",
+    "q104_inverted_index",
+    "q105_revenue_share_of_region",
+    "q106_abc_customer_classes",
+    "q107_copurchase_rules",
+    "q108_event_transition_matrix",
+    # round-5 promotion (r4 verdict item 7): the binned interval join —
+    # at 100× the data it IS the overlap join users run, so the scale
+    # path itself deserves a hash-graded slot (oracle = the theta join).
+    "q109_overlap_join_binned",
+]
 _DEPRIORITIZED = [
     # Round-4 continued rotation — six more near-twins retire so the
     # window reaches the round-5 surface (q71-q76 promoted): q28's
@@ -185,9 +224,14 @@ _DEPRIORITIZED = [
 
 
 def _ordered(d: dict) -> dict:
-    head = {k: v for k, v in d.items() if k not in _DEPRIORITIZED}
+    front = {k: d[k] for k in _PROMOTED if k in d}
+    head = {
+        k: v
+        for k, v in d.items()
+        if k not in _DEPRIORITIZED and k not in front
+    }
     tail = {k: d[k] for k in _DEPRIORITIZED if k in d}
-    return {**head, **tail}
+    return {**front, **head, **tail}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -949,10 +949,19 @@ def q98_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(d, form="NFC")
 
 
+def _checksum_enc(col_expr: str) -> str:
+    """DuckDB mirror of corpus_checksum_frame's null-safe length-prefixed
+    column encoding: 'N' for NULL, else '<char_length>:<value>'."""
+    return (
+        f"CASE WHEN ({col_expr}) IS NULL THEN 'N' "
+        f"ELSE concat(CAST(length({col_expr}) AS VARCHAR), ':', {col_expr}) END"
+    )
+
+
 @query(
     "q99_corpus_checksum",
     f"""
-    SELECT CAST(bit_xor({sql_hash64("concat_ws(chr(31), CAST(doc_id AS VARCHAR), text, lang, source, CAST(n_chars AS VARCHAR))")}) AS BIGINT)
+    SELECT CAST(bit_xor({sql_hash64("concat_ws(chr(31), " + ", ".join(_checksum_enc(c) for c in ["CAST(doc_id AS VARCHAR)", "text", "lang", "source", "CAST(n_chars AS VARCHAR)"]) + ")")}) AS BIGINT)
              AS checksum_xor,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM documents
@@ -1319,3 +1328,52 @@ def q108_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.funnel import transition_matrix
 
     return transition_matrix(_t(spark, sf_dir, "events"), "user_id", "ts", "event_type")
+
+
+@query(
+    "q109_overlap_join_binned",
+    """
+    WITH iv AS (
+      SELECT o_custkey AS memnum, o_orderkey,
+             CAST(o_orderdate AS DATE) AS begindt,
+             CAST(o_orderdate AS DATE) + 30 AS enddt
+      FROM orders
+    )
+    SELECT a.memnum, COUNT(*) AS n_overlapping_pairs
+    FROM iv a JOIN iv b
+      ON a.memnum = b.memnum AND a.o_orderkey < b.o_orderkey
+     AND a.begindt <= b.enddt AND b.begindt <= a.enddt
+    GROUP BY a.memnum
+    """,
+)
+def q109_overlap_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH for interval-overlap joins (q23's theta join,
+    reference: overlap_query_no_recursive_cte_needed.sql:7-17), promoted
+    to its own hash-graded entry: intervals explode into 30-day time
+    bins and the join equi-matches on (key, bin), so a hot key's K²
+    per-reducer comparisons become co-binned pairs spread across the
+    time axis — at 100× data volume this IS the join users run. The
+    oracle is the plain theta join: identical answers is the claim.
+    Exactly-once without a dedup shuffle: each overlapping pair is
+    emitted only in the canonical bin of greatest(start_a, start_b)."""
+    from .operators.intervals import overlap_join_binned
+
+    o = _t(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("memnum"),
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("begindt"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("enddt"),
+    )
+    right = iv.select(
+        F.col("memnum").alias("memnum"),
+        F.col("o_orderkey").alias("ok2"),
+        F.col("begindt").alias("b2"),
+        F.col("enddt").alias("e2"),
+    )
+    joined = overlap_join_binned(
+        iv, right, "memnum", "begindt", "enddt", "b2", "e2", bin_days=30
+    ).filter(F.col("o_orderkey") < F.col("ok2"))
+    return joined.groupBy(iv["memnum"].alias("memnum")).agg(
+        F.count("*").alias("n_overlapping_pairs")
+    )

@@ -268,7 +268,21 @@ def corpus_checksum_frame(
     from .functions.hashing import hash64
 
     cols = cols or df.columns
-    struct = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    # Unambiguous row encoding for the portable path: concat_ws SKIPS
+    # null columns, so ('a', NULL) and (NULL, 'a') would hash
+    # identically, and a value containing the separator could alias a
+    # column boundary. Encode each column as 'N' when NULL, else
+    # '<char_length>:<value>' — the length prefix makes the joined
+    # string parse to exactly one tuple regardless of embedded
+    # separators, and the N sentinel distinguishes NULL from ''. The
+    # q99 oracle mirrors this encoding byte-for-byte in DuckDB SQL.
+    def _enc(c: str):
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s)
+        )
+
+    struct = F.concat_ws("\x1f", *[_enc(c) for c in cols])
     h = (
         F.xxhash64(*[F.col(c) for c in cols])
         if hash_how == "xxhash64"

@@ -223,3 +223,55 @@ def test_quality_classifier_generalizes_to_unseen(spark):
     model = train_quality_classifier(train, "label")
     got = {r["doc_id"]: r["quality_prob"] for r in score_quality(model, unseen).collect()}
     assert got[100] > 0.5 > got[101]
+
+
+def test_log_run_roundtrip_fit_evaluate(spark, tmp_path):
+    """Round-5 artifact: fit_evaluate(run_dir=...) persists a run.json
+    (params, per-horizon metrics, input checksum) that reads back
+    exactly — the file-based MLflow-run shape."""
+    from data_pipelines_examples_spark.ml import fit_evaluate, read_run
+    from data_pipelines_examples_spark.operators.windows import lag_features
+    from data_pipelines_examples_spark.reporting import corpus_checksum
+
+    df = spark.createDataFrame(
+        [(t, 3.0 + 0.5 * t) for t in range(60)], "t int, v double"
+    )
+    feats = lag_features(df, "v", "t", [1, 2])
+    run_dir = str(tmp_path / "run1")
+    res = fit_evaluate(feats, ["v", "v_lag1"], "v", "t", 45, run_dir=run_dir)
+    art = read_run(spark, run_dir)
+    assert art["params"]["feature_cols"] == ["v", "v_lag1"]
+    assert art["params"]["split_point"] == "45"
+    assert art["metrics"]["1"]["rmse"] == res[1]["rmse"]
+    assert art["data_checksum"] == corpus_checksum(feats, cols=["v", "v_lag1", "v"])
+
+
+def test_log_run_roundtrip_quality_classifier(spark, tmp_path):
+    """train_quality_classifier(run_dir=...) saves run.json AND a
+    reloadable PipelineModel whose scores match the in-memory model."""
+    from pyspark.ml import PipelineModel
+
+    from data_pipelines_examples_spark.ml import (
+        read_run,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    rows = [
+        (i, 1.0, f"thoughtful prose about careful analysis topic{i % 5}")
+        for i in range(20)
+    ] + [
+        (100 + i, 0.0, f"click here buy now free offer spam{i % 5}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, label double, text string")
+    run_dir = str(tmp_path / "run2")
+    model = train_quality_classifier(df, "label", run_dir=run_dir)
+    art = read_run(spark, run_dir)
+    assert art["metrics"]["n_train"] == 40
+    assert art["metrics"]["accuracy"] >= 0.95
+    assert isinstance(art["data_checksum"], int)
+    reloaded = PipelineModel.load(run_dir + "/model")
+    a = {r["doc_id"]: r["quality_prob"] for r in score_quality(model, df).collect()}
+    b = {r["doc_id"]: r["quality_prob"] for r in score_quality(reloaded, df).collect()}
+    assert a == b

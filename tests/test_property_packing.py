@@ -100,3 +100,48 @@ def test_chunk_documents_total_coverage(spark, n, max_tokens, overlap_frac):
         last = rows[-1]
         prev_end = rows[-2].chunk_id * stride + rows[-2].n_chunk_tokens
         assert last.chunk_id * stride + last.n_chunk_tokens > prev_end
+
+
+lens_strategy = st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=60)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lens=lens_strategy, bucket_width=st.sampled_from([8, 16]), batch_size=st.sampled_from([2, 4]))
+def test_length_bucketed_batches_invariants(spark, lens, bucket_width, batch_size):
+    """Loader-contract invariants for arbitrary length distributions:
+    every doc appears exactly once; a batch never mixes buckets or
+    shards; padding waste inside a batch is bounded by bucket_width;
+    batch positions are a dense 0..n-1 run; only the LAST batch of a
+    (bucket, shard) may be short."""
+    from data_pipelines_examples_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    rows = [(i, n) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = length_bucketed_batches(
+        df, bucket_width=bucket_width, batch_size=batch_size, shards=4
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(i for i, _ in rows)
+
+    batches = defaultdict(list)
+    for r in out:
+        assert r["bucket"] == r["n_tokens"] // bucket_width
+        assert r["shard"] == r["doc_id"] % 4
+        batches[(r["bucket"], r["shard"], r["batch_id"])].append(r)
+    for (bucket, shard, _bid), members in batches.items():
+        assert len(members) <= batch_size
+        toks = [m["n_tokens"] for m in members]
+        assert max(toks) - min(toks) < bucket_width  # padding bound
+        poss = sorted(m["pos"] for m in members)
+        assert poss == list(range(len(members)))     # dense positions
+    # short batches only at the tail of their (bucket, shard)
+    for (bucket, shard) in {(b, s) for b, s, _ in batches}:
+        bids = sorted(bid for bb, ss, bid in batches if (bb, ss) == (bucket, shard))
+        assert bids == list(range(len(bids)))
+        for bid in bids[:-1]:
+            assert len(batches[(bucket, shard, bid)]) == batch_size

@@ -1,0 +1,204 @@
+"""Round-5 regression pins: the winnowing quadratic fix, the simhash
+filter-before-dedup reorder, and all five ADVICE r4 findings
+(association denominators, checksum NULL encoding, rollup swap
+ordering, recall_at_k input validation, oracle-SQL quote escaping)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_df_equal
+
+
+# ---------------------------------------------------------------------------
+# winnowing: array path materializes hashes; exploded path agrees
+# ---------------------------------------------------------------------------
+
+def test_winnowing_paths_agree_on_edge_docs(spark):
+    from data_pipelines_examples_spark.operators.text import (
+        winnowing_fingerprints,
+        winnowing_fingerprints_exploded,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "short"),                    # < k chars: single clamped gram
+        (3, "exactly8"),                 # == k chars: one gram
+        (4, "ninechars"),                # k+1 chars: two grams, < w windows
+        (5, "aaaaaaaaaaaaaaaaaaaa"),     # repeated grams: distinct collapses
+        (6, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+        (7, "abcdefghijk"),              # n_grams == w: exactly one window
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = winnowing_fingerprints(df, k=8, w=4)
+    b = winnowing_fingerprints_exploded(df, k=8, w=4)
+    assert_df_equal(a, b)
+    # winnowing guarantee: identical docs share every fingerprint
+    fp1 = {r["fp"] for r in a.filter("doc_id = 1").collect()}
+    fp6 = {r["fp"] for r in a.filter("doc_id = 6").collect()}
+    assert fp1 == fp6 and fp1
+
+
+def test_winnowing_array_path_materializes_hashes(spark):
+    """The O(len²·w) regression guard: the gram-hash array MUST be
+    materialized into a column (`__winnow_h`) before the window-min
+    lambda references it — interpreted HOF lambdas do not CSE, so an
+    inline reference recomputes the full array per window position
+    (measured 125× slower at sf0.01)."""
+    from data_pipelines_examples_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame([(1, "abcdefghijklmnop")], "doc_id int, text string")
+    plan = winnowing_fingerprints(df)._jdf.queryExecution().analyzed().toString()
+    assert "__winnow_h" in plan
+
+
+# ---------------------------------------------------------------------------
+# association_metrics: denominators see the SAME basket population
+# ---------------------------------------------------------------------------
+
+def test_association_metrics_basket_guard_consistent(spark):
+    from data_pipelines_examples_spark.operators.itemsets import association_metrics
+
+    # basket 9 exceeds max_basket_size=3 and must vanish from BOTH the
+    # pair counts AND the confidence/lift denominators.
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (9, "a"), (9, "b"), (9, "c"), (9, "d"),
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_metrics(
+            df, "basket", "item", min_support=2, max_basket_size=3
+        ).collect()
+    }
+    ab = out[("a", "b")]
+    # with basket 9 excluded: a in 3 baskets, b in 2, both in 2, 3 baskets
+    assert ab["n_both"] == 2
+    assert ab["n_antecedent"] == 3, (
+        "denominator leaked the over-sized basket back in"
+    )
+    assert abs(ab["confidence"] - 2 / 3) < 1e-12
+    assert abs(ab["lift"] - (2 / 3) / (2 / 3)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# corpus_checksum portable path: NULL placement and separators distinguish
+# ---------------------------------------------------------------------------
+
+def test_corpus_checksum_portable_null_placement(spark):
+    from data_pipelines_examples_spark.reporting import corpus_checksum
+
+    t1 = spark.createDataFrame([("a", None)], "x string, y string")
+    t2 = spark.createDataFrame([(None, "a")], "x string, y string")
+    assert corpus_checksum(t1, hash_how="portable") != corpus_checksum(
+        t2, hash_how="portable"
+    )
+
+
+def test_corpus_checksum_portable_separator_and_empty(spark):
+    from data_pipelines_examples_spark.reporting import corpus_checksum
+
+    # a value CONTAINING the separator must not alias a column boundary
+    t1 = spark.createDataFrame([("x\x1f1y", "z")], "a string, b string")
+    t2 = spark.createDataFrame([("x", "1y\x1fz")], "a string, b string")
+    assert corpus_checksum(t1, hash_how="portable") != corpus_checksum(
+        t2, hash_how="portable"
+    )
+    # NULL vs empty string must differ
+    t3 = spark.createDataFrame([("", "z")], "a string, b string")
+    t4 = spark.createDataFrame([(None, "z")], "a string, b string")
+    assert corpus_checksum(t3, hash_how="portable") != corpus_checksum(
+        t4, hash_how="portable"
+    )
+
+
+def test_corpus_checksum_order_independent(spark):
+    from data_pipelines_examples_spark.reporting import corpus_checksum
+
+    rows = [("a", 1), ("b", 2), ("c", 3)]
+    t1 = spark.createDataFrame(rows, "x string, y int")
+    t2 = spark.createDataFrame(list(reversed(rows)), "x string, y int").repartition(3)
+    for how in ("portable", "xxhash64"):
+        assert corpus_checksum(t1, hash_how=how) == corpus_checksum(t2, hash_how=how)
+
+
+# ---------------------------------------------------------------------------
+# recall_at_k: rank-less input with k raises; duplicates don't inflate
+# ---------------------------------------------------------------------------
+
+def test_recall_at_k_rankless_with_k_raises(spark):
+    from data_pipelines_examples_spark.operators.similarity import recall_at_k
+
+    approx = spark.createDataFrame([(1, 10)], "query_id int, vec_id int")
+    exact = spark.createDataFrame([(1, 10)], "query_id int, vec_id int")
+    with pytest.raises(ValueError, match="rank"):
+        recall_at_k(approx, exact, k=5)
+    # rank-less without k works
+    row = recall_at_k(approx, exact).collect()[0]
+    assert row["recall"] == 1.0
+
+
+def test_recall_at_k_duplicates_do_not_skew(spark):
+    from data_pipelines_examples_spark.operators.similarity import recall_at_k
+
+    # (1,10) duplicated on the exact side: n_exact must be 2, not 3
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 20)], "query_id int, vec_id int"
+    )
+    approx = spark.createDataFrame([(1, 10), (1, 10)], "query_id int, vec_id int")
+    row = recall_at_k(approx, exact).collect()[0]
+    assert row["n_exact"] == 2 and row["n_hit"] == 1
+    assert abs(row["recall"] - 0.5) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL quoting: apostrophes in query text / step names
+# ---------------------------------------------------------------------------
+
+def test_bm25_batch_sql_escapes_quotes():
+    import duckdb
+
+    from data_pipelines_examples_spark.oracles import bm25_batch_sql
+
+    sql = bm25_batch_sql([(1, "o'brien's query")], table="d", id_col="doc_id")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT 1 AS doc_id, 'o''brien''s query text' AS text")
+    out = con.execute(sql).fetchall()
+    assert out  # parses and scores — the apostrophe did not break the literal
+
+
+def test_funnel_counts_step_name_with_quote(spark):
+    from data_pipelines_examples_spark.operators.funnel import funnel_counts
+
+    rows = [(1, "2024-01-01 00:00:00", "o'clock"), (1, "2024-01-01 01:00:00", "buy")]
+    df = spark.createDataFrame(rows, "uid int, ts string, event string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {r["event_type"]: r["n_keys"] for r in funnel_counts(
+        df, "uid", "ts", "event", ["o'clock", "buy"]
+    ).collect()}
+    assert out == {"o'clock": 1, "buy": 1}
+
+
+# ---------------------------------------------------------------------------
+# simhash_pairs: reorder kept semantics (filter before dedup)
+# ---------------------------------------------------------------------------
+
+def test_simhash_pairs_filter_before_dedup_same_answer(spark):
+    from data_pipelines_examples_spark.operators.dedup import simhash_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),
+        (3, "completely different text with nothing shared at all here ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = simhash_pairs(df, max_hamming=10).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in ids
+    assert all(r["hamming"] <= 10 for r in pairs)
+    assert len(pairs) == len(ids)  # deduped
