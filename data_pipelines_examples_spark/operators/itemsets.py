@@ -38,6 +38,8 @@ def _filtered_items(
     ``cooccurrence_pairs``'s numerators both derive from this
     projection; computing them from different populations silently
     understates both ratios whenever the size guard fires."""
+    from pyspark import StorageLevel
+
     items = df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
@@ -45,7 +47,13 @@ def _filtered_items(
         sizes = items.groupBy("__b").agg(F.count("*").alias("__n"))
         ok = sizes.filter(F.col("__n") <= max_basket_size).select("__b")
         items = items.join(ok, "__b", "left_semi")
-    return items
+    # Multi-consumer pattern (same as ranking.py's tf table): the
+    # frequency floor, the pair self-join's two sides, and (in
+    # association_metrics) the denominators all consume this projection,
+    # and Spark's exchange reuse does NOT collapse them — measured 8
+    # full source scans in q97's adaptive plan without the persist.
+    # (basket, item) pairs only — MEMORY_AND_DISK is scale-honest.
+    return items.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def cooccurrence_pairs(
@@ -61,6 +69,14 @@ def cooccurrence_pairs(
     item_a < item_b.
     """
     items = _filtered_items(df, basket_col, item_col, max_basket_size)
+    return _pairs_from_items(items, min_support)
+
+
+def _pairs_from_items(items: DataFrame, min_support: int) -> DataFrame:
+    """Pair counting over an already-filtered (__b, __i) projection —
+    shared by ``cooccurrence_pairs`` and ``association_metrics`` so the
+    latter persists ONE items frame for both pair counts and
+    denominators."""
     freq = (
         items.groupBy("__i")
         .agg(F.count("*").alias("__c"))
@@ -122,12 +138,12 @@ def association_metrics(
     Ratios divide exact integer counts, so both engines produce
     bit-identical doubles; n_baskets rides a 1-row broadcast.
     """
-    pairs = cooccurrence_pairs(
-        df, basket_col, item_col, min_support=min_support, max_basket_size=max_basket_size
-    )
-    # Denominators MUST see the same basket population as n_both: reuse
-    # the size-guarded projection, not the raw (basket, item) set.
+    # ONE persisted projection feeds the pair counts AND the
+    # denominators — both for shared-scan efficiency and because the
+    # denominators MUST see the same size-guarded basket population as
+    # n_both (mixing populations silently understates confidence/lift).
     items = _filtered_items(df, basket_col, item_col, max_basket_size)
+    pairs = _pairs_from_items(items, min_support)
     item_n = items.groupBy("__i").agg(F.count("*").alias("__n"))
     totals = items.select("__b").distinct().agg(F.count("*").alias("__nb"))
     directed = pairs.selectExpr(
