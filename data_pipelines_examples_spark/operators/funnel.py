@@ -36,13 +36,25 @@ def funnel_steps(
     steps_completed). Only keys that complete step 1 appear."""
     if not steps:
         raise ValueError("steps must be non-empty")
+    from pyspark import StorageLevel
+
+    # ONE narrow scan for the whole funnel: filter to the union of step
+    # types and project (key, ts, event) once, then each step filters
+    # the persisted frame. Without this every step re-scanned the full
+    # event source (k steps = k corpus scans at 100 TB); with it the
+    # cached frame is funnel-relevant events only — three columns.
+    base = (
+        df.filter(F.col(event_col).isin(steps))
+        .select(F.col(key_col), F.col(ts_col), F.col(event_col))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cur = (
-        df.filter(F.col(event_col) == steps[0])
+        base.filter(F.col(event_col) == steps[0])
         .groupBy(key_col)
         .agg(F.min(ts_col).alias("step_1_ts"))
     )
     for i, step in enumerate(steps[1:], start=2):
-        cand = df.filter(F.col(event_col) == step).select(
+        cand = base.filter(F.col(event_col) == step).select(
             F.col(key_col), F.col(ts_col).alias("__t")
         )
         nxt = (
