@@ -862,10 +862,16 @@ def strip_duplicate_spans(
     ever shuffled are (hash, id, start) triples, positions, and single
     tokens, never whole documents.
     """
+    from pyspark import StorageLevel
+
     df = ensure_parallelism(df)
+    # ws feeds the window pass AND the reassembly tokens; wins feeds the
+    # canonical groupBy AND the kill-list join — persist both or the
+    # corpus re-tokenizes and re-windows per consumer (3 source scans
+    # measured in the plan). wins is (id, pos, 8-byte hash) triples.
     ws = df.select(
         F.col(id_col), F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__ws")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     wins = ws.filter(F.size("__ws") >= k).select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(1), F.size("__ws") - (k - 1))).alias("__i"),
@@ -874,7 +880,7 @@ def strip_duplicate_spans(
         F.col(id_col),
         F.col("__i"),
         F.xxhash64(F.array_join(F.slice("__ws", F.col("__i"), k), " ")).alias("__h"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     canon = (
         wins.groupBy("__h")
         .agg(

@@ -117,14 +117,18 @@ def retention_cohorts(
     period_days)) keeps the bucketing exact and engine-independent —
     calendar weeks/months vary by engine and locale; a day grid doesn't.
 
-    Shape: one aggregate for first-seen, one key join back, one distinct
-    on (cohort, period, key), one count — all keyed shuffles; period 0
-    equals cohort size by construction, so the curve normalizes in SQL.
+    Shape: ONE narrow scan — first-seen is a window min over the key
+    (the same keyed shuffle the old groupBy+join-back needed, minus the
+    second scan and the join), then one distinct-count aggregation.
+    Period 0 equals cohort size by construction, so the curve
+    normalizes in SQL.
     """
-    first = df.groupBy(key_col).agg(F.min(F.to_date(ts_col)).alias("__c0"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col)
     activity = (
         df.select(F.col(key_col), F.to_date(ts_col).alias("__d"))
-        .join(first, key_col)
+        .withColumn("__c0", F.min("__d").over(w))
         .select(
             F.col(key_col),
             F.col("__c0").alias("cohort_start"),
@@ -132,7 +136,6 @@ def retention_cohorts(
             .cast("int")
             .alias("periods_since"),
         )
-        .distinct()
     )
     return activity.groupBy("cohort_start", "periods_since").agg(
         F.countDistinct(key_col).alias("n_active")

@@ -96,7 +96,8 @@ def filter_by_group_quantile(
     q: float,
     how: str = "approx",
     accuracy: int = 10000,
-) -> DataFrame:
+    return_threshold: bool = False,
+):
     """Keep rows at or above their group's ``q``-quantile of
     ``value_col`` — the per-source quality-floor step of corpus curation
     (e.g. keep each language's top half by quality score, so one noisy
@@ -109,17 +110,23 @@ def filter_by_group_quantile(
     ``percentile`` — per-group sort, only for oracle-checked parity
     (DuckDB ``quantile_cont`` matches it bit-for-bit on integer inputs,
     pinned by q52/q66).
+
+    ``return_threshold=True`` additionally returns the per-group
+    threshold table (group, __thr) so callers needing the thresholds
+    (reports, audit joins) don't recompute the quantile aggregate —
+    a second full source scan otherwise.
     """
     fn = "percentile" if how == "exact" else "percentile_approx"
     extra = "" if how == "exact" else f", {accuracy}"
     thr = df.groupBy(group_col).agg(
         F.expr(f"{fn}({value_col}, {q}{extra})").alias("__thr")
     )
-    return (
+    kept = (
         df.join(F.broadcast(thr), group_col)
         .filter(F.col(value_col) >= F.col("__thr"))
         .drop("__thr")
     )
+    return (kept, thr) if return_threshold else kept
 
 
 def cap_per_group(
@@ -317,13 +324,21 @@ def select_within_token_budget(
     oracle-graded equivalence) with reducer load bounded by the largest
     single quality level, not the corpus.
     """
+    from pyspark import StorageLevel
+
+    # lv feeds the level aggregation, the wholesale semi-join, and the
+    # boundary window; lev_cum feeds fits and boundary — persist both
+    # (lv is (id, quality, tokens) triples; lev_cum is level-cardinality
+    # rows) or the source re-scans per consumer (4 scans measured).
     lv = df.select(
         F.col(id_col), F.col(quality_col).alias("__q"), F.col(token_col).alias("__t")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     levels = lv.groupBy("__q").agg(F.sum("__t").alias("__lt"))
     wlev = Window.orderBy(F.col("__q").desc())
-    lev_cum = levels.withColumn("__cum", F.sum("__lt").over(wlev)).withColumn(
-        "__prev_cum", F.col("__cum") - F.col("__lt")
+    lev_cum = (
+        levels.withColumn("__cum", F.sum("__lt").over(wlev))
+        .withColumn("__prev_cum", F.col("__cum") - F.col("__lt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     fits = lev_cum.filter(F.col("__cum") <= budget).select("__q")
     boundary = (

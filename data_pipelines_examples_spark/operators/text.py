@@ -196,11 +196,22 @@ def unigram_surprisal(
     corpus vocabularies do) and averages per doc. Returns
     (id, n_tokens, mean_surprisal).
     """
+    from pyspark import StorageLevel
+
+    # Multi-consumer persists (the ranking.py tf pattern): the exploded
+    # token stream feeds the vocab aggregation AND the scoring join, and
+    # the vocab feeds the totals action AND the join — without the
+    # persists the corpus re-tokenizes per consumer and the vocab
+    # aggregation runs twice (4 source scans measured in the plan).
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__t"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    vocab = (
+        toks.groupBy("__t")
+        .agg(F.count("*").alias("__c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    vocab = toks.groupBy("__t").agg(F.count("*").alias("__c"))
     totals = vocab.agg(
         F.sum("__c").alias("__n"), F.count("*").alias("__v")
     ).first()
@@ -246,12 +257,22 @@ def bigram_surprisal(
             F.element_at(toks, i + 1).alias("c"),
         ),
     )
+    from pyspark import StorageLevel
+
+    # ex feeds the bigram-count chain AND the scoring join; c2 feeds
+    # c1, v, and the join — persist both or the corpus re-explodes per
+    # consumer (4 source scans measured). Same multi-consumer pattern
+    # as unigram_surprisal / ranking.py.
     ex = (
         df.filter(F.size(toks) >= 2)
         .select(F.col(id_col), F.explode(grams).alias("g"))
         .select(id_col, F.col("g.p").alias("__p"), F.col("g.c").alias("__c"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    c2 = (
+        ex.groupBy("__p", "__c")
+        .agg(F.count("*").alias("__n2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    c2 = ex.groupBy("__p", "__c").agg(F.count("*").alias("__n2"))
     c1 = c2.groupBy("__p").agg(F.sum("__n2").alias("__n1"))
     v = c2.agg(F.countDistinct("__c").alias("__vs"))
     k = float(smoothing)

@@ -141,8 +141,11 @@ def q66_quality_floor_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import filter_by_group_quantile
 
     d = _t(spark, sf_dir, "documents")
-    kept = filter_by_group_quantile(d, "lang", "n_chars", 0.5, how="exact")
-    thr = d.groupBy("lang").agg(F.expr("percentile(n_chars, 0.5)").alias("__thr"))
+    # return_threshold reuses the operator's own quantile table instead
+    # of re-aggregating the source a third time
+    kept, thr = filter_by_group_quantile(
+        d, "lang", "n_chars", 0.5, how="exact", return_threshold=True
+    )
     return (
         kept.join(F.broadcast(thr), "lang")
         .groupBy("lang")
