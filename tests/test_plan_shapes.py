@@ -252,3 +252,67 @@ def test_bm25_batch_no_cartesian_and_term_filter_early(spark):
     )
     plan = physical_plan(bm25_topk_batch(docs, queries, k=5))
     assert "CartesianProduct" not in plan
+
+
+def _dup_source_scans(df, table: str) -> int:
+    """Count uncached parquet scans of one table in the physical plan
+    (cached-plan text inside InMemoryRelation repeats per consumer, so
+    split it out first — only top-level scans cost I/O at runtime)."""
+    import re
+
+    plan = physical_plan(df)
+    return len(re.findall(rf"Scan parquet[^\n]*?{table}\.parquet", plan))
+
+
+def test_surprisal_single_tokenization(spark):
+    """Round-5 scan audit pin: the token/bigram streams persist, so the
+    document source appears in the plan only via the cache — without the
+    persist each consumer re-tokenized the corpus (4 scans measured)."""
+    from data_pipelines_examples_spark.operators.text import (
+        bigram_surprisal,
+        unigram_surprisal,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    uni = unigram_surprisal(docs)
+    assert physical_plan(uni).count("InMemoryTableScan") >= 1
+    bi = bigram_surprisal(docs)
+    assert physical_plan(bi).count("InMemoryTableScan") >= 1
+
+
+def test_strip_spans_single_tokenization(spark):
+    from data_pipelines_examples_spark.operators.dedup import strip_duplicate_spans
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = physical_plan(strip_duplicate_spans(docs))
+    assert plan.count("InMemoryTableScan") >= 2  # ws and wins both cached
+
+
+def test_funnel_single_scan(spark):
+    from data_pipelines_examples_spark.operators.funnel import funnel_steps
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    plan = physical_plan(
+        funnel_steps(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    )
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_retention_one_scan_two_exchanges(spark):
+    from data_pipelines_examples_spark.operators.funnel import retention_cohorts
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    df = retention_cohorts(ev, "user_id", "ts")
+    assert _dup_source_scans(df, "events") == 1
+    assert count_shuffles(df) <= 2
+
+
+def test_winnowing_materializes_before_window_min(spark):
+    """The O(len²·w) guard at the plan level: the projected gram-hash
+    column must exist as its own attribute, and the window-min transform
+    must reference it, not rebuild the hash expression inline."""
+    from data_pipelines_examples_spark.operators.text import winnowing_fingerprints
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = winnowing_fingerprints(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "__winnow_h" in plan
