@@ -37,8 +37,18 @@ from pyspark.sql import functions as F
 def heavy_hitters(df: DataFrame, key_col: str, k: int = 100) -> DataFrame:
     """Exact keys appearing more than n/k times: (key, cnt, frac),
     frac = cnt / n. Deterministic, oracle-replicable."""
-    counts = df.groupBy(key_col).agg(F.count("*").alias("cnt"))
-    total = df.agg(F.count("*").alias("__n"))
+    from pyspark import StorageLevel
+
+    # total derives from the counts table (sum of cnt == n), never from
+    # a second pass over the input — for an exploded token stream the
+    # old df.count() re-exploded the whole corpus. counts persists
+    # because the total aggregate and the filter both consume it.
+    counts = (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = counts.agg(F.sum("cnt").alias("__n"))
     return (
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * k > F.col("__n"))
