@@ -63,6 +63,14 @@ BENCH_QUERIES = [
     # recompute fixed this round (125×) stays visible here so it can
     # never silently regress.
     "q90_winnowing_fingerprints",
+    # analytics + scale-path families newly promoted into the graded
+    # window (round 5): perf visibility from the round they start being
+    # hash-graded — co-occurrence self-join, funnel join chain,
+    # retention window, binned interval join.
+    "q97_copurchase_pairs",
+    "q101_event_funnel",
+    "q102_retention_cohorts",
+    "q109_overlap_join_binned",
 ]
 
 
@@ -128,6 +136,10 @@ def main() -> None:
             for run in range(3):
                 if run == 2 and best is not None and best >= 1.0:
                     break
+                # Operators with internal multi-consumer persists would
+                # otherwise serve run 2+ from run 1's cache, timing the
+                # cached-read path instead of the full pipeline.
+                spark.catalog.clearCache()
                 t0 = time.time()
                 n = consume(qs[name](spark, sf_dir))
                 wall = time.time() - t0

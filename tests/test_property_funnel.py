@@ -86,3 +86,77 @@ def test_transition_matrix_row_stochastic(spark, rows):
         by_from[r["from_state"]] += r["probability"]
     for state, total in by_from.items():
         assert abs(total - 1.0) < 1e-9, f"row {state} sums to {total}"
+
+
+# ---------------------------------------------------------------------------
+# itemsets: exact pair tier vs a Python brute-force oracle, including the
+# basket-size guard applied to BOTH numerators and denominators
+# ---------------------------------------------------------------------------
+
+basket_stream = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),          # basket
+        st.sampled_from(["a", "b", "c", "d", "e"]),     # item
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def py_pairs(rows, min_support, max_basket):
+    from itertools import combinations
+
+    baskets = defaultdict(set)
+    for b, i in rows:
+        baskets[b].add(i)
+    if max_basket is not None:
+        baskets = {b: s for b, s in baskets.items() if len(s) <= max_basket}
+    # a-priori prune mirrors the operator but the final counts are what matter
+    cnt = defaultdict(int)
+    for s in baskets.values():
+        for x, y in combinations(sorted(s), 2):
+            cnt[(x, y)] += 1
+    return {p: c for p, c in cnt.items() if c >= min_support}
+
+
+@given(rows=basket_stream,
+       min_support=st.integers(min_value=1, max_value=3),
+       max_basket=st.sampled_from([None, 2, 3]))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cooccurrence_pairs_matches_bruteforce(spark, rows, min_support, max_basket):
+    from data_pipelines_examples_spark.operators.itemsets import cooccurrence_pairs
+
+    df = spark.createDataFrame(rows, "basket int, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in cooccurrence_pairs(
+            df, "basket", "item", min_support=min_support, max_basket_size=max_basket
+        ).collect()
+    }
+    assert got == py_pairs(rows, min_support, max_basket)
+
+
+@given(rows=basket_stream, max_basket=st.sampled_from([2, 3]))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_association_metrics_denominators_respect_guard(spark, rows, max_basket):
+    from data_pipelines_examples_spark.operators.itemsets import association_metrics
+
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = association_metrics(
+        df, "basket", "item", min_support=1, max_basket_size=max_basket
+    ).collect()
+    # recompute denominators over the SAME guarded population
+    baskets = defaultdict(set)
+    for b, i in rows:
+        baskets[b].add(i)
+    baskets = {b: s for b, s in baskets.items() if len(s) <= max_basket}
+    item_n = defaultdict(int)
+    for s in baskets.values():
+        for i in s:
+            item_n[i] += 1
+    nb = len(baskets)
+    for r in out:
+        assert r["n_antecedent"] == item_n[r["antecedent"]]
+        assert abs(r["confidence"] - r["n_both"] / r["n_antecedent"]) < 1e-12
+        expected_lift = (r["n_both"] / r["n_antecedent"]) / (item_n[r["consequent"]] / nb)
+        assert abs(r["lift"] - expected_lift) < 1e-12

@@ -68,6 +68,9 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
+            # keep entries independent: operators with internal persists
+            # must not serve (or charge) another entry's cache
+            spark.catalog.clearCache()
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
