@@ -198,6 +198,9 @@ def unigram_surprisal(
     """
     from pyspark import StorageLevel
 
+    from .balance import ensure_parallelism
+
+    df = ensure_parallelism(df)
     # Multi-consumer persists (the ranking.py tf pattern): the exploded
     # token stream feeds the vocab aggregation AND the scoring join, and
     # the vocab feeds the totals action AND the join — without the
@@ -259,6 +262,9 @@ def bigram_surprisal(
     )
     from pyspark import StorageLevel
 
+    from .balance import ensure_parallelism
+
+    df = ensure_parallelism(df)
     # ex feeds the bigram-count chain AND the scoring join; c2 feeds
     # c1, v, and the join — persist both or the corpus re-explodes per
     # consumer (4 source scans measured). Same multi-consumer pattern
@@ -328,7 +334,9 @@ def winnowing_fingerprints(
     pos-RANGE window min), which never builds a per-doc array at all.
     """
     from ..functions.hashing import hash64
+    from .balance import ensure_parallelism
 
+    df = ensure_parallelism(df)
     c = F.col(text_col)
     hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
@@ -370,7 +378,9 @@ def winnowing_fingerprints_exploded(
     from pyspark.sql import Window
 
     from ..functions.hashing import hash64
+    from .balance import ensure_parallelism
 
+    df = ensure_parallelism(df)
     c = F.col(text_col)
     grams = df.select(
         F.col(id_col),
