@@ -98,13 +98,22 @@ def log_run(
         "metrics": metrics,
         "data_checksum": data_checksum,
     }
-    run_path = run_dir.rstrip("/") + "/run.json"
-    fs, p = _hadoop_fs(spark, run_path)
-    out = fs.create(p, True)
-    out.write(bytearray(json.dumps(payload, indent=2, default=str).encode()))
-    out.close()
+    # model first, run.json last via staging+rename (the repo's
+    # upsert_by_key/incremental_rollup discipline): run.json is the
+    # artifact's commit marker — a crash mid-write leaves a .tmp file,
+    # never a truncated run.json, and run.json present ⇒ model present.
     if model is not None:
         model.write().overwrite().save(run_dir.rstrip("/") + "/model")
+    run_path = run_dir.rstrip("/") + "/run.json"
+    fs, p = _hadoop_fs(spark, run_path)
+    tmp = _hadoop_fs(spark, run_path + ".tmp")[1]
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps(payload, indent=2, default=str).encode()))
+    out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(f"log_run: rename failed: {tmp} -> {p}")
     return run_path
 
 
@@ -208,8 +217,12 @@ def fit_evaluate(
                     "elastic_net_param": elastic_net_param,
                 },
                 metrics={str(h): r for h, r in results.items()},
+                # checksum BASE, not df: base is the cached frame the
+                # models actually trained from (same feature/value
+                # multiset), so the scan is served from cache instead
+                # of re-running the raw input lineage end-to-end
                 data_checksum=corpus_checksum(
-                    df, cols=[*feature_cols, value_col]
+                    base, cols=[*feature_cols, value_col]
                 ),
             )
         return results

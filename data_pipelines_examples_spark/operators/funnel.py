@@ -86,20 +86,30 @@ def funnel_counts(
     ordered journey reached it (monotonically non-increasing by
     construction) — the conversion chart."""
     per_key = funnel_steps(df, key_col, ts_col, event_col, steps)
-    return per_key.agg(
-        *[
-            F.count(F.col(f"step_{i}_ts")).alias(f"n_step_{i}")
-            for i in range(1, len(steps) + 1)
-        ]
-    ).selectExpr(
-        "stack("
-        + str(len(steps))
-        + ", "
-        + ", ".join(
-            "{}, '{}', n_step_{}".format(i, s.replace("'", "''"), i)
-            for i, s in enumerate(steps, start=1)
+    # typed literals, not a spliced stack() selectExpr: step names are
+    # DATA (F.lit round-trips quotes, backslashes, anything), never SQL
+    # text — a name like "add'l \\ step" must not parse as syntax
+    unpivot = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("step"),
+                    F.lit(s).alias("event_type"),
+                    F.col(f"n_step_{i}").alias("n_keys"),
+                )
+                for i, s in enumerate(steps, start=1)
+            ]
         )
-        + ") as (step, event_type, n_keys)"
+    ).alias("__r")
+    return (
+        per_key.agg(
+            *[
+                F.count(F.col(f"step_{i}_ts")).alias(f"n_step_{i}")
+                for i in range(1, len(steps) + 1)
+            ]
+        )
+        .select(unpivot)
+        .select("__r.step", "__r.event_type", "__r.n_keys")
     )
 
 

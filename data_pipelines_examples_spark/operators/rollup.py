@@ -63,6 +63,29 @@ def merge_rollups(
 _LEDGER = "_applied_batches.json"
 
 
+def _checked_rename(fs, src, dst, what: str) -> None:
+    """Hadoop FileSystem.rename reports failure by returning False, not
+    raising — an unchecked call can fall through to deleting the only
+    surviving state copy. Fail loudly instead."""
+    if not fs.rename(src, dst):
+        raise IOError(f"rollup state swap: rename failed ({what}): {src} -> {dst}")
+
+
+def _recover_interrupted_swap(spark, state_path: str) -> None:
+    """Complete a swap that crashed between its two renames: if nothing
+    lives at ``state_path`` but ``state_path__old`` exists, the previous
+    run renamed the state aside and died before installing the staging
+    dir — restore the old state so the re-run merges against FULL
+    history instead of silently rebuilding from one delta (and then
+    deleting the only surviving copy at swap time)."""
+    from ..sources.writers import _hadoop_fs
+
+    fs, target = _hadoop_fs(spark, state_path)
+    old = _hadoop_fs(spark, state_path.rstrip("/") + "__old")[1]
+    if not fs.exists(target) and fs.exists(old):
+        _checked_rename(fs, old, target, "crash recovery: restore __old")
+
+
 def _read_ledger(spark, state_path: str) -> list[str]:
     import json
 
@@ -97,7 +120,11 @@ def incremental_rollup(
     The swap is NOT atomic (HDFS rename is atomic per-rename but the
     swap is two renames; object-store rename is copy+delete) — the
     ordering guarantees a live state always exists at ``state_path`` or
-    at ``state_path__old``, and the ledger makes re-runs safe.
+    at ``state_path__old``, every call first restores an interrupted
+    swap's ``__old`` copy before reading anything (so a crash between
+    the renames loses nothing), rename failures raise instead of
+    falling through (Hadoop rename reports failure by returning False),
+    and the ledger makes re-runs safe.
 
     Exactly-once: pass ``batch_tag`` (a batch/epoch id) and replays are
     NO-OPS — the tag ledger lives INSIDE the state directory and is
@@ -117,6 +144,7 @@ def incremental_rollup(
 
     from ..sources.writers import _hadoop_fs, _path_exists
 
+    _recover_interrupted_swap(spark, state_path)
     applied = _read_ledger(spark, state_path) if batch_tag is not None else []
     if batch_tag is not None and batch_tag in applied:
         return spark.read.format(fmt).load(state_path)
@@ -144,9 +172,17 @@ def incremental_rollup(
     old = _hadoop_fs(spark, state_path.rstrip("/") + "__old")[1]
     if fs.exists(old):
         fs.delete(old, True)
-    if fs.exists(target):
-        fs.rename(target, old)
-    fs.rename(_hadoop_fs(spark, staging)[1], target)
+    had_state = fs.exists(target)
+    if had_state:
+        _checked_rename(fs, target, old, "state aside")
+    try:
+        _checked_rename(fs, _hadoop_fs(spark, staging)[1], target, "install staging")
+    except IOError:
+        # best-effort rollback so a live state remains at state_path;
+        # _recover_interrupted_swap handles the case where this also fails
+        if had_state:
+            fs.rename(old, target)
+        raise
     fs.delete(old, True)
     return spark.read.format(fmt).load(state_path)
 

@@ -283,8 +283,13 @@ def corpus_checksum_frame(
         )
 
     struct = F.concat_ws("\x1f", *[_enc(c) for c in cols])
+    # The fast path needs the same disambiguation: xxhash64 SKIPS null
+    # inputs (the fold leaves the running seed unchanged), so
+    # xxhash64('a', NULL) == xxhash64(NULL, 'a') — interleaving each
+    # column with its isNull flag puts the null POSITION into the hash
+    # stream, so rows differing only in null placement can't alias.
     h = (
-        F.xxhash64(*[F.col(c) for c in cols])
+        F.xxhash64(*[x for c in cols for x in (F.col(c), F.col(c).isNull())])
         if hash_how == "xxhash64"
         else hash64(struct, how="portable")
     )

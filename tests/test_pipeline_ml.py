@@ -243,7 +243,16 @@ def test_log_run_roundtrip_fit_evaluate(spark, tmp_path):
     assert art["params"]["feature_cols"] == ["v", "v_lag1"]
     assert art["params"]["split_point"] == "45"
     assert art["metrics"]["1"]["rmse"] == res[1]["rmse"]
-    assert art["data_checksum"] == corpus_checksum(feats, cols=["v", "v_lag1", "v"])
+    # the checksum ties the run to the frame the models ACTUALLY trained
+    # from: post assemble_features null-drop (lag features are null at
+    # the series head), not the raw input
+    from data_pipelines_examples_spark.ml import assemble_features
+
+    trained_frame = assemble_features(feats, ["v", "v_lag1"])
+    assert art["data_checksum"] == corpus_checksum(
+        trained_frame, cols=["v", "v_lag1", "v"]
+    )
+    assert art["data_checksum"] != corpus_checksum(feats, cols=["v", "v_lag1", "v"])
 
 
 def test_log_run_roundtrip_quality_classifier(spark, tmp_path):

@@ -266,3 +266,25 @@ def test_corpus_checksum_order_independent_and_sensitive(spark):
     assert corpus_checksum(df, hash_how="portable") == corpus_checksum(
         df.repartition(3), hash_how="portable"
     )
+
+
+def test_corpus_checksum_null_placement_sensitive_both_paths(spark):
+    """xxhash64 skips NULL inputs (the fold keeps the running seed), so
+    without the isNull interleave ('a', NULL) and (NULL, 'a') hashed
+    identically — a value sliding into an adjacent NULL column passed
+    the migration check. Both hash paths must distinguish them."""
+    from data_pipelines_examples_spark.reporting import corpus_checksum
+
+    a = spark.createDataFrame([("a", None)], "c1 string, c2 string")
+    b = spark.createDataFrame([(None, "a")], "c1 string, c2 string")
+    for how in ("xxhash64", "portable"):
+        assert corpus_checksum(a, hash_how=how) != corpus_checksum(
+            b, hash_how=how
+        ), how
+    # NULL vs empty string must also differ (the 'N' sentinel / flag)
+    c = spark.createDataFrame([("", "x")], "c1 string, c2 string")
+    d = spark.createDataFrame([(None, "x")], "c1 string, c2 string")
+    for how in ("xxhash64", "portable"):
+        assert corpus_checksum(c, hash_how=how) != corpus_checksum(
+            d, hash_how=how
+        ), how

@@ -288,3 +288,49 @@ def test_transition_matrix_analytic(spark):
     assert out[("b", "a")] == (1, 1.0)
     # rows are within-user only: no cross-user transition u1->u2
     assert sum(n for n, _ in out.values()) == 4
+
+
+def test_incremental_rollup_recovers_interrupted_swap(spark, tmp_path):
+    """Crash window between the two swap renames: the state was renamed
+    aside to __old and the staging install never ran. The re-run must
+    restore the full history, NOT rebuild from the lone delta and then
+    delete the only surviving copy (the silent-data-loss path this
+    regression pins)."""
+    import shutil
+
+    path = str(tmp_path / "rollup")
+    d1 = _day(spark, [("a", 1.0), ("b", 10.0)])
+    d2 = _day(spark, [("a", 4.0)])
+    incremental_rollup(spark, path, d1, ["k"], AGGS, batch_tag="b1")
+    # simulate the crash: state renamed aside, install never happened
+    shutil.move(path, path + "__old")
+    state = incremental_rollup(spark, path, d2, ["k"], AGGS, batch_tag="b2")
+    got = {r["k"]: r["revenue"] for r in state.collect()}
+    assert got == {"a": 5.0, "b": 10.0}  # history survived
+    # ledger recovered too: replaying either batch is a no-op
+    state = incremental_rollup(spark, path, d1, ["k"], AGGS, batch_tag="b1")
+    got = {r["k"]: r["revenue"] for r in state.collect()}
+    assert got == {"a": 5.0, "b": 10.0}
+
+
+def test_incremental_rollup_failed_rename_raises_not_deletes(spark, tmp_path):
+    """A failed staging->target rename must raise, never fall through to
+    deleting the renamed-aside previous state (Hadoop rename reports
+    failure by returning False)."""
+    from data_pipelines_examples_spark.operators.rollup import _checked_rename
+    from data_pipelines_examples_spark.sources.writers import _hadoop_fs
+
+    fs, missing = _hadoop_fs(spark, str(tmp_path / "does_not_exist"))
+    dst = _hadoop_fs(spark, str(tmp_path / "dst"))[1]
+    # local FS raises Java-side for a missing source; HDFS/object-store
+    # implementations return False instead — _checked_rename turns that
+    # into IOError. Either way the call must raise, never fall through.
+    with pytest.raises(Exception):
+        _checked_rename(fs, missing, dst, "install staging")
+    # the return-False path specifically maps to IOError
+    class _FalseFS:
+        def rename(self, a, b):
+            return False
+
+    with pytest.raises(IOError, match="rename failed"):
+        _checked_rename(_FalseFS(), missing, dst, "install staging")

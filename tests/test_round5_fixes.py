@@ -184,6 +184,28 @@ def test_funnel_counts_step_name_with_quote(spark):
     assert out == {"o'clock": 1, "buy": 1}
 
 
+def test_funnel_counts_step_name_with_backslash_and_newline(spark):
+    """Step names are data, not SQL text: the spliced stack() selectExpr
+    broke on a trailing backslash (escaped the closing quote) and
+    silently rewrote '\\n' into a newline. Typed literals round-trip
+    both verbatim."""
+    from data_pipelines_examples_spark.operators.funnel import funnel_counts
+
+    weird = ["a\\", "b\\nlit", "buy"]
+    rows = [
+        (1, "2024-01-01 00:00:00", weird[0]),
+        (1, "2024-01-01 01:00:00", weird[1]),
+        (1, "2024-01-01 02:00:00", weird[2]),
+    ]
+    df = spark.createDataFrame(rows, "uid int, ts string, event string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {r["event_type"]: r["n_keys"] for r in funnel_counts(
+        df, "uid", "ts", "event", weird
+    ).collect()}
+    assert out == {w: 1 for w in weird}
+
+
 # ---------------------------------------------------------------------------
 # simhash_pairs: reorder kept semantics (filter before dedup)
 # ---------------------------------------------------------------------------
