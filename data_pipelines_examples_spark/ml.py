@@ -83,8 +83,9 @@ def log_run(
     (notebooks/databricks/python/mlflow_pymatch_single_node.py:268-325
     logs params/metrics/model to a tracking server): a ``run.json``
     holding params, metrics, and an optional input-data checksum
-    (``reporting.corpus_checksum`` — ties the run to the EXACT training
-    multiset, the lineage answer "what data produced this model"),
+    (``reporting.corpus_checksum`` — anchors the run to the exact input
+    frame training derived from; together with the split/horizon params
+    it answers the lineage question "what data produced this model"),
     plus the fitted model saved beside it when given. Returns the
     run.json path. Works on any Hadoop-visible filesystem — the same
     ``corpus_datacard`` pattern used for dataset artifacts.
@@ -101,7 +102,10 @@ def log_run(
     # model first, run.json last via staging+rename (the repo's
     # upsert_by_key/incremental_rollup discipline): run.json is the
     # artifact's commit marker — a crash mid-write leaves a .tmp file,
-    # never a truncated run.json, and run.json present ⇒ model present.
+    # never a truncated run.json; on a FRESH run_dir run.json present ⇒
+    # model present. Re-logging the same dir can transiently pair the
+    # previous marker with a newer model until the install lands — use
+    # one run_dir per run (the MLflow convention) where that matters.
     if model is not None:
         model.write().overwrite().save(run_dir.rstrip("/") + "/model")
     run_path = run_dir.rstrip("/") + "/run.json"
@@ -110,20 +114,35 @@ def log_run(
     out = fs.create(tmp, True)
     out.write(bytearray(json.dumps(payload, indent=2, default=str).encode()))
     out.close()
-    if fs.exists(p):
-        fs.delete(p, False)
+    # re-log into an existing run_dir must not destroy the previous
+    # marker before the new one is in place: park it at .old (read_run
+    # falls back to it), install, then drop the parked copy
+    old = _hadoop_fs(spark, run_path + ".old")[1]
+    if fs.exists(old):
+        fs.delete(old, False)
+    if fs.exists(p) and not fs.rename(p, old):
+        raise IOError(f"log_run: rename failed: {p} -> {old}")
     if not fs.rename(tmp, p):
+        fs.rename(old, p)  # best-effort rollback
         raise IOError(f"log_run: rename failed: {tmp} -> {p}")
+    if fs.exists(old):
+        fs.delete(old, False)
     return run_path
 
 
 def read_run(spark, run_dir: str) -> dict:
-    """Read back a ``log_run`` artifact (the roundtrip half)."""
+    """Read back a ``log_run`` artifact (the roundtrip half). Falls back
+    to ``run.json.old`` when a re-log crashed after parking the previous
+    marker — the last COMPLETE run is always readable."""
     import json
 
     from .sources.writers import _hadoop_fs
 
     fs, p = _hadoop_fs(spark, run_dir.rstrip("/") + "/run.json")
+    if not fs.exists(p):
+        fallback = _hadoop_fs(spark, run_dir.rstrip("/") + "/run.json.old")[1]
+        if fs.exists(fallback):
+            p = fallback
     stream = fs.open(p)
     try:
         text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
@@ -217,10 +236,12 @@ def fit_evaluate(
                     "elastic_net_param": elastic_net_param,
                 },
                 metrics={str(h): r for h, r in results.items()},
-                # checksum BASE, not df: base is the cached frame the
-                # models actually trained from (same feature/value
-                # multiset), so the scan is served from cache instead
-                # of re-running the raw input lineage end-to-end
+                # checksum BASE, not df: the cached post-null-drop
+                # feature frame every horizon trains FROM (each model
+                # additionally label-drops its horizon tail and splits
+                # at split_point — those are pinned by the params, not
+                # the checksum), served from cache instead of re-running
+                # the raw input lineage end-to-end
                 data_checksum=corpus_checksum(
                     base, cols=[*feature_cols, value_col]
                 ),

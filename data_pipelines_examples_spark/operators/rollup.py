@@ -62,28 +62,14 @@ def merge_rollups(
 
 _LEDGER = "_applied_batches.json"
 
-
-def _checked_rename(fs, src, dst, what: str) -> None:
-    """Hadoop FileSystem.rename reports failure by returning False, not
-    raising — an unchecked call can fall through to deleting the only
-    surviving state copy. Fail loudly instead."""
-    if not fs.rename(src, dst):
-        raise IOError(f"rollup state swap: rename failed ({what}): {src} -> {dst}")
-
-
-def _recover_interrupted_swap(spark, state_path: str) -> None:
-    """Complete a swap that crashed between its two renames: if nothing
-    lives at ``state_path`` but ``state_path__old`` exists, the previous
-    run renamed the state aside and died before installing the staging
-    dir — restore the old state so the re-run merges against FULL
-    history instead of silently rebuilding from one delta (and then
-    deleting the only surviving copy at swap time)."""
-    from ..sources.writers import _hadoop_fs
-
-    fs, target = _hadoop_fs(spark, state_path)
-    old = _hadoop_fs(spark, state_path.rstrip("/") + "__old")[1]
-    if not fs.exists(target) and fs.exists(old):
-        _checked_rename(fs, old, target, "crash recovery: restore __old")
+# shared swap discipline (rename-aside, checked renames, crash recovery)
+# lives in sources.writers next to _hadoop_fs — upsert_by_key and
+# compact_path use the same helpers
+from ..sources.writers import (  # noqa: E402
+    _checked_rename,
+    _recover_interrupted_swap,
+    _swap_into_place,
+)
 
 
 def _read_ledger(spark, state_path: str) -> list[str]:
@@ -118,13 +104,17 @@ def incremental_rollup(
     swap the new state in via staging + rename-aside (the
     ``upsert_by_key`` discipline). Returns the new state DataFrame.
     The swap is NOT atomic (HDFS rename is atomic per-rename but the
-    swap is two renames; object-store rename is copy+delete) — the
-    ordering guarantees a live state always exists at ``state_path`` or
-    at ``state_path__old``, every call first restores an interrupted
-    swap's ``__old`` copy before reading anything (so a crash between
-    the renames loses nothing), rename failures raise instead of
-    falling through (Hadoop rename reports failure by returning False),
-    and the ledger makes re-runs safe.
+    swap is two renames) — the ordering guarantees a complete state
+    always exists at ``state_path`` or at ``state_path__old``: every
+    call first restores an interrupted swap's ``__old`` copy before
+    reading anything, rename failures raise instead of falling through
+    (Hadoop rename reports failure by returning False), and ``__old``
+    is deleted only after a validation read of the installed state.
+    Caveat: object-store rename is copy+delete, so a mid-install crash
+    can leave a PARTIAL target that recovery cannot distinguish from a
+    complete one — the validation read is the detection backstop there;
+    true object-store atomicity needs a table format (Delta/Iceberg).
+    The ledger makes re-runs safe either way.
 
     Exactly-once: pass ``batch_tag`` (a batch/epoch id) and replays are
     NO-OPS — the tag ledger lives INSIDE the state directory and is
@@ -161,30 +151,15 @@ def incremental_rollup(
         out = fs.create(lp, True)
         out.write(bytearray(json.dumps(applied + [batch_tag]).encode()))
         out.close()
-    # Swap via rename-aside so a LIVE state always exists: a crash
-    # between steps leaves either the old state (recoverable by re-run)
-    # or the new state (+ a stale __old to garbage-collect) — never a
-    # window with NO state at state_path, which delete-then-rename had.
-    # Note: on object stores rename itself is copy+delete, not atomic;
-    # the ledger-inside-staging design is what guards exactly-once
-    # there, the swap ordering just minimizes the no-state window.
-    fs, target = _hadoop_fs(spark, state_path)
-    old = _hadoop_fs(spark, state_path.rstrip("/") + "__old")[1]
-    if fs.exists(old):
-        fs.delete(old, True)
-    had_state = fs.exists(target)
-    if had_state:
-        _checked_rename(fs, target, old, "state aside")
-    try:
-        _checked_rename(fs, _hadoop_fs(spark, staging)[1], target, "install staging")
-    except IOError:
-        # best-effort rollback so a live state remains at state_path;
-        # _recover_interrupted_swap handles the case where this also fails
-        if had_state:
-            fs.rename(old, target)
-        raise
+    # Rename-aside swap (shared writers discipline): the validation read
+    # below resolves footers over the installed state BEFORE the parked
+    # previous copy is deleted, so even an object-store partial install
+    # (rename = copy+delete there) fails the read while __old still
+    # holds a complete copy.
+    fs, old = _swap_into_place(spark, staging, state_path)
+    result = spark.read.format(fmt).load(state_path)
     fs.delete(old, True)
-    return spark.read.format(fmt).load(state_path)
+    return result
 
 
 def stream_incremental_rollup(

@@ -41,6 +41,57 @@ def _path_exists(spark, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+_OLD_SUFFIX = "__old"
+
+
+def _checked_rename(fs, src, dst, what: str) -> None:
+    """Hadoop FileSystem.rename reports failure by returning False, not
+    raising — an unchecked call after a delete can fall through with the
+    only state copy gone. Every swap site must fail loudly instead."""
+    if not fs.rename(src, dst):
+        raise IOError(f"state swap: rename failed ({what}): {src} -> {dst}")
+
+
+def _recover_interrupted_swap(spark, target_path: str) -> None:
+    """Complete a ``_swap_into_place`` that crashed between its renames:
+    nothing at ``target_path`` but ``target_path__old`` present means the
+    previous run renamed the live state aside and died before installing
+    staging — restore it, so callers that treat a missing target as
+    "fresh" (upsert_by_key, incremental_rollup) merge against FULL
+    history instead of rebuilding from one delta."""
+    fs, target = _hadoop_fs(spark, target_path)
+    old = _hadoop_fs(spark, target_path.rstrip("/") + _OLD_SUFFIX)[1]
+    if not fs.exists(target) and fs.exists(old):
+        _checked_rename(fs, old, target, "crash recovery: restore __old")
+
+
+def _swap_into_place(spark, staging_path: str, target_path: str):
+    """Rename-aside swap: park the live target at ``__old``, install the
+    staging dir, and RETURN the parked path's (fs, jpath) for the caller
+    to delete only after it has validated the installed state (a read
+    that resolves footers) — so every crash window leaves a complete
+    copy at target or ``__old``. Renames raise on failure; a failed
+    install is rolled back best-effort. Single-filesystem rename is
+    atomic per the HDFS contract; on object stores rename is copy+delete
+    and a mid-install crash can leave a PARTIAL target — there, a table
+    format (Delta/Iceberg) or a manifest-commit layer is the real
+    answer; callers' validation read is the detection backstop."""
+    fs, target = _hadoop_fs(spark, target_path)
+    old = _hadoop_fs(spark, target_path.rstrip("/") + _OLD_SUFFIX)[1]
+    if fs.exists(old):
+        fs.delete(old, True)
+    had_state = fs.exists(target)
+    if had_state:
+        _checked_rename(fs, target, old, "state aside")
+    try:
+        _checked_rename(fs, _hadoop_fs(spark, staging_path)[1], target, "install staging")
+    except IOError:
+        if had_state:
+            fs.rename(old, target)  # best-effort rollback; recovery covers the rest
+        raise
+    return fs, old
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -148,7 +199,9 @@ def upsert_by_key(
     # Only a genuinely-missing path means "first write". A read error or a
     # schema mismatch on an EXISTING target must raise here — the old
     # broad except silently set merged=updates and the delete below then
-    # destroyed the prior state.
+    # destroyed the prior state. A swap interrupted mid-rename is
+    # restored first for the same reason.
+    _recover_interrupted_swap(spark, path)
     if _path_exists(spark, path):
         prev = spark.read.format(fmt).load(path)
         merged = prev.unionByName(updates, allowMissingColumns=False)
@@ -160,10 +213,11 @@ def upsert_by_key(
     # state to a staging path, then swap with a filesystem rename.
     staging = path.rstrip("/") + "__staging"
     latest.write.format(fmt).mode("overwrite").save(staging)
-    fs, target = _hadoop_fs(spark, path)
-    fs.delete(target, True)
-    fs.rename(_hadoop_fs(spark, staging)[1], target)
-    return spark.read.format(fmt).load(path).count()
+    fs, old = _swap_into_place(spark, staging, path)
+    # the count IS the validation read — only then drop the parked copy
+    n = spark.read.format(fmt).load(path).count()
+    fs.delete(old, True)
+    return n
 
 
 def compact_path(
@@ -189,6 +243,7 @@ def compact_path(
 
     Returns {"files_before", "files_after", "rows", "bytes"}.
     """
+    _recover_interrupted_swap(spark, path)
     fs, target = _hadoop_fs(spark, path)
     before, total_bytes = 0, 0
     it = fs.listFiles(target, True)
@@ -214,13 +269,15 @@ def compact_path(
         out = df.repartition(n_files)
         writer = out.write.format(fmt).mode("overwrite")
     writer.save(staging)
-    fs.delete(target, True)
-    fs.rename(_hadoop_fs(spark, staging)[1], target)
+    fs, old = _swap_into_place(spark, staging, path)
+    # the post-swap listing is the validation read; only then drop the
+    # parked previous layout
     after = 0
     it = fs.listFiles(target, True)
     while it.hasNext():
         if not it.next().getPath().getName().startswith(("_", ".")):
             after += 1
+    fs.delete(old, True)
     return {
         "files_before": before,
         "files_after": after,

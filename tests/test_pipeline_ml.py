@@ -284,3 +284,20 @@ def test_log_run_roundtrip_quality_classifier(spark, tmp_path):
     a = {r["doc_id"]: r["quality_prob"] for r in score_quality(model, df).collect()}
     b = {r["doc_id"]: r["quality_prob"] for r in score_quality(reloaded, df).collect()}
     assert a == b
+
+
+def test_log_run_relog_and_crash_fallback(spark, tmp_path):
+    """Re-logging the same run_dir replaces the marker atomically, and a
+    crash that parked the previous marker (run.json.old present,
+    run.json absent) still reads back the last COMPLETE run."""
+    import shutil
+
+    from data_pipelines_examples_spark.ml import log_run, read_run
+
+    run_dir = str(tmp_path / "run")
+    log_run(spark, run_dir, {"p": 1}, {"rmse": 0.5})
+    log_run(spark, run_dir, {"p": 2}, {"rmse": 0.4})  # re-log, no crash
+    assert read_run(spark, run_dir)["params"]["p"] == 2
+    # simulate the crash window: marker parked, install never happened
+    shutil.move(run_dir + "/run.json", run_dir + "/run.json.old")
+    assert read_run(spark, run_dir)["params"]["p"] == 2

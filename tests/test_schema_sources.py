@@ -312,3 +312,37 @@ def test_read_jsonl_quarantine_routes_corrupt_lines(spark, tmp_path):
     assert good.columns == ["id", "v"]
     raws = sorted(r["raw_line"] for r in bad.collect())
     assert raws == ["this is not json at all", '{"id": "NOT_A_NUMBER", "v": "c"}']
+
+
+def test_upsert_by_key_recovers_interrupted_swap(spark, tmp_path):
+    """Crash window between the swap's two renames: state parked at
+    __old, staging never installed. The next upsert must restore and
+    merge against FULL history — not treat the missing target as a
+    first write (which would then delete the only surviving copy)."""
+    import shutil
+
+    from data_pipelines_examples_spark.sources.writers import upsert_by_key
+
+    path = str(tmp_path / "state")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "k int, v string, version int"
+    )
+    upsert_by_key(v1, path, "k", "version")
+    shutil.move(path, path + "__old")  # simulate the crash
+    v2 = spark.createDataFrame([(3, "c", 20)], "k int, v string, version int")
+    assert upsert_by_key(v2, path, "k", "version") == 3
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_compact_path_recovers_interrupted_swap(spark, tmp_path):
+    import shutil
+
+    from data_pipelines_examples_spark.sources.writers import compact_path
+
+    path = str(tmp_path / "data")
+    spark.range(100).repartition(8).write.parquet(path)
+    shutil.move(path, path + "__old")
+    stats = compact_path(spark, path, target_mb=128)
+    assert stats["rows"] == 100
+    assert spark.read.parquet(path).count() == 100
