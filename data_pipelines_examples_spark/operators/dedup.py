@@ -476,7 +476,15 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
-    p = shingle_rows(df, id_col, text_col, shingle_n).persist(
+    # distinct (id, gram): a doc's shingle SET. shingle_rows dedups per
+    # input row, but a doc_id appearing on multiple rows (re-crawled
+    # corpora, replayed batches) would otherwise inflate gram counts —
+    # document frequencies double, |A| counts multiset size while
+    # array_intersect is set-valued, and jaccard silently shrinks
+    # (found by bootstrap-resample differential testing vs DuckDB).
+    # No-op shuffle-wise on unique ids: the groupBys below repartition
+    # by the same keys anyway.
+    p = shingle_rows(df, id_col, text_col, shingle_n).distinct().persist(
         StorageLevel.MEMORY_AND_DISK
     )
     gram_df = p.groupBy("__g").agg(F.count("*").alias("__df"))

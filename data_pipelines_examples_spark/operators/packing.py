@@ -90,7 +90,11 @@ def pack_offsets(
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: within each shard
     (``id % shards``), documents are concatenated in id order and the
-    stream is cut into exact ``budget``-token sequences. Returns one row
+    stream is cut into exact ``budget``-token sequences. CONTRACT:
+    ``id_col`` must be unique — the concat order is ``ORDER BY id``, and
+    duplicate ids have no deterministic order in any engine, so the
+    layout (and every downstream sequence) would be arbitrary; run exact
+    dedup first (any real pipeline does). Returns one row
     per (document, sequence) assignment — a document longer than the
     remaining space straddles into the following sequence(s):
 

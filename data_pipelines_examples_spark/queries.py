@@ -840,7 +840,11 @@ def q17_wildcard_rule_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
         priority_col="priority",
         pick_per=["c_custkey"],
     )
-    return out.select("c_custkey", "tier").orderBy("c_custkey")
+    # distinct: the query's answer is a tier PER CUSTOMER (the oracle's
+    # ROW_NUMBER emits one row per custkey); wildcard_rule_join itself
+    # tiers fact ROWS, so duplicate customer rows would each surface —
+    # no-op on unique custkeys, aligned under duplicates
+    return out.select("c_custkey", "tier").distinct().orderBy("c_custkey")
 
 
 # ---------------------------------------------------------------------------

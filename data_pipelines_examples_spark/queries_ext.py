@@ -381,12 +381,15 @@ def q30_group_max_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
                            i -> array_to_string(w[i+1:i+3], ' '))) AS s
       FROM t
     ), posting AS (
-      SELECT doc_id, unnest(s) AS g FROM sh
+      -- DISTINCT: set semantics per doc, mirroring the Spark side's
+      -- distinct (id, gram) — no-op for unique doc_ids, and the only
+      -- well-defined reading when a doc_id spans multiple rows
+      SELECT DISTINCT doc_id, unnest(s) AS g FROM sh
     ), inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
       FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    ), sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM posting GROUP BY 1)
     SELECT id_a, id_b,
            ROUND(i * 1.0 / (na.n + nb.n - i), 6) AS jaccard
     FROM inter JOIN sizes na ON inter.id_a = na.doc_id

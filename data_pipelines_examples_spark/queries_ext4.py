@@ -57,11 +57,17 @@ def q63_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q64_pack_offsets",
     r"""
-    WITH counted AS (
+    WITH docs AS (
+      -- DISTINCT: packing orders by doc_id, and duplicate doc_id rows
+      -- have NO deterministic order in any engine — dedup first (no-op
+      -- on unique ids), mirrored on the Spark side
+      SELECT DISTINCT doc_id, text FROM documents
+    ),
+    counted AS (
       SELECT doc_id,
              CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
              CAST(doc_id % 8 AS INTEGER) AS shard
-      FROM documents
+      FROM docs
     ),
     b AS (
       SELECT shard, doc_id, n_tok,
@@ -91,7 +97,7 @@ def q64_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard, carrying only id+count — never text) + an explode over
     straddled sequences. Deterministic and engine-independent, so the
     training-data layout is re-derivable and auditable months later."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").dropDuplicates()
     return pack_offsets(d, budget=256, shards=8)
 
 
@@ -200,13 +206,16 @@ def q67_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q68_materialized_sequences",
     r"""
-    WITH counted AS (
+    WITH docs AS (
+      SELECT DISTINCT doc_id, text FROM documents
+    ),
+    counted AS (
       SELECT doc_id,
              string_split_regex(lower(trim(text)), '\s+') AS toks,
              CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
                AS n_tok,
              CAST(doc_id % 8 AS INTEGER) AS shard
-      FROM documents
+      FROM docs
     ),
     b AS (
       SELECT shard, doc_id, toks, n_tok,
@@ -247,7 +256,7 @@ def q68_materialized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembly are all hash-checked together. Text crosses one shuffle."""
     from .operators.packing import materialize_sequences, pack_offsets
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").dropDuplicates()
     manifest = pack_offsets(d, budget=256, shards=8)
     out = materialize_sequences(d, manifest)
     return out.select(
