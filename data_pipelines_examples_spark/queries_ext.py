@@ -71,15 +71,23 @@ def q20_order_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q21_acctbal_quartiles",
     """
     SELECT c_custkey,
-           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+           NTILE(4) OVER (ORDER BY c_acctbal NULLS LAST, c_custkey) AS quartile
     FROM customer
     """,
 )
 def q21_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE(4) quartile assignment (reference:
-    mlflow_pymatch_single_node.py:113-114); unique tiebreaker for determinism."""
+    mlflow_pymatch_single_node.py:113-114); unique tiebreaker for
+    determinism. NULLS LAST explicitly on BOTH sides: Spark's ASC
+    default is nulls-first, DuckDB's is nulls-last — implicit defaults
+    shift every bucket when a balance is NULL."""
     c = _t(spark, sf_dir, "customer")
-    out = ntile_bucket(c, [F.col("c_acctbal"), F.col("c_custkey")], n=4, out_col="quartile")
+    out = ntile_bucket(
+        c,
+        [F.col("c_acctbal").asc_nulls_last(), F.col("c_custkey")],
+        n=4,
+        out_col="quartile",
+    )
     return out.select("c_custkey", F.col("quartile").cast("bigint").alias("quartile"))
 
 

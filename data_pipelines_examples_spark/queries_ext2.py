@@ -54,7 +54,11 @@ def q36_map_key_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_extract(p_type, '([A-Z]+)$', 1) AS type_last,
            length(p_name) AS name_len,
            reverse(p_brand) AS brand_rev,
-           concat(p_brand, ':', p_type) AS brand_type
+           -- explicit NULL semantics: DuckDB concat() treats NULL as
+           -- '', Spark concat_ws SKIPS null args (dropping the ':') and
+           -- F.concat nulls the whole row — coalesce on BOTH sides is
+           -- the only encoding the engines agree on
+           concat(coalesce(p_brand, ''), ':', coalesce(p_type, '')) AS brand_type
     FROM part
     WHERE p_type LIKE '%OMY' OR p_name LIKE 'red%'
     """,
@@ -72,7 +76,11 @@ def q37_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_last"),
         F.length("p_name").cast("bigint").alias("name_len"),
         F.reverse("p_brand").alias("brand_rev"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.concat_ws(
+            ":",
+            F.coalesce(F.col("p_brand"), F.lit("")),
+            F.coalesce(F.col("p_type"), F.lit("")),
+        ).alias("brand_type"),
     )
 
 
