@@ -219,6 +219,9 @@ def kmeans_centroids(
 
     train = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
     vecs = train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    if vecs.head(1) == []:
+        # fail with the real cause, not an opaque MLlib stage failure
+        raise ValueError("kmeans_centroids: empty training set")
     model = KMeans(k=k, seed=seed).fit(vecs)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
@@ -403,6 +406,8 @@ def pq_train(
 
     train = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
     first = train.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_codebooks: empty training set")
     dim = first["d"]
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")

@@ -218,8 +218,11 @@ def unigram_surprisal(
     totals = vocab.agg(
         F.sum("__c").alias("__n"), F.count("*").alias("__v")
     ).first()
-    n_total, v_size = totals["__n"], totals["__v"]
-    denom = float(n_total + smoothing * v_size)
+    # SUM over an empty vocab is NULL — an empty corpus must yield an
+    # empty result frame, not a driver-side TypeError (empty date
+    # partitions are routine); max(denom, 1) keeps the literal finite
+    n_total, v_size = totals["__n"] or 0, totals["__v"]
+    denom = max(float(n_total + smoothing * v_size), 1.0)
     surprisal = -F.log2((F.col("__c") + F.lit(float(smoothing))) / F.lit(denom))
     return (
         toks.join(vocab, "__t")

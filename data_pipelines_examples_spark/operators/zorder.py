@@ -73,6 +73,10 @@ def zorder_key(
         b = df.agg(*aggs).first()
         for c in cols:
             lo, hi = b[f"__lo_{c}"], b[f"__hi_{c}"]
+            if lo is None or hi is None:
+                # empty input (or all-NULL column): no rows will flow,
+                # but the scaling literals must still build
+                lo, hi = 0, 0
             span = (hi - lo) or 1
             nc = f"__n_{c}"
             out = out.withColumn(

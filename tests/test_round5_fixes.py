@@ -224,3 +224,34 @@ def test_simhash_pairs_filter_before_dedup_same_answer(spark):
     assert (1, 2) in ids
     assert all(r["hamming"] <= 10 for r in pairs)
     assert len(pairs) == len(ids)  # deduped
+
+
+# ---------------------------------------------------------------------------
+# empty-input robustness (found by the empty-table differential sweep)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_surprisal_empty_corpus_yields_empty(spark):
+    from data_pipelines_examples_spark.operators.text import unigram_surprisal
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert unigram_surprisal(empty).count() == 0
+
+
+def test_zorder_minmax_empty_input_yields_empty(spark):
+    from data_pipelines_examples_spark.operators.zorder import zorder_key
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert zorder_key(empty, ["a", "b"], how="minmax").count() == 0
+
+
+def test_kmeans_centroids_empty_raises_clear_error(spark):
+    import pytest
+
+    from data_pipelines_examples_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty training set"):
+        kmeans_centroids(empty, k=2)
