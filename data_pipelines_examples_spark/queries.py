@@ -501,14 +501,20 @@ def q08_part_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q09_json_shred_events",
     """
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(TRY_CAST(CASE WHEN json_valid(props)
+                 THEN json_extract_string(props, '$.k') END AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
 def q09_json_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-blob shred + aggregate (reference:
-    dags/dataswm/servicenow_api_extract.py:188-217 JSON_EXTRACT_SCALAR + TRY_CAST)."""
+    dags/dataswm/servicenow_api_extract.py:188-217 JSON_EXTRACT_SCALAR + TRY_CAST).
+
+    Malformed-JSON contract (string-injection gate, round 5): Spark's
+    get_json_object is permissive (malformed → NULL); DuckDB's json_extract
+    RAISES, so the oracle mirrors the permissive semantics explicitly via
+    json_valid + TRY_CAST."""
     e = _t(spark, sf_dir, "events")
     shredded = shred_json(e, "props", {"k": ("$.k", "bigint")}, keep=["event_type"])
     return (

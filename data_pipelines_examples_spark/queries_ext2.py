@@ -25,14 +25,17 @@ from .queries import _dsum, _t, query
     """
     SELECT event_type, COUNT(*) AS n_high
     FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    WHERE TRY_CAST(CASE WHEN json_valid(props)
+          THEN json_extract_string(props, '$.k') END AS BIGINT) > 50
     GROUP BY event_type ORDER BY event_type
     """,
 )
 def q36_map_key_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-key predicates over a parsed JSON map (reference:
     usage_analysis.py:95-100,392 — array_contains(map_keys(...)) + typed
-    subscript filter). The oracle is the direct-JSON equivalent."""
+    subscript filter). The oracle is the direct-JSON equivalent; malformed
+    JSON rows are dropped on both sides (Spark from_json → NULL map filters
+    false; oracle json_valid + TRY_CAST → NULL compares false)."""
     e = _t(spark, sf_dir, "events")
     m = json_to_map(e, "props", "f")
     return (

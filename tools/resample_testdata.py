@@ -21,9 +21,24 @@ Why this matters: the driver regenerates testdata per round — any
 query/oracle pair that only agrees on one data shape is a latent gate
 failure on a future seed.
 
+- ``inject_skew``: point a large fraction of foreign-key values at one
+  hot key (lineitem→one order, orders→one customer, events→one user)
+  and a slice of document texts at one hot text. Referential integrity
+  is preserved (the hot key is an existing key), so every query stays
+  well-defined; what changes is the data DISTRIBUTION — giant per-key
+  window partitions, quadratic dedup groups, salted-join hot keys.
+- ``inject_strings``: replace a slice of free-text values (document
+  text, names, JSON props) with adversarial payloads — quotes,
+  backslashes, the \\x1f legacy separator, NFC/NFD pairs, astral-plane
+  emoji, RTL, embedded newlines, empty and 10k-char strings, malformed
+  JSON. Both engines read identical parquet, so any gate divergence is
+  an encoding/escaping defect in an operator or its oracle.
+
 Usage:
     python tools/resample_testdata.py /root/testdata/sf0.001 /tmp/randsf [seed]
     python tools/resample_testdata.py --nulls /root/testdata/sf0.001 /tmp/nullsf [seed]
+    python tools/resample_testdata.py --skew /root/testdata/sf0.001 /tmp/skewsf [seed]
+    python tools/resample_testdata.py --strings /root/testdata/sf0.001 /tmp/strsf [seed]
     python tools/check_oracle.py /tmp/randsf
 """
 
@@ -87,13 +102,117 @@ def inject_nulls(src: str, dst: str, seed: int = 5, rate: float = 0.05) -> None:
         pq.write_table(pa.table(cols), os.path.join(dst, f"{name}.parquet"))
 
 
+# (table, fk_column, hot-fraction): the hot value is the MOST FREQUENT
+# existing key, so referential integrity and key-domain contracts hold.
+SKEW_KEYS = [
+    ("lineitem", "l_orderkey", 0.3),
+    ("orders", "o_custkey", 0.3),
+    ("events", "user_id", 0.3),
+]
+SKEW_TEXT_RATE = 0.05  # fraction of documents pointed at one hot text
+
+
+def inject_skew(src: str, dst: str, seed: int = 7) -> None:
+    import pyarrow.compute as pc
+
+    os.makedirs(dst, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    plans = {t: (c, r) for t, c, r in SKEW_KEYS}
+    for p in sorted(glob.glob(os.path.join(src, "*.parquet"))):
+        name = os.path.basename(p).replace(".parquet", "")
+        t = pq.read_table(p)
+        cols = {f.name: t[f.name] for f in t.schema}
+        if name in plans:
+            col, rate = plans[name]
+            counts = pc.value_counts(t[col].combine_chunks())
+            hot = max(counts.to_pylist(), key=lambda kv: kv["counts"])["values"]
+            mask = rng.rand(t.num_rows) < rate
+            cols[col] = pc.if_else(
+                pa.array(mask),
+                pa.scalar(hot, type=t.schema.field(col).type),
+                t[col].combine_chunks(),
+            )
+        if name == "documents":
+            texts = t["text"].combine_chunks()
+            hot_text = texts[0]
+            mask = rng.rand(t.num_rows) < SKEW_TEXT_RATE
+            cols["text"] = pc.if_else(pa.array(mask), hot_text, texts)
+            if "n_chars" in cols:  # keep the derived column consistent
+                cols["n_chars"] = pc.if_else(
+                    pa.array(mask),
+                    pa.scalar(len(hot_text.as_py()), type=t.schema.field("n_chars").type),
+                    t["n_chars"].combine_chunks(),
+                )
+        pq.write_table(pa.table(cols), os.path.join(dst, f"{name}.parquet"))
+
+
+# Payloads cycle through a slice of each STRINGS column. Deliberately
+# includes: SQL-literal breakers, the pre-round-5 checksum separator,
+# NFC/NFD forms of the same glyph, astral emoji, RTL, control chars,
+# malformed JSON, an empty string, and a 10k-char document.
+ADVERSARIAL = [
+    "O'Reilly 'quoted'; DROP TABLE t; --",
+    'back\\slash "double" quote',
+    "unit\x1fsep\x1fpayload",
+    "café NFC",  # é precomposed
+    "café NFD",  # e + combining acute
+    "emoji \U0001f600\U0001f680 astral",
+    "שלום rtl mixed ltr",
+    "line1\nline2\ttabbed",
+    "",
+    "x" * 10000,
+]
+
+STRINGS = {
+    "documents": ["text"],
+    "customer": ["c_name"],
+    "part": ["p_name"],
+    "supplier": ["s_name"],
+    "events": ["props"],  # malformed-JSON robustness for the shredders
+}
+
+
+def inject_strings(src: str, dst: str, seed: int = 11, rate: float = 0.04) -> None:
+    os.makedirs(dst, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    for p in sorted(glob.glob(os.path.join(src, "*.parquet"))):
+        name = os.path.basename(p).replace(".parquet", "")
+        t = pq.read_table(p)
+        cols = {}
+        for field in t.schema:
+            arr = t[field.name].combine_chunks()
+            if field.name in STRINGS.get(name, []):
+                vals = arr.to_pylist()
+                hit = rng.rand(t.num_rows) < rate
+                k = 0
+                for i in range(t.num_rows):
+                    if hit[i] and vals[i] is not None:
+                        vals[i] = ADVERSARIAL[k % len(ADVERSARIAL)]
+                        k += 1
+                arr = pa.array(vals, type=field.type)
+            cols[field.name] = arr
+        if name == "documents":  # keep the derived column consistent
+            cols["n_chars"] = pa.array(
+                [None if v is None else len(v) for v in cols["text"].to_pylist()],
+                type=t.schema.field("n_chars").type,
+            )
+        pq.write_table(pa.table(cols), os.path.join(dst, f"{name}.parquet"))
+
+
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--nulls"]
+    flags = {"--nulls", "--skew", "--strings"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
     dst = args[1] if len(args) > 1 else "/tmp/randsf"
     if "--nulls" in sys.argv:
         inject_nulls(src, dst, int(args[2]) if len(args) > 2 else 5)
         print(f"null-injected {src} -> {dst}")
+    elif "--skew" in sys.argv:
+        inject_skew(src, dst, int(args[2]) if len(args) > 2 else 7)
+        print(f"skew-injected {src} -> {dst}")
+    elif "--strings" in sys.argv:
+        inject_strings(src, dst, int(args[2]) if len(args) > 2 else 11)
+        print(f"string-injected {src} -> {dst}")
     else:
         seed = int(args[2]) if len(args) > 2 else 20260814
         for name, distinct in resample(src, dst, seed).items():
