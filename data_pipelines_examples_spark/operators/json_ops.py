@@ -28,6 +28,22 @@ from pyspark.sql import functions as F
 #   CAST(JSON_EXTRACT(...) AS ARRAY(BIGINT)) → from_json(col, 'array<bigint>')
 #   APPROX_DISTINCT           → approx_count_distinct
 
+# Jackson extensions OFF → strict-JSON parse, the closest JVM-native match
+# to other engines' json_valid (DuckDB, Presto). Measured disagreement set
+# (round-5 string-injection gate): both reject single-quoted strings, bare
+# tokens, and '' ; both accept standard JSON incl. whitespace padding;
+# they still DISAGREE on trailing garbage ('{"k":5} x' — Jackson stops at
+# the first complete value, DuckDB rejects) and non-numeric numbers
+# ('{"k": NaN}' — DuckDB's json_valid accepts, Jackson-strict rejects).
+# Those two shapes are out of the cross-engine parity contract.
+_STRICT_JSON_OPTS = {"allowSingleQuotes": "false", "allowNonNumericNumbers": "false"}
+
+
+def json_object_valid(col: Column) -> Column:
+    """True when ``col`` parses as a STRICT JSON object (see
+    ``_STRICT_JSON_OPTS``); NULL-safe (NULL → false)."""
+    return F.from_json(col, "map<string,string>", _STRICT_JSON_OPTS).isNotNull()
+
 
 def shred_json(
     df: DataFrame,
@@ -35,6 +51,7 @@ def shred_json(
     spec: dict[str, str | tuple[str, str]],
     keep: list[str] | None = None,
     drop_source: bool = False,
+    strict: bool = False,
 ) -> DataFrame:
     """Shred a JSON-string column into typed columns.
 
@@ -43,18 +60,26 @@ def shred_json(
     ``from_json`` on the extracted fragment; scalars through
     ``get_json_object`` + ``try_cast`` (null on malformed, matching the
     reference's TRY_CAST semantics).
+
+    ``strict=True`` additionally nulls every extracted field on rows whose
+    blob fails ``json_object_valid`` — get_json_object alone is LENIENT
+    (it extracts from single-quoted pseudo-JSON), so strict mode is what a
+    cross-engine-reproducible pipeline wants (string-injection gate,
+    round 5).
     """
+    valid = json_object_valid(F.col(json_col))
     cols: list[Column] = [F.col(c) for c in (keep if keep is not None else df.columns)]
     for out, path_spec in spec.items():
         if isinstance(path_spec, tuple):
             path, typ = path_spec
         else:
             path, typ = path_spec, "string"
+        raw = F.get_json_object(F.col(json_col), path)
+        if strict:
+            raw = F.when(valid, raw)
         if typ.strip().lower().startswith(("array", "struct", "map")):
-            frag = F.get_json_object(F.col(json_col), path)
-            cols.append(F.from_json(frag, typ).alias(out))
+            cols.append(F.from_json(raw, typ).alias(out))
         else:
-            raw = F.get_json_object(F.col(json_col), path)
             cols.append(raw.try_cast(typ).alias(out))
     out_df = df.select(*cols)
     if drop_source and json_col in out_df.columns:
@@ -86,7 +111,14 @@ def map_payload_select(
     return df.select(*cols)
 
 
-def json_to_map(df: DataFrame, json_col: str, out_col: str | None = None) -> DataFrame:
+def json_to_map(
+    df: DataFrame, json_col: str, out_col: str | None = None, strict: bool = False
+) -> DataFrame:
     """Parse a JSON-object string into ``map<string,string>``
-    (the reference's clusterCustomTags pattern)."""
-    return df.withColumn(out_col or json_col, F.from_json(F.col(json_col), "map<string,string>"))
+    (the reference's clusterCustomTags pattern). ``strict=True`` turns
+    off Jackson leniency (single quotes, NaN) so malformed blobs yield a
+    NULL map identically to other engines' json_valid gate."""
+    opts = _STRICT_JSON_OPTS if strict else {}
+    return df.withColumn(
+        out_col or json_col, F.from_json(F.col(json_col), "map<string,string>", opts)
+    )

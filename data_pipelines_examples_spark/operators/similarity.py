@@ -407,7 +407,7 @@ def pq_train(
     train = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
     first = train.select(F.size(vec_col).alias("d")).first()
     if first is None:
-        raise ValueError("pq_codebooks: empty training set")
+        raise ValueError("pq_train: empty training set")
     dim = first["d"]
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")

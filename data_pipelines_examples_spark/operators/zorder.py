@@ -74,11 +74,16 @@ def zorder_key(
         for c in cols:
             lo, hi = b[f"__lo_{c}"], b[f"__hi_{c}"]
             if lo is None or hi is None:
-                # empty input (or all-NULL column): no rows will flow,
-                # but the scaling literals must still build
+                # empty input (or all-NULL column): no non-null values to
+                # scale, but the scaling literals must still build
                 lo, hi = 0, 0
             span = (hi - lo) or 1
             nc = f"__n_{c}"
+            # NULL cells do NOT produce NULL z-keys: least() skips NULL
+            # arguments in BOTH Spark and DuckDB, so a NULL value keys at
+            # `scale` — all NULLs cluster together at the curve top,
+            # mirroring nulls-last sorting (pinned cross-engine by q70
+            # under the --nulls differential axis)
             out = out.withColumn(
                 nc,
                 F.least(

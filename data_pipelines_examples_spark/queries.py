@@ -511,12 +511,17 @@ def q09_json_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-blob shred + aggregate (reference:
     dags/dataswm/servicenow_api_extract.py:188-217 JSON_EXTRACT_SCALAR + TRY_CAST).
 
-    Malformed-JSON contract (string-injection gate, round 5): Spark's
-    get_json_object is permissive (malformed → NULL); DuckDB's json_extract
-    RAISES, so the oracle mirrors the permissive semantics explicitly via
-    json_valid + TRY_CAST."""
+    Malformed-JSON contract (string-injection gate, round 5): rows whose
+    blob fails STRICT validation contribute NULL k on both sides — Spark
+    via shred_json(strict=True) (get_json_object alone would extract from
+    single-quoted pseudo-JSON), DuckDB via json_valid + TRY_CAST (bare
+    json_extract RAISES on malformed input). Known residual disagreement
+    set, out of contract: trailing garbage and NaN literals — see
+    json_ops._STRICT_JSON_OPTS."""
     e = _t(spark, sf_dir, "events")
-    shredded = shred_json(e, "props", {"k": ("$.k", "bigint")}, keep=["event_type"])
+    shredded = shred_json(
+        e, "props", {"k": ("$.k", "bigint")}, keep=["event_type"], strict=True
+    )
     return (
         shredded.groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))

@@ -34,10 +34,13 @@ def q36_map_key_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-key predicates over a parsed JSON map (reference:
     usage_analysis.py:95-100,392 — array_contains(map_keys(...)) + typed
     subscript filter). The oracle is the direct-JSON equivalent; malformed
-    JSON rows are dropped on both sides (Spark from_json → NULL map filters
-    false; oracle json_valid + TRY_CAST → NULL compares false)."""
+    JSON rows are dropped on both sides (Spark STRICT from_json → NULL map
+    filters false — default from_json would parse single-quoted blobs the
+    oracle's json_valid rejects; oracle json_valid + TRY_CAST → NULL
+    compares false). Residual out-of-contract shapes: trailing garbage,
+    NaN — json_ops._STRICT_JSON_OPTS."""
     e = _t(spark, sf_dir, "events")
-    m = json_to_map(e, "props", "f")
+    m = json_to_map(e, "props", "f", strict=True)
     return (
         m.filter(
             F.array_contains(F.map_keys("f"), "k")

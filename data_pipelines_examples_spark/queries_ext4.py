@@ -97,7 +97,10 @@ def q64_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard, carrying only id+count — never text) + an explode over
     straddled sequences. Deterministic and engine-independent, so the
     training-data layout is re-derivable and auditable months later."""
-    d = _t(spark, sf_dir, "documents").dropDuplicates()
+    # dedup on (doc_id, text) — the exact key the oracle's DISTINCT uses;
+    # full-row dropDuplicates would keep two rows that differ only in
+    # lang/source, violating pack_offsets' unique-id contract
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").dropDuplicates()
     return pack_offsets(d, budget=256, shards=8)
 
 
@@ -256,7 +259,8 @@ def q68_materialized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembly are all hash-checked together. Text crosses one shuffle."""
     from .operators.packing import materialize_sequences, pack_offsets
 
-    d = _t(spark, sf_dir, "documents").dropDuplicates()
+    # same (doc_id, text) dedup key as q64 and both oracles' DISTINCT
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").dropDuplicates()
     manifest = pack_offsets(d, budget=256, shards=8)
     out = materialize_sequences(d, manifest)
     return out.select(

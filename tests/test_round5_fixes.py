@@ -255,3 +255,52 @@ def test_kmeans_centroids_empty_raises_clear_error(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty training set"):
         kmeans_centroids(empty, k=2)
+
+
+# ---------------------------------------------------------------------------
+# strict-JSON contract (found by the string-injection differential axis:
+# default Jackson parses single-quoted pseudo-JSON that json_valid rejects)
+# ---------------------------------------------------------------------------
+
+
+def test_shred_json_strict_nulls_lenient_only_blobs(spark):
+    from data_pipelines_examples_spark.operators.json_ops import shred_json
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, "{'k': 99}"), (3, "not json"), (4, None)],
+        "id int, props string",
+    )
+    strict = shred_json(df, "props", {"k": ("$.k", "bigint")}, keep=["id"], strict=True)
+    got = {r["id"]: r["k"] for r in strict.collect()}
+    assert got == {1: 5, 2: None, 3: None, 4: None}
+    # default mode keeps get_json_object's leniency (reference TRY_CAST shape)
+    lenient = shred_json(df, "props", {"k": ("$.k", "bigint")}, keep=["id"])
+    assert {r["id"]: r["k"] for r in lenient.collect()}[2] == 99
+
+
+def test_json_to_map_strict_rejects_single_quotes(spark):
+    from data_pipelines_examples_spark.operators.json_ops import json_to_map
+
+    df = spark.createDataFrame([(1, "{'k': 9}"), (2, '{"k": 9}')], "id int, props string")
+    out = {r["id"]: r["props"] for r in json_to_map(df, "props", strict=True).collect()}
+    assert out[1] is None and out[2] == {"k": "9"}
+
+
+# ---------------------------------------------------------------------------
+# packing dedup key: (doc_id, text) — full-row dropDuplicates would keep
+# two rows differing only in lang and violate the unique-id contract
+# ---------------------------------------------------------------------------
+
+
+def test_pack_entries_dedup_on_id_text_only(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en"), (1, "a b c", "de"), (2, "d e", "en")],
+        "doc_id long, text string, lang string",
+    )
+    deduped = docs.select("doc_id", "text").dropDuplicates()
+    from data_pipelines_examples_spark.operators.packing import pack_offsets
+
+    m = pack_offsets(deduped, budget=4, shards=2)
+    # every doc appears once per sequence it touches; doc 1 not doubled
+    assert m.filter("doc_id = 1").count() == m.filter("doc_id = 1").select("seq_id").distinct().count()
+    assert deduped.count() == 2

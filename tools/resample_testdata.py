@@ -61,6 +61,10 @@ def resample(src: str, dst: str, seed: int = 20260814) -> dict[str, int]:
         name = os.path.basename(p)
         t = pq.read_table(p)
         n = t.num_rows
+        if n == 0:  # nothing to resample; copy through
+            pq.write_table(t, os.path.join(dst, name))
+            counts[name] = 0
+            continue
         idx = rng.randint(0, n, size=n)
         pq.write_table(t.take(pa.array(idx)), os.path.join(dst, name))
         counts[name] = len(set(idx))
@@ -122,7 +126,7 @@ def inject_skew(src: str, dst: str, seed: int = 7) -> None:
         name = os.path.basename(p).replace(".parquet", "")
         t = pq.read_table(p)
         cols = {f.name: t[f.name] for f in t.schema}
-        if name in plans:
+        if name in plans and t.num_rows > 0:
             col, rate = plans[name]
             counts = pc.value_counts(t[col].combine_chunks())
             hot = max(counts.to_pylist(), key=lambda kv: kv["counts"])["values"]
@@ -132,9 +136,14 @@ def inject_skew(src: str, dst: str, seed: int = 7) -> None:
                 pa.scalar(hot, type=t.schema.field(col).type),
                 t[col].combine_chunks(),
             )
-        if name == "documents":
+        if name == "documents" and t.num_rows > 0:
             texts = t["text"].combine_chunks()
-            hot_text = texts[0]
+            # first non-null text is the hot value (composable with --nulls)
+            non_null = [s for s in texts if s.is_valid]
+            hot_text = non_null[0] if non_null else None
+        else:
+            hot_text = None
+        if hot_text is not None:
             mask = rng.rand(t.num_rows) < SKEW_TEXT_RATE
             cols["text"] = pc.if_else(pa.array(mask), hot_text, texts)
             if "n_chars" in cols:  # keep the derived column consistent
@@ -161,6 +170,10 @@ ADVERSARIAL = [
     "line1\nline2\ttabbed",
     "",
     "x" * 10000,
+    # single-quoted pseudo-JSON (a Python-repr leak, the classic props
+    # corruption): Jackson's DEFAULT from_json parses it, DuckDB's
+    # json_valid rejects it — strict mode is what keeps engines agreeing
+    "{'k': 99}",
 ]
 
 STRINGS = {
