@@ -65,19 +65,28 @@ def shred_json(
     blob fails ``json_object_valid`` — get_json_object alone is LENIENT
     (it extracts from single-quoted pseudo-JSON), so strict mode is what a
     cross-engine-reproducible pipeline wants (string-injection gate,
-    round 5).
+    round 5). Cost: top-level scalar paths (``$.name``) are read straight
+    out of ONE strict map parse (the parse is the validity probe — no
+    second pass; repeated from_json of the same blob collapses under
+    codegen subexpression elimination); only nested paths pay an extra
+    get_json_object guarded by the probe.
     """
-    valid = json_object_valid(F.col(json_col))
+    strict_map = F.from_json(F.col(json_col), "map<string,string>", _STRICT_JSON_OPTS)
     cols: list[Column] = [F.col(c) for c in (keep if keep is not None else df.columns)]
     for out, path_spec in spec.items():
         if isinstance(path_spec, tuple):
             path, typ = path_spec
         else:
             path, typ = path_spec, "string"
-        raw = F.get_json_object(F.col(json_col), path)
-        if strict:
-            raw = F.when(valid, raw)
-        if typ.strip().lower().startswith(("array", "struct", "map")):
+        is_nested_type = typ.strip().lower().startswith(("array", "struct", "map"))
+        top_level = path.startswith("$.") and all(c not in path[2:] for c in ".[")
+        if strict and top_level and not is_nested_type:
+            raw = strict_map.getItem(path[2:])
+        else:
+            raw = F.get_json_object(F.col(json_col), path)
+            if strict:
+                raw = F.when(strict_map.isNotNull(), raw)
+        if is_nested_type:
             cols.append(F.from_json(raw, typ).alias(out))
         else:
             cols.append(raw.try_cast(typ).alias(out))

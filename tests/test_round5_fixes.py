@@ -304,3 +304,14 @@ def test_pack_entries_dedup_on_id_text_only(spark, tmp_path):
     # every doc appears once per sequence it touches; doc 1 not doubled
     assert m.filter("doc_id = 1").count() == m.filter("doc_id = 1").select("seq_id").distinct().count()
     assert deduped.count() == 2
+
+
+def test_shred_json_strict_nested_path(spark):
+    from data_pipelines_examples_spark.operators.json_ops import shred_json
+
+    df = spark.createDataFrame(
+        [(1, '{"a": {"b": 3}}'), (2, "{'a': {'b': 4}}")], "id int, props string"
+    )
+    out = shred_json(df, "props", {"b": ("$.a.b", "bigint")}, keep=["id"], strict=True)
+    got = {r["id"]: r["b"] for r in out.collect()}
+    assert got == {1: 3, 2: None}
