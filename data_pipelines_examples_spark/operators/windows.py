@@ -196,6 +196,7 @@ def resample_asof(
     value_cols: list[str],
     interval: str = "1 hour",
     trunc_unit: str = "hour",
+    max_grid_points: int = 5_000_000,
 ):
     """Downsample an irregular per-key time series onto a regular grid
     with as-of (forward-fill) semantics: for every ``interval`` tick
@@ -219,6 +220,16 @@ def resample_asof(
     Returns (key, grid_ts, *value_cols, asof_ts). ``interval`` must be
     expressible as an INTERVAL literal and ``trunc_unit`` must be the
     matching date_trunc unit so ticks are aligned.
+
+    ``max_grid_points`` bounds the PER-KEY grid size and raises a clear
+    error instead of letting ``sequence`` explode: the grid is
+    data-driven (first..last observation), so one corrupt far-past or
+    far-future timestamp would otherwise silently inflate a key's grid
+    by orders of magnitude and OOM executors — measured: a single
+    year-9000 event against an hourly grid is 62M ticks and killed a
+    local[32] JVM (--times differential axis). The guard costs one
+    aggregate over the per-key bounds (persisted — they are reused for
+    grid construction and are #keys rows).
     """
     from pyspark.sql import functions as F
 
@@ -227,7 +238,26 @@ def resample_asof(
     bounds = df.groupBy(key_col).agg(
         F.date_trunc(trunc_unit, F.min(ts_col)).alias("__t0"),
         F.max(ts_col).cast("timestamp").alias("__t1"),
+    ).persist()
+    # seconds per tick, engine-evaluated so any valid INTERVAL literal
+    # works (CAST(interval AS BIGINT) would return the leading unit, not
+    # seconds; epoch + interval cast to DOUBLE is unambiguous)
+    tick_s = (
+        df.sparkSession.sql(
+            f"SELECT CAST(timestamp'1970-01-01 00:00:00' + INTERVAL {interval} AS DOUBLE) AS s"
+        ).first()["s"]
     )
+    worst = bounds.agg(
+        F.max(F.col("__t1").cast("double") - F.col("__t0").cast("double")).alias("span")
+    ).first()["span"]
+    if worst is not None and worst / tick_s + 1 > max_grid_points:
+        raise ValueError(
+            f"resample_asof: worst key spans {worst:.0f}s ≈ "
+            f"{worst / tick_s + 1:.0f} ticks at INTERVAL {interval}, over the "
+            f"max_grid_points={max_grid_points} guard. A span this wide is "
+            "usually a corrupt timestamp — filter the input time range, "
+            "coarsen the interval, or raise max_grid_points explicitly."
+        )
     grid = bounds.select(
         F.col(key_col),
         F.explode(

@@ -67,9 +67,28 @@ def zorder_key(
             out = out.withColumn(nc, (F.percent_rank().over(w) * scale).cast("long"))
             norm_cols.append(nc)
     elif how == "minmax":
+        # Non-finite floats (NaN/±inf) are treated exactly like NULL:
+        # excluded from the bounds aggregate and keyed at the curve top.
+        # Without the guard a single inf makes every span infinite and a
+        # NaN poisons both bounds — and the engines diverge (Spark's
+        # NaN-is-largest max vs DuckDB's decimal-cast error). Found by
+        # the --floats differential axis.
+        dtypes = dict(df.dtypes)
+
+        def guarded(c: str):
+            if dtypes.get(c) not in ("double", "float"):
+                return F.col(c)
+            return F.when(
+                F.isnan(F.col(c)) | (F.abs(F.col(c)) == F.lit(float("inf"))),
+                F.lit(None),
+            ).otherwise(F.col(c))
+
         aggs = []
         for c in cols:
-            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+            aggs += [
+                F.min(guarded(c)).alias(f"__lo_{c}"),
+                F.max(guarded(c)).alias(f"__hi_{c}"),
+            ]
         b = df.agg(*aggs).first()
         for c in cols:
             lo, hi = b[f"__lo_{c}"], b[f"__hi_{c}"]
@@ -79,15 +98,18 @@ def zorder_key(
                 lo, hi = 0, 0
             span = (hi - lo) or 1
             nc = f"__n_{c}"
-            # NULL cells do NOT produce NULL z-keys: least() skips NULL
-            # arguments in BOTH Spark and DuckDB, so a NULL value keys at
-            # `scale` — all NULLs cluster together at the curve top,
-            # mirroring nulls-last sorting (pinned cross-engine by q70
-            # under the --nulls differential axis)
+            # NULL (and non-finite) cells do NOT produce NULL z-keys:
+            # least() skips NULL arguments in BOTH Spark and DuckDB, so a
+            # NULL value keys at `scale` — all NULLs cluster together at
+            # the curve top, mirroring nulls-last sorting (pinned
+            # cross-engine by q70 under the --nulls/--floats axes)
             out = out.withColumn(
                 nc,
                 F.least(
-                    ((F.col(c) - F.lit(lo)) / F.lit(span) * scale).cast("long"),
+                    # try_cast: the cell index can still be NaN when a
+                    # finite span overflows to inf (inf/inf) — NULL then
+                    # keys at the curve top, ANSI mode included
+                    ((guarded(c) - F.lit(lo)) / F.lit(span) * scale).try_cast("long"),
                     F.lit(scale),
                 ),
             )

@@ -76,9 +76,17 @@ def _dsum(col, scale_in: int = 4):
     raw materialized values, and a Spark Decimal('138014.0000') never
     hash-matches the float64 138014.0 DuckDB's client returns even though
     the values are equal. Exact-decimal→double conversion is the same
-    correctly-rounded operation in both engines, so it is deterministic."""
+    correctly-rounded operation in both engines, so it is deterministic.
+
+    TRY_CAST, not CAST: non-finite doubles (NaN/±inf — data errors in a
+    money column) become NULL and are EXCLUDED from the sum, identically
+    in both engines and regardless of ANSI mode. Plain CAST diverges:
+    Spark non-ANSI silently NULLs, Spark ANSI throws, DuckDB throws.
+    Oracles mirror with SQL TRY_CAST. Found by the --floats differential
+    axis (tools/resample_testdata.py); detection belongs in a DQ rule,
+    not in silent aggregate behavior."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(18,{scale_in})")).cast("double")
+    return F.sum(c.try_cast(f"decimal(18,{scale_in})")).cast("double")
 
 
 def query(name: str, oracle: str | None):
@@ -252,9 +260,9 @@ def oracle_sql() -> dict[str, str]:
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(TRY_CAST(nullif(l_quantity, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(TRY_CAST(nullif(l_extendedprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(TRY_CAST(nullif(l_extendedprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4)) * (1 - TRY_CAST(nullif(l_discount, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -267,8 +275,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     notebooks/databricks/python/usage_analysis.py:185-188)."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = (
-        F.col("l_extendedprice").cast("decimal(18,4)")
-        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+        F.col("l_extendedprice").try_cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount").try_cast("decimal(18,4)"))
     ).cast("decimal(18,4)")
     return (
         li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
@@ -287,7 +295,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_top_customers",
     """
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(SUM(TRY_CAST(nullif(o.o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_orders
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name
@@ -409,7 +417,7 @@ def q05_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS order_date,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev_dec,
+             CAST(SUM(TRY_CAST(nullif(o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev_dec,
              COUNT(*) AS n_orders
       FROM orders GROUP BY 1
     )
@@ -427,7 +435,7 @@ def q06_cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         o.groupBy(F.to_date("o_orderdate").alias("order_date"))
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            F.sum(F.col("o_totalprice").try_cast("decimal(18,4)"))
             .cast("decimal(18,4)")
             .alias("rev_dec"),
             F.count("*").alias("n_orders"),
@@ -446,7 +454,7 @@ def q06_cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q07_salted_join_priority_volume",
     """
     SELECT o.o_orderpriority,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(TRY_CAST(nullif(l.l_quantity, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n_items
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
@@ -478,7 +486,7 @@ def q07_salted_join_priority_volume(spark: SparkSession, sf_dir: str) -> DataFra
       SELECT p_partkey, 'p_size' AS key, CAST(p_size AS DOUBLE) AS value FROM part
     )
     SELECT key, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+           CAST(SUM(TRY_CAST(nullif(value, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DOUBLE) AS total
     FROM long WHERE value IS NOT NULL
     GROUP BY key ORDER BY key
     """,
@@ -785,7 +793,7 @@ def q15_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH bands(band, lo, hi) AS (VALUES ('small', 0, 15), ('medium', 16, 35), ('large', 36, 100))
     SELECT b.band, COUNT(*) AS n_parts,
-           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+           CAST(SUM(TRY_CAST(nullif(p.p_retailprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DOUBLE) AS total_price
     FROM part p JOIN bands b ON p.p_size >= b.lo AND p.p_size <= b.hi
     GROUP BY b.band ORDER BY b.band
     """,

@@ -24,7 +24,7 @@ from .queries import _dsum, _t, query
     "q19_customer_running_spend",
     """
     SELECT o_custkey, o_orderkey,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+           CAST(CAST(SUM(TRY_CAST(nullif(o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DECIMAL(18,4)) AS DOUBLE) AS spend_cum
@@ -35,7 +35,7 @@ def q19_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned cumulative sum (reference:
     notebooks/databricks/python/usage_analysis.py:381-386)."""
     o = _t(spark, sf_dir, "orders").withColumn(
-        "spend", F.col("o_totalprice").cast("decimal(18,4)")
+        "spend", F.col("o_totalprice").try_cast("decimal(18,4)")
     )
     out = cumulative_sum(
         o, "spend", ["o_orderdate", "o_orderkey"], partition_by="o_custkey"
@@ -176,8 +176,8 @@ def q23_overlapping_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame
     "q24_region_revenue_rollup",
     """
     SELECT r.r_name,
-           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
-                (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)))
+           CAST(SUM(CAST(TRY_CAST(nullif(l.l_extendedprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4)) *
+                (1 - TRY_CAST(nullif(l.l_discount, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DECIMAL(18,4)))
                 AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
@@ -198,8 +198,8 @@ def q24_region_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = _t(spark, sf_dir, "region")
     rev = (
-        F.col("l_extendedprice").cast("decimal(18,4)")
-        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+        F.col("l_extendedprice").try_cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount").try_cast("decimal(18,4)"))
     ).cast("decimal(18,4)")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -216,7 +216,7 @@ def q24_region_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q25_map_payload_roundtrip",
     """
     SELECT event_type AS etype, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(SUM(TRY_CAST(nullif(value, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM events
     WHERE event_type IN ('click', 'purchase')
     GROUP BY event_type ORDER BY etype

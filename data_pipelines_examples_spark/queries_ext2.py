@@ -217,7 +217,7 @@ def q41_approx_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH minutely AS (
       SELECT date_trunc('minute', ts) AS minute_ts, event_type,
-             COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v
+             COUNT(*) AS n, CAST(SUM(TRY_CAST(nullif(value, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v
       FROM events GROUP BY 1, 2
     )
     SELECT date_trunc('hour', minute_ts) AS hour_ts, event_type,
@@ -240,7 +240,7 @@ def q44_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("minute", "ts").alias("minute_ts"), "event_type"
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,4)").alias("v"),
+        F.sum(F.col("value").try_cast("decimal(18,4)")).cast("decimal(18,4)").alias("v"),
     )
     return minutely.groupBy(
         F.date_trunc("hour", "minute_ts").alias("hour_ts"), "event_type"
@@ -375,7 +375,7 @@ def q43_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(SUM(TRY_CAST(nullif(o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderstatus <> 'F'
     GROUP BY o_orderpriority
@@ -394,7 +394,7 @@ def q47_sql_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+               CAST(SUM(TRY_CAST(nullif(o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM q47_orders
         WHERE o_orderdate >= :cutoff AND o_orderstatus <> :excluded
         GROUP BY o_orderpriority

@@ -65,7 +65,7 @@ def q49_asof_latest_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.r_name, n.n_name,
            GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS gid,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+           CAST(SUM(TRY_CAST(nullif(c.c_acctbal, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -94,9 +94,9 @@ def q50_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q51_status_pivot",
     """
     SELECT o_orderpriority,
-           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_F,
-           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_O,
-           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_P
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN TRY_CAST(nullif(o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4)) END) AS DOUBLE) AS total_F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN TRY_CAST(nullif(o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4)) END) AS DOUBLE) AS total_O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN TRY_CAST(nullif(o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4)) END) AS DOUBLE) AS total_P
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -123,9 +123,9 @@ def q51_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q52_price_percentiles",
     """
     SELECT o_orderpriority,
-           quantile_cont(o_totalprice, 0.5) AS p50,
-           quantile_cont(o_totalprice, 0.9) AS p90,
-           quantile_cont(o_totalprice, 0.99) AS p99
+           quantile_cont(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END, 0.5) AS p50,
+           quantile_cont(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END, 0.9) AS p90,
+           quantile_cont(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END, 0.99) AS p99
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -134,12 +134,17 @@ def q52_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile`` matches DuckDB ``quantile_cont`` bit-for-bit on doubles;
     at 100 TB swap for ``percentile_approx`` (t-digest, mergeable sketch,
     no per-group sort) — kept exact here because the oracle gate needs
-    determinism."""
+    determinism. Percentiles are over FINITE values only, explicitly on
+    both sides: the engines place NaN differently inside the quantile
+    sort-and-interpolate (--floats axis), and an interpolation window
+    touching ±inf is NaN arithmetic — a rank statistic over non-finite
+    'values' means nothing anyway."""
     o = _t(spark, sf_dir, "orders")
+    fin = "IF(isnan(o_totalprice) OR abs(o_totalprice) = double('inf'), NULL, o_totalprice)"
     return o.groupBy("o_orderpriority").agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
-        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
-        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        F.expr(f"percentile({fin}, 0.5)").alias("p50"),
+        F.expr(f"percentile({fin}, 0.9)").alias("p90"),
+        F.expr(f"percentile({fin}, 0.99)").alias("p99"),
     )
 
 
@@ -147,9 +152,9 @@ def q52_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_first_last_order_value",
     """
     SELECT DISTINCT o_custkey,
-           first_value(o_totalprice) OVER w AS first_price,
-           last_value(o_totalprice)  OVER w AS last_price,
-           nth_value(o_totalprice, 2) OVER w AS second_price
+           first_value(o_totalprice) OVER w + 0.0 AS first_price,
+           last_value(o_totalprice)  OVER w + 0.0 AS last_price,
+           nth_value(o_totalprice, 2) OVER w + 0.0 AS second_price
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
@@ -160,7 +165,14 @@ def q53_first_last_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     completes the window-frame battery (SURVEY §2.5; the reference uses
     lag/rank/ntile but never value-position frames). The default
     last_value frame (.. CURRENT ROW) is a classic wrong answer; the
-    explicit UNBOUNDED FOLLOWING frame is the point."""
+    explicit UNBOUNDED FOLLOWING frame is the point.
+
+    ``+ 0.0`` on both sides canonicalizes negative zero (IEEE: x + 0.0 is
+    exactly x for every double except -0.0, which becomes +0.0; NULL and
+    NaN pass through). Needed because the DISTINCT diverges on -0.0:
+    Spark's NormalizeFloatingNumbers rewrites float grouping keys, so its
+    distinct MATERIALIZES +0.0, while DuckDB's distinct keeps the -0.0
+    payload bits — equal values, different hashes (--floats axis)."""
     o = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -170,9 +182,9 @@ def q53_first_last_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select(
             "o_custkey",
-            F.first("o_totalprice").over(w).alias("first_price"),
-            F.last("o_totalprice").over(w).alias("last_price"),
-            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+            (F.first("o_totalprice").over(w) + F.lit(0.0)).alias("first_price"),
+            (F.last("o_totalprice").over(w) + F.lit(0.0)).alias("last_price"),
+            (F.nth_value("o_totalprice", 2).over(w) + F.lit(0.0)).alias("second_price"),
         )
         .distinct()
     )
@@ -184,8 +196,9 @@ def q53_first_last_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
            count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price,
-           CAST(CAST(AVG(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,4)) AS DOUBLE) AS avg_qty_f
+           CAST(SUM(TRY_CAST(nullif(l_extendedprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price,
+           CAST(TRY_CAST(AVG(CASE WHEN isfinite(l_quantity) THEN l_quantity END)
+                         FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,4)) AS DOUBLE) AS avg_qty_f
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -193,18 +206,29 @@ def q54_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered/conditional aggregation battery — count_if + conditional
     sums in one pass over the fact table (the reference's CASE one-hot
     battery, mlflow_pymatch_single_node.py:33-112, is the same shape).
-    One scan, one shuffle; never N filtered subqueries re-scanning."""
+    One scan, one shuffle; never N filtered subqueries re-scanning.
+
+    Non-finite semantics, explicit on both sides (--floats axis): the
+    avg excludes NaN/±inf inputs (one NaN would otherwise poison the
+    whole group's mean — and the engines then disagree on the decimal
+    canonicalization cast), and the count filters rely on NaN comparing
+    GREATER than any threshold, which Spark and DuckDB agree on."""
     li = _t(spark, sf_dir, "lineitem")
+    qty_fin = F.when(
+        F.isnan(F.col("l_quantity"))
+        | (F.abs(F.col("l_quantity")) == F.lit(float("inf"))),
+        F.lit(None),
+    ).otherwise(F.col("l_quantity"))
     return li.groupBy("l_returnflag").agg(
         F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
         F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
         F.sum(
-            F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice").cast("decimal(18,4)"))
+            F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice").try_cast("decimal(18,4)"))
         ).cast("double").alias("taxed_price"),
         # avg of doubles is order-dependent in the low bits; round through
         # DECIMAL(18,4) on both sides so the materialized double is stable.
-        F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")))
-        .cast("decimal(18,4)")
+        F.avg(F.when(F.col("l_linestatus") == "F", qty_fin))
+        .try_cast("decimal(18,4)")
         .cast("double")
         .alias("avg_qty_f"),
     )
@@ -214,7 +238,7 @@ def q54_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q55_shipping_priority",
     """
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(TRY_CAST(nullif(l.l_extendedprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4)) * (1 - TRY_CAST(nullif(l.l_discount, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -240,8 +264,8 @@ def q55_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
     revenue = (
-        F.col("l_extendedprice").cast("decimal(18,4)")
-        * (1 - F.col("l_discount").cast("decimal(18,4)"))
+        F.col("l_extendedprice").try_cast("decimal(18,4)")
+        * (1 - F.col("l_discount").try_cast("decimal(18,4)"))
     ).cast("decimal(18,4)")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -408,7 +432,7 @@ def q60_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name, o.o_orderpriority,
            GROUPING(n.n_name) * 2 + GROUPING(o.o_orderpriority) AS gid,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+           CAST(SUM(TRY_CAST(nullif(o.o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DOUBLE) AS total_price
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey

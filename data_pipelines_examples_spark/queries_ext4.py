@@ -294,25 +294,36 @@ def _zorder_oracle_sql(bits: int = 8) -> str:
     """DuckDB replication of zorder_key(how='minmax', bits=8) over
     (o_custkey, o_totalprice). floor() before the BIGINT cast matches
     Spark's truncating double→long cast (operands are non-negative);
-    DuckDB's bare double→BIGINT cast ROUNDS and would diverge."""
+    DuckDB's bare double→BIGINT cast ROUNDS and would diverge. TRY_CAST
+    because the cell index can be NaN even with the finite guard (a
+    finite span like max_double - (-1e308) overflows to inf, and
+    inf/inf = NaN): Spark's non-ANSI long cast yields NULL there, and
+    least(NULL, scale) keys the row at the curve top on both sides."""
     scale = (1 << bits) - 1
     interleave = " | ".join(
         f"(((nx >> {b}) & 1) << {2 * b}) | (((ny >> {b}) & 1) << {2 * b + 1})"
         for b in range(bits)
     )
     return f"""
-    WITH bounds AS (
-      SELECT MIN(o_custkey) AS lo_x, MAX(o_custkey) AS hi_x,
-             MIN(o_totalprice) AS lo_y, MAX(o_totalprice) AS hi_y
+    WITH fin AS (
+      -- non-finite prices behave exactly like NULL: out of the bounds,
+      -- keyed at the curve top (mirrors zorder_key's guard)
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS fin_price
       FROM orders
+    ),
+    bounds AS (
+      SELECT MIN(o_custkey) AS lo_x, MAX(o_custkey) AS hi_x,
+             MIN(fin_price) AS lo_y, MAX(fin_price) AS hi_y
+      FROM fin
     ),
     norm AS (
       SELECT o_orderkey,
-             least(CAST(floor((o_custkey - lo_x) / CAST(hi_x - lo_x AS DOUBLE)
+             least(TRY_CAST(floor((o_custkey - lo_x) / CAST(hi_x - lo_x AS DOUBLE)
                               * {scale}) AS BIGINT), {scale}) AS nx,
-             least(CAST(floor((o_totalprice - lo_y) / (hi_y - lo_y)
+             least(TRY_CAST(floor((fin_price - lo_y) / (hi_y - lo_y)
                               * {scale}) AS BIGINT), {scale}) AS ny
-      FROM orders CROSS JOIN bounds
+      FROM fin CROSS JOIN bounds
     )
     SELECT o_orderkey, CAST({interleave} AS BIGINT) AS zkey
     FROM norm

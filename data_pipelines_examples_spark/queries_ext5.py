@@ -773,9 +773,13 @@ def q92_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q93_hourly_resample_asof",
     """
-    WITH b AS (
+    WITH w AS (
+      SELECT * FROM events
+      WHERE ts >= TIMESTAMP '2020-01-01' AND ts < TIMESTAMP '2030-01-01'
+    ),
+    b AS (
       SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
-      FROM events GROUP BY user_id
+      FROM w GROUP BY user_id
     ),
     grid AS (
       SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
@@ -784,7 +788,7 @@ def q92_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.user_id, g.grid_ts,
            e.ts AS asof_ts, e.value AS value
     FROM grid g
-    ASOF LEFT JOIN events e ON g.user_id = e.user_id AND e.ts <= g.grid_ts
+    ASOF LEFT JOIN w e ON g.user_id = e.user_id AND e.ts <= g.grid_ts
     """,
 )
 def q93_hourly_resample_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,10 +796,21 @@ def q93_hourly_resample_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward-fill (as-of) semantics: per-key grid from one min/max
     aggregate + sequence explode, fill via the union-window as-of join
     (one shuffle). Oracle uses DuckDB's native ASOF JOIN over the
-    generated grid."""
+    generated grid.
+
+    Both sides resample an EXPLICIT analysis window (2020-2030, the
+    production shape — the reference stock pipelines resample bounded
+    date ranges): the grid is data-driven, so without the bound one
+    corrupt far-past/far-future timestamp inflates some key's grid by
+    orders of magnitude (--times axis: a single year-9000 event = 62M
+    hourly ticks, JVM OOM). resample_asof's max_grid_points guard
+    backstops whatever the window filter lets through."""
     from .operators.windows import resample_asof
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2020-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2030-01-01").cast("timestamp"))
+    )
     out = resample_asof(
         ev, "user_id", "ts", ["value"], interval="1 hour", trunc_unit="hour"
     )
@@ -1172,7 +1187,7 @@ def q104_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT r.r_name AS region, n.n_name AS nation,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             CAST(SUM(TRY_CAST(nullif(o.o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1217,7 +1232,7 @@ def q105_revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT o_custkey AS c_custkey,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             CAST(SUM(TRY_CAST(nullif(o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (

@@ -33,12 +33,28 @@ failure on a future seed.
   emoji, RTL, embedded newlines, empty and 10k-char strings, malformed
   JSON. Both engines read identical parquet, so any gate divergence is
   an encoding/escaping defect in an operator or its oracle.
+- ``inject_floats``: replace a slice of double-column values (money,
+  measures) with IEEE edge cases — NaN, ±inf, -0.0, ±1e308 (overflow
+  bait for naive double sums), the min denormal, and max-precision
+  doubles. Stresses: decimal-cast NULLing vs erroring (Spark non-ANSI
+  CAST(inf AS DECIMAL) → NULL, DuckDB CAST → error — TRY_CAST is the
+  shared contract), NaN ordering/equality (both engines: NaN is
+  largest and equal to itself), and -0.0 group-key normalization.
+- ``inject_times``: replace a slice of timestamp values with temporal
+  edge cases — the epoch, the last pre-epoch microsecond (negative
+  epoch seconds), 1900 (pre-epoch year), leap day 2024-02-29,
+  year-boundary midnight, a .999999 microsecond edge, the int64-nanos
+  ceiling (2262-04-11), and a far-future year with arithmetic headroom
+  (9000). Stresses month/fiscal arithmetic, window RANGE frames, gap
+  detection, and epoch-second conversions on negative values.
 
 Usage:
     python tools/resample_testdata.py /root/testdata/sf0.001 /tmp/randsf [seed]
     python tools/resample_testdata.py --nulls /root/testdata/sf0.001 /tmp/nullsf [seed]
     python tools/resample_testdata.py --skew /root/testdata/sf0.001 /tmp/skewsf [seed]
     python tools/resample_testdata.py --strings /root/testdata/sf0.001 /tmp/strsf [seed]
+    python tools/resample_testdata.py --floats /root/testdata/sf0.001 /tmp/fltsf [seed]
+    python tools/resample_testdata.py --times /root/testdata/sf0.001 /tmp/tmsf [seed]
     python tools/check_oracle.py /tmp/randsf
 """
 
@@ -212,8 +228,108 @@ def inject_strings(src: str, dst: str, seed: int = 11, rate: float = 0.04) -> No
         pq.write_table(pa.table(cols), os.path.join(dst, f"{name}.parquet"))
 
 
+# IEEE-754 edge values. ±1e308 is overflow bait: a naive double SUM
+# that meets two same-sign 1e308s overflows to ±inf in an accumulation-
+# order-dependent way; the engine's decimal-exact money sums must
+# instead treat non-finite as NULL (TRY_CAST) identically in both
+# engines. 5e-324 is the min subnormal; 0.1 + 0.2 lands on the classic
+# repr-visible double 0.30000000000000004.
+FLOAT_PAYLOADS = [
+    float("nan"),
+    float("inf"),
+    float("-inf"),
+    -0.0,
+    1e308,
+    -1e308,
+    5e-324,
+    1.7976931348623157e308,
+    0.1 + 0.2,
+]
+
+FLOATS = {
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_retailprice"],
+    "orders": ["o_totalprice"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "events": ["value"],
+}
+
+
+def inject_floats(src: str, dst: str, seed: int = 13, rate: float = 0.03) -> None:
+    os.makedirs(dst, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    for p in sorted(glob.glob(os.path.join(src, "*.parquet"))):
+        name = os.path.basename(p).replace(".parquet", "")
+        t = pq.read_table(p)
+        cols = {}
+        for field in t.schema:
+            arr = t[field.name].combine_chunks()
+            if field.name in FLOATS.get(name, []):
+                vals = arr.to_pylist()
+                hit = rng.rand(t.num_rows) < rate
+                k = 0
+                for i in range(t.num_rows):
+                    if hit[i] and vals[i] is not None:
+                        vals[i] = FLOAT_PAYLOADS[k % len(FLOAT_PAYLOADS)]
+                        k += 1
+                arr = pa.array(vals, type=field.type)
+            cols[field.name] = arr
+        pq.write_table(pa.table(cols), os.path.join(dst, f"{name}.parquet"))
+
+
+def _time_payloads() -> list:
+    import datetime as dt
+
+    # All payloads stay inside pandas' int64-NANOSECOND Timestamp range
+    # (1677-09-21 .. 2262-04-11): both gate clients materialize results
+    # through pandas, so a year-9000 value overflows the CLIENT even
+    # though both engines compute it fine (verified — the engine-side
+    # far-future contract is pinned by tests/test_time_edges.py via
+    # collect(), which returns plain datetimes and has no ns ceiling).
+    return [
+        dt.datetime(1970, 1, 1, 0, 0, 0),  # the epoch itself
+        dt.datetime(1969, 12, 31, 23, 59, 59, 999999),  # negative epoch secs
+        dt.datetime(1900, 1, 1, 12, 0, 0),  # pre-epoch year
+        dt.datetime(2024, 2, 29, 23, 59, 59, 999999),  # leap day, µs edge
+        dt.datetime(2025, 1, 1, 0, 0, 0),  # year-boundary midnight
+        dt.datetime(2200, 6, 15, 1, 2, 3, 4),  # far future, arith headroom
+        dt.datetime(2262, 4, 11, 23, 47, 16, 854775),  # int64-nanos ceiling
+    ]
+
+
+TIMES = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
+
+def inject_times(src: str, dst: str, seed: int = 17, rate: float = 0.03) -> None:
+    os.makedirs(dst, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    for p in sorted(glob.glob(os.path.join(src, "*.parquet"))):
+        name = os.path.basename(p).replace(".parquet", "")
+        t = pq.read_table(p)
+        cols = {}
+        for field in t.schema:
+            arr = t[field.name].combine_chunks()
+            if field.name in TIMES.get(name, []):
+                payloads = _time_payloads()
+                vals = arr.to_pylist()
+                hit = rng.rand(t.num_rows) < rate
+                k = 0
+                for i in range(t.num_rows):
+                    if hit[i] and vals[i] is not None:
+                        vals[i] = payloads[k % len(payloads)]
+                        k += 1
+                arr = pa.array(vals, type=field.type)
+            cols[field.name] = arr
+        pq.write_table(pa.table(cols), os.path.join(dst, f"{name}.parquet"))
+
+
 if __name__ == "__main__":
-    flags = {"--nulls", "--skew", "--strings"}
+    flags = {"--nulls", "--skew", "--strings", "--floats", "--times"}
     args = [a for a in sys.argv[1:] if a not in flags]
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
     dst = args[1] if len(args) > 1 else "/tmp/randsf"
@@ -226,6 +342,12 @@ if __name__ == "__main__":
     elif "--strings" in sys.argv:
         inject_strings(src, dst, int(args[2]) if len(args) > 2 else 11)
         print(f"string-injected {src} -> {dst}")
+    elif "--floats" in sys.argv:
+        inject_floats(src, dst, int(args[2]) if len(args) > 2 else 13)
+        print(f"float-injected {src} -> {dst}")
+    elif "--times" in sys.argv:
+        inject_times(src, dst, int(args[2]) if len(args) > 2 else 17)
+        print(f"time-injected {src} -> {dst}")
     else:
         seed = int(args[2]) if len(args) > 2 else 20260814
         for name, distinct in resample(src, dst, seed).items():
