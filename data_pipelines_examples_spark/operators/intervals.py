@@ -107,6 +107,7 @@ def overlap_join_binned(
     right_end: str,
     bin_days: int = 30,
     gap_days: int = 0,
+    max_bins_per_interval: int = 100_000,
 ) -> DataFrame:
     """Interval-overlap join via time binning — the scale path for
     ``overlap_join`` (inner only). Row-identical output (pinned by
@@ -126,19 +127,50 @@ def overlap_join_binned(
     bins) against join selectivity (wide bins co-locate non-overlapping
     pairs for the predicate to reject); set it near the median interval
     length.
+
+    ``max_bins_per_interval`` is the corrupt-data fuse: the explode
+    fan-out is data-driven (span / bin_days), so a single row whose end
+    column carries a corrupt far-future date against a sane start would
+    otherwise fan out into millions of bin rows inside ONE task — the
+    same failure shape as an unguarded data-driven resample grid, except
+    hidden inside a join build. Checked inline per row (``raise_error``
+    under a ``when`` — no extra pass, branch is codegen'd), erroring the
+    job with the offending span instead of silently stalling an
+    executor. The default (100k bins ≈ 8,200 years at the default
+    30-day bin) only ever fires on corrupt data.
     """
     keys = [key] if isinstance(key, str) else list(key)
 
     def _binned(df: DataFrame, start: str, end: str) -> DataFrame:
         s_day = F.datediff(F.col(start), F.lit("1970-01-01"))
         e_day = F.datediff(F.date_add(F.col(end), gap_days), F.lit("1970-01-01"))
+        s_bin = F.floor(s_day / bin_days)
+        e_bin = F.floor(e_day / bin_days)
+        guarded_e = F.when(
+            e_bin - s_bin >= max_bins_per_interval,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"overlap_join_binned: interval [{start}, {end}] spans "
+                    ),
+                    (e_bin - s_bin + 1).cast("string"),
+                    F.lit(
+                        f" bins at bin_days={bin_days}, over the "
+                        f"max_bins_per_interval={max_bins_per_interval} fuse — "
+                        "usually a corrupt end date; filter the input range, "
+                        "widen bin_days, or raise the fuse explicitly (row "
+                        "start day "
+                    ),
+                    s_day.cast("string"),
+                    F.lit(", end day "),
+                    e_day.cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("long"),
+        ).otherwise(e_bin)
         return df.withColumn(
             "__bin",
-            F.explode(
-                F.sequence(
-                    F.floor(s_day / bin_days), F.floor(e_day / bin_days)
-                )
-            ),
+            F.explode(F.sequence(s_bin, guarded_e)),
         )
 
     lb = _binned(left, left_start, left_end)

@@ -122,3 +122,41 @@ def test_overlap_join_binned_equals_theta(spark):
         t = sorted((x["l_id"], x["r_id"]) for x in theta.select("l_id", "r_id").collect())
         b = sorted((x["l_id"], x["r_id"]) for x in binned.select("l_id", "r_id").collect())
         assert t == b and len(t) > 1000
+
+
+def test_overlap_join_binned_fuse_trips_on_corrupt_end(spark):
+    """One corrupt far-future end date against a sane start must error
+    the job with the offending span (max_bins_per_interval fuse), not
+    silently fan one row out into millions of bin rows inside a task."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipelines_examples_spark.operators.intervals import (
+        overlap_join_binned,
+    )
+
+    l = spark.createDataFrame(
+        [(1, "k", "2023-01-01", "2023-02-01"),
+         (2, "k", "2023-01-05", "9999-12-31")],  # corrupt end
+        "l_id bigint, k string, l_s string, l_e string",
+    ).select("l_id", "k", F.col("l_s").cast("date"), F.col("l_e").cast("date"))
+    r = spark.createDataFrame(
+        [(10, "k", "2023-01-10", "2023-01-20")],
+        "r_id bigint, k string, r_s string, r_e string",
+    ).select("r_id", "k", F.col("r_s").cast("date"), F.col("r_e").cast("date"))
+
+    out = overlap_join_binned(
+        l, r, "k", "l_s", "l_e", "r_s", "r_e", bin_days=30,
+        max_bins_per_interval=50,
+    )
+    with pytest.raises(Exception, match="max_bins_per_interval"):
+        out.collect()
+
+    # fuse raised → no partial work trusted; with a fuse that admits the
+    # corrupt span the join still computes (row 2 genuinely overlaps)
+    ok = overlap_join_binned(
+        l, r, "k", "l_s", "l_e", "r_s", "r_e", bin_days=30,
+        max_bins_per_interval=200_000,
+    )
+    pairs = sorted((x["l_id"], x["r_id"]) for x in ok.select("l_id", "r_id").collect())
+    assert pairs == [(1, 10), (2, 10)]
