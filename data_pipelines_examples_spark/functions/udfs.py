@@ -14,6 +14,26 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def finite_or_null(col: str | Column) -> Column:
+    """NULL unless the double value is finite — the engine's single
+    expression of the non-finite contract (--floats differential axis):
+    NaN/±inf in a measure column are data errors, excluded from
+    aggregates and orderings exactly like NULL, identically in Spark
+    and DuckDB and regardless of ANSI mode. The DuckDB oracle twin is
+    ``CASE WHEN isfinite(x) THEN x END`` (``FINITE_OR_NULL_SQL``); the
+    decimal-sum variant of the same contract is ``queries._dsum`` /
+    its ``TRY_CAST(nullif(x, CAST('NaN' AS DOUBLE)))`` oracle idiom."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.isnan(c) | (F.abs(c) == F.lit(float("inf"))), F.lit(None)).otherwise(c)
+
+
+# DuckDB ORACLE twin of finite_or_null (str.format with col=...).
+# DuckDB-only: Spark SQL has no isfinite() (verified on 4.1.2) — the
+# Spark-side SQL-string spelling is
+# `IF(isnan(x) OR abs(x) = double('inf'), NULL, x)` (see q52).
+FINITE_OR_NULL_SQL = "CASE WHEN isfinite({col}) THEN {col} END"
+
+
 def fiscal_yyyymm(date_str: str | Column, fmt: str = "yyyyMMdd") -> Column:
     """Fiscal yyyyMM with October FY start: calendar month + 3
     (reference: notebooks/zeppelin/bof_30_migrate.scala:170-189).

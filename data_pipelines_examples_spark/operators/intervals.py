@@ -146,14 +146,18 @@ def overlap_join_binned(
         e_day = F.datediff(F.date_add(F.col(end), gap_days), F.lit("1970-01-01"))
         s_bin = F.floor(s_day / bin_days)
         e_bin = F.floor(e_day / bin_days)
+        # abs(): sequence(start, stop) DESCENDS when start > stop (an
+        # inverted interval — corrupt start — covers the same bin SET,
+        # preserving theta parity), so a signed check would let a
+        # corrupt far-future START explode ungated
         guarded_e = F.when(
-            e_bin - s_bin >= max_bins_per_interval,
+            F.abs(e_bin - s_bin) >= max_bins_per_interval,
             F.raise_error(
                 F.concat(
                     F.lit(
                         f"overlap_join_binned: interval [{start}, {end}] spans "
                     ),
-                    (e_bin - s_bin + 1).cast("string"),
+                    (F.abs(e_bin - s_bin) + 1).cast("string"),
                     F.lit(
                         f" bins at bin_days={bin_days}, over the "
                         f"max_bins_per_interval={max_bins_per_interval} fuse — "

@@ -241,10 +241,16 @@ def resample_asof(
     ).persist()
     # seconds per tick, engine-evaluated so any valid INTERVAL literal
     # works (CAST(interval AS BIGINT) would return the leading unit, not
-    # seconds; epoch + interval cast to DOUBLE is unambiguous)
+    # seconds). Computed as a DIFFERENCE of two casts: a bare
+    # CAST(ts + interval AS DOUBLE) is the shifted timestamp's epoch
+    # seconds, which embeds the SESSION TIMEZONE offset of the literal —
+    # under Asia/Kolkata it comes out NEGATIVE for INTERVAL 1 hour and
+    # the guard silently never trips. The difference cancels the offset
+    # in any timezone.
     tick_s = (
         df.sparkSession.sql(
-            f"SELECT CAST(timestamp'1970-01-01 00:00:00' + INTERVAL {interval} AS DOUBLE) AS s"
+            f"SELECT CAST(timestamp'1970-01-01 00:00:00' + INTERVAL {interval} AS DOUBLE)"
+            f" - CAST(timestamp'1970-01-01 00:00:00' AS DOUBLE) AS s"
         ).first()["s"]
     )
     worst = bounds.agg(

@@ -73,15 +73,14 @@ def zorder_key(
         # NaN poisons both bounds — and the engines diverge (Spark's
         # NaN-is-largest max vs DuckDB's decimal-cast error). Found by
         # the --floats differential axis.
+        from ..functions.udfs import finite_or_null
+
         dtypes = dict(df.dtypes)
 
         def guarded(c: str):
             if dtypes.get(c) not in ("double", "float"):
                 return F.col(c)
-            return F.when(
-                F.isnan(F.col(c)) | (F.abs(F.col(c)) == F.lit(float("inf"))),
-                F.lit(None),
-            ).otherwise(F.col(c))
+            return finite_or_null(c)
 
         aggs = []
         for c in cols:

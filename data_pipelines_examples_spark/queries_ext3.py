@@ -213,12 +213,10 @@ def q54_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole group's mean — and the engines then disagree on the decimal
     canonicalization cast), and the count filters rely on NaN comparing
     GREATER than any threshold, which Spark and DuckDB agree on."""
+    from .functions.udfs import finite_or_null
+
     li = _t(spark, sf_dir, "lineitem")
-    qty_fin = F.when(
-        F.isnan(F.col("l_quantity"))
-        | (F.abs(F.col("l_quantity")) == F.lit(float("inf"))),
-        F.lit(None),
-    ).otherwise(F.col("l_quantity"))
+    qty_fin = finite_or_null("l_quantity")
     return li.groupBy("l_returnflag").agg(
         F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
         F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),

@@ -160,3 +160,31 @@ def test_overlap_join_binned_fuse_trips_on_corrupt_end(spark):
     )
     pairs = sorted((x["l_id"], x["r_id"]) for x in ok.select("l_id", "r_id").collect())
     assert pairs == [(1, 10), (2, 10)]
+
+
+def test_overlap_join_binned_fuse_trips_on_corrupt_start(spark):
+    """Spark's sequence(start, stop) DESCENDS when start > stop, so a
+    corrupt far-future START fans out exactly like a corrupt end — the
+    fuse must trip on the absolute span, not the signed one."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipelines_examples_spark.operators.intervals import (
+        overlap_join_binned,
+    )
+
+    l = spark.createDataFrame(
+        [(1, "k", "9999-01-01", "2023-06-01")],  # corrupt start
+        "l_id bigint, k string, l_s string, l_e string",
+    ).select("l_id", "k", F.col("l_s").cast("date"), F.col("l_e").cast("date"))
+    r = spark.createDataFrame(
+        [(10, "k", "2023-01-10", "2023-01-20")],
+        "r_id bigint, k string, r_s string, r_e string",
+    ).select("r_id", "k", F.col("r_s").cast("date"), F.col("r_e").cast("date"))
+
+    out = overlap_join_binned(
+        l, r, "k", "l_s", "l_e", "r_s", "r_e", bin_days=30,
+        max_bins_per_interval=50,
+    )
+    with pytest.raises(Exception, match="max_bins_per_interval"):
+        out.collect()

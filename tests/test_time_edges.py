@@ -141,3 +141,27 @@ def test_leap_day_and_fiscal_month_arithmetic(spark):
     ).collect()[0]
     assert row["plus12"] == dt.date(2025, 2, 28)
     assert str(row["fiscal_lag"]).startswith("202411")
+
+
+def test_resample_guard_is_timezone_independent(spark):
+    """The guard's tick size is a DIFFERENCE of two timestamp casts so
+    the session-timezone offset cancels: under Asia/Kolkata a bare
+    CAST(epoch + interval AS DOUBLE) is NEGATIVE (-16200 for 1 hour),
+    which silently disabled the guard entirely."""
+    from data_pipelines_examples_spark.operators.windows import resample_asof
+
+    rows = [
+        ("k", dt.datetime(2024, 1, 1, 0, 30), 1.0),
+        ("k", dt.datetime(2024, 1, 3, 2, 15), 2.0),  # ~50 hourly ticks
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        with pytest.raises(ValueError, match="max_grid_points"):
+            resample_asof(
+                df, "key", "ts", ["value"],
+                interval="1 hour", trunc_unit="hour", max_grid_points=10,
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
