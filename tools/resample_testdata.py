@@ -201,7 +201,15 @@ STRINGS = {
 }
 
 
-def inject_strings(src: str, dst: str, seed: int = 11, rate: float = 0.04) -> None:
+def _inject_cycle(src, dst, seed, rate, targets, payloads, fixup=None) -> None:
+    """Shared replace-a-slice loop for the payload-cycling axes
+    (--strings/--floats/--times): for every targeted column, replace a
+    ``rate`` slice of non-null values by cycling through ``payloads``
+    (cycle index resets per column). Draw order is one ``rng.rand(n)``
+    per targeted column in schema order — KEEP IT THAT WAY: outputs must
+    stay byte-identical for a given seed across refactors (verified by
+    checksum when this helper replaced the three per-axis copies).
+    ``fixup(name, table, cols)`` patches derived columns (n_chars)."""
     os.makedirs(dst, exist_ok=True)
     rng = np.random.RandomState(seed)
     for p in sorted(glob.glob(os.path.join(src, "*.parquet"))):
@@ -210,22 +218,31 @@ def inject_strings(src: str, dst: str, seed: int = 11, rate: float = 0.04) -> No
         cols = {}
         for field in t.schema:
             arr = t[field.name].combine_chunks()
-            if field.name in STRINGS.get(name, []):
+            if field.name in targets.get(name, []):
                 vals = arr.to_pylist()
                 hit = rng.rand(t.num_rows) < rate
                 k = 0
                 for i in range(t.num_rows):
                     if hit[i] and vals[i] is not None:
-                        vals[i] = ADVERSARIAL[k % len(ADVERSARIAL)]
+                        vals[i] = payloads[k % len(payloads)]
                         k += 1
                 arr = pa.array(vals, type=field.type)
             cols[field.name] = arr
-        if name == "documents":  # keep the derived column consistent
-            cols["n_chars"] = pa.array(
-                [None if v is None else len(v) for v in cols["text"].to_pylist()],
-                type=t.schema.field("n_chars").type,
-            )
+        if fixup is not None:
+            fixup(name, t, cols)
         pq.write_table(pa.table(cols), os.path.join(dst, f"{name}.parquet"))
+
+
+def _sync_n_chars(name, t, cols) -> None:
+    if name == "documents":  # keep the derived column consistent
+        cols["n_chars"] = pa.array(
+            [None if v is None else len(v) for v in cols["text"].to_pylist()],
+            type=t.schema.field("n_chars").type,
+        )
+
+
+def inject_strings(src: str, dst: str, seed: int = 11, rate: float = 0.04) -> None:
+    _inject_cycle(src, dst, seed, rate, STRINGS, ADVERSARIAL, fixup=_sync_n_chars)
 
 
 # IEEE-754 edge values. ±1e308 is overflow bait: a naive double SUM
@@ -257,25 +274,7 @@ FLOATS = {
 
 
 def inject_floats(src: str, dst: str, seed: int = 13, rate: float = 0.03) -> None:
-    os.makedirs(dst, exist_ok=True)
-    rng = np.random.RandomState(seed)
-    for p in sorted(glob.glob(os.path.join(src, "*.parquet"))):
-        name = os.path.basename(p).replace(".parquet", "")
-        t = pq.read_table(p)
-        cols = {}
-        for field in t.schema:
-            arr = t[field.name].combine_chunks()
-            if field.name in FLOATS.get(name, []):
-                vals = arr.to_pylist()
-                hit = rng.rand(t.num_rows) < rate
-                k = 0
-                for i in range(t.num_rows):
-                    if hit[i] and vals[i] is not None:
-                        vals[i] = FLOAT_PAYLOADS[k % len(FLOAT_PAYLOADS)]
-                        k += 1
-                arr = pa.array(vals, type=field.type)
-            cols[field.name] = arr
-        pq.write_table(pa.table(cols), os.path.join(dst, f"{name}.parquet"))
+    _inject_cycle(src, dst, seed, rate, FLOATS, FLOAT_PAYLOADS)
 
 
 def _time_payloads() -> list:
@@ -306,26 +305,7 @@ TIMES = {
 
 
 def inject_times(src: str, dst: str, seed: int = 17, rate: float = 0.03) -> None:
-    os.makedirs(dst, exist_ok=True)
-    rng = np.random.RandomState(seed)
-    for p in sorted(glob.glob(os.path.join(src, "*.parquet"))):
-        name = os.path.basename(p).replace(".parquet", "")
-        t = pq.read_table(p)
-        cols = {}
-        for field in t.schema:
-            arr = t[field.name].combine_chunks()
-            if field.name in TIMES.get(name, []):
-                payloads = _time_payloads()
-                vals = arr.to_pylist()
-                hit = rng.rand(t.num_rows) < rate
-                k = 0
-                for i in range(t.num_rows):
-                    if hit[i] and vals[i] is not None:
-                        vals[i] = payloads[k % len(payloads)]
-                        k += 1
-                arr = pa.array(vals, type=field.type)
-            cols[field.name] = arr
-        pq.write_table(pa.table(cols), os.path.join(dst, f"{name}.parquet"))
+    _inject_cycle(src, dst, seed, rate, TIMES, _time_payloads())
 
 
 if __name__ == "__main__":
