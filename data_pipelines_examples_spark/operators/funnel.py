@@ -205,6 +205,7 @@ def transition_matrix(
     key_col: str,
     ts_col: str,
     state_col: str,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """First-order (Markov) transition statistics over per-key event
     sequences: (from_state, to_state, n_transitions, probability) where
@@ -215,12 +216,21 @@ def transition_matrix(
     One window sort per key builds the adjacent pairs (lead), then a
     dimension-sized groupBy; normalization joins the per-from totals
     back — states² rows at most, tiny regardless of event volume.
+
+    ``tiebreak_cols`` extend the per-key ordering past ``ts_col``:
+    with duplicate timestamps inside a key, the adjacent-pair order —
+    and therefore the transition COUNTS — is engine- and
+    partitioning-dependent without a total order. Pass the event's
+    unique id whenever timestamps can collide (found by the composed
+    differential axes: duplicate injected timestamps made Spark and
+    DuckDB count different transitions).
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col).orderBy(ts_col)
+    order = [ts_col, *(tiebreak_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
     pairs = (
-        df.select(key_col, ts_col, F.col(state_col).alias("from_state"))
+        df.select(key_col, *order, F.col(state_col).alias("from_state"))
         .withColumn("to_state", F.lead("from_state").over(w))
         .filter(F.col("to_state").isNotNull())
     )

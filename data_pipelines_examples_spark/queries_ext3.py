@@ -22,8 +22,18 @@ from .queries import _dsum, _t, query
     "q49_asof_latest_event_value",
     """
     WITH e AS (
-      SELECT user_id, ts, max_by(value, event_id) AS value
-      FROM events GROUP BY user_id, ts
+      -- row_number, NOT max_by: DuckDB's max_by SKIPS rows whose value
+      -- argument is NULL while Spark's max_by RETURNS the NULL — with a
+      -- duplicate (user_id, ts) pair where the max-event_id row carries
+      -- a NULL value the engines answer differently (composed
+      -- differential axes). row_number keeps the max-event_id row's
+      -- value verbatim, NULL included, replicating Spark exactly.
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
     )
     SELECT o.o_orderkey, o.o_custkey, e.ts AS asof_ts, e.value AS asof_value
     FROM orders o
@@ -38,7 +48,11 @@ def q49_asof_latest_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key cross product); the oracle is DuckDB's native ASOF JOIN.
     """
     e = _t(spark, sf_dir, "events")
-    # one event per (user_id, ts) so the as-of winner is deterministic
+    # one event per (user_id, ts) so the as-of winner is deterministic.
+    # Contract: the max-event_id row's value VERBATIM, NULL included
+    # (you see what was recorded at that instant) — mirrored by the
+    # oracle's row_number dedup, NOT DuckDB max_by, which silently
+    # skips NULL-valued rows where Spark's max_by returns the NULL.
     e1 = e.groupBy("user_id", "ts").agg(
         F.max_by("value", "event_id").alias("value")
     )

@@ -773,9 +773,20 @@ def q92_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q93_hourly_resample_asof",
     """
-    WITH w AS (
+    WITH w0 AS (
       SELECT * FROM events
       WHERE ts >= TIMESTAMP '2020-01-01' AND ts < TIMESTAMP '2030-01-01'
+    ),
+    -- one observation per (user_id, ts): ASOF with duplicate right
+    -- timestamps picks an engine-dependent row (same max_by NULL trap
+    -- as q49); the winner is the max-event_id row's value verbatim
+    w AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM w0)
+      WHERE rn = 1
     ),
     b AS (
       SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
@@ -804,15 +815,24 @@ def q93_hourly_resample_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupt far-past/far-future timestamp inflates some key's grid by
     orders of magnitude (--times axis: a single year-9000 event = 62M
     hourly ticks, JVM OOM). resample_asof's max_grid_points guard
-    backstops whatever the window filter lets through."""
+    backstops whatever the window filter lets through.
+
+    Observations dedup to one row per (user_id, ts) — max-event_id
+    value, NULL included — BEFORE the resample: asof_join documents
+    that duplicate right timestamps need a pre-dedup (the winner is
+    otherwise sort-arbitrary), and DuckDB's ASOF has the same
+    ambiguity. Same contract as q49."""
     from .operators.windows import resample_asof
 
     ev = _t(spark, sf_dir, "events").filter(
         (F.col("ts") >= F.lit("2020-01-01").cast("timestamp"))
         & (F.col("ts") < F.lit("2030-01-01").cast("timestamp"))
     )
+    obs = ev.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("value")
+    )
     out = resample_asof(
-        ev, "user_id", "ts", ["value"], interval="1 hour", trunc_unit="hour"
+        obs, "user_id", "ts", ["value"], interval="1 hour", trunc_unit="hour"
     )
     return out.select("user_id", "grid_ts", "asof_ts", "value")
 
@@ -1318,7 +1338,7 @@ def q107_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pairs AS (
       SELECT event_type AS from_state,
-             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS to_state
       FROM events
     ),
@@ -1339,10 +1359,15 @@ def q108_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition matrix with row-normalized
     probabilities — next-action statistics from one window sort + a
     states²-sized aggregation; exact-integer ratio divisions are
-    bit-identical cross-engine."""
+    bit-identical cross-engine. event_id tiebreaks duplicate
+    timestamps on BOTH sides — without a total order the transition
+    counts are engine-dependent (composed differential axes)."""
     from .operators.funnel import transition_matrix
 
-    return transition_matrix(_t(spark, sf_dir, "events"), "user_id", "ts", "event_type")
+    return transition_matrix(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        tiebreak_cols=["event_id"],
+    )
 
 
 @query(

@@ -67,3 +67,69 @@ def test_guarded_decimal_sums_use_the_exact_idiom():
             f"{n_canon} match the canonical idiom — variant spelling "
             "detected, keep the contract single-form"
         )
+
+
+def test_maxby_null_divergence_and_the_rownumber_mirror(spark):
+    """Why q49/q93's oracles dedup with row_number instead of DuckDB
+    max_by: at a duplicate (key, ts) where the max-event_id row carries
+    a NULL value, Spark's max_by RETURNS the NULL while DuckDB's max_by
+    SKIPS NULL-arg rows — different answers from identical SQL shapes
+    (found by the composed differential axes at sf0.01). The row_number
+    formulation replicates Spark's semantics exactly."""
+    import duckdb
+
+    s_val = spark.sql(
+        "SELECT max_by(v, k) AS r FROM VALUES (1, 10.0D), (2, CAST(NULL AS DOUBLE)) t(k, v)"
+    ).first()["r"]
+    assert s_val is None  # Spark: value at max key, NULL included
+
+    con = duckdb.connect()
+    d_maxby = con.execute(
+        "SELECT max_by(v, k) FROM (VALUES (1, 10.0), (2, NULL)) t(k, v)"
+    ).fetchone()[0]
+    assert d_maxby is not None  # DuckDB: NULL-arg rows skipped → 10.0
+
+    d_rn = con.execute(
+        """SELECT v FROM (
+             SELECT v, row_number() OVER (ORDER BY k DESC) AS rn
+             FROM (VALUES (1, 10.0), (2, NULL)) t(k, v)) WHERE rn = 1"""
+    ).fetchone()[0]
+    assert d_rn is None  # row_number mirror == Spark
+
+
+def test_transition_matrix_deterministic_under_duplicate_ts(spark):
+    """With duplicate timestamps inside a key, transition counts must
+    not depend on input row order — the event-id tiebreak makes the
+    per-key sequence total-ordered."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_pipelines_examples_spark.operators.funnel import transition_matrix
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "u", t0, "a"),
+        (2, "u", t0, "b"),      # same ts as event 1
+        (3, "u", t0, "c"),      # and as event 2
+        (4, "u", dt.datetime(2024, 1, 1, 13, 0), "a"),
+    ]
+    base = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string"
+    )
+    perms = [
+        base,
+        base.orderBy(F.desc("event_id")).repartition(3),
+        base.orderBy("event_type").coalesce(1),
+    ]
+    results = []
+    for df in perms:
+        out = transition_matrix(
+            df, "user_id", "ts", "event_type", tiebreak_cols=["event_id"]
+        )
+        results.append(
+            sorted((r["from_state"], r["to_state"], r["n_transitions"]) for r in out.collect())
+        )
+    assert results[0] == results[1] == results[2]
+    # the tiebroken order is a→b→c→a
+    assert ("a", "b", 1) in results[0] and ("b", "c", 1) in results[0]
