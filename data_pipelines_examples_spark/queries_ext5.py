@@ -934,9 +934,15 @@ def q96_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q97_copurchase_pairs",
     """
-    WITH items AS (
+    WITH items0 AS (
       SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
     ),
+    -- max_basket_size mirror: cooccurrence_pairs drops baskets with
+    -- more than 10,000 distinct items (a degenerate basket is a k²
+    -- task bomb); the guard is part of the operator contract, so the
+    -- oracle must apply the SAME population cut
+    ok AS (SELECT b FROM items0 GROUP BY b HAVING COUNT(*) <= 10000),
+    items AS (SELECT i0.b, i0.i FROM items0 i0 JOIN ok USING (b)),
     freq AS (SELECT i FROM items GROUP BY i HAVING COUNT(*) >= 2),
     p AS (SELECT * FROM items WHERE i IN (SELECT i FROM freq))
     SELECT a.i AS item_a, b.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_baskets
@@ -949,7 +955,11 @@ def q97_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pairs: parts co-ordered in >=2 orders — the exact,
     a-priori-pruned tier of the frequent-itemset family (items below
     the support floor never enter the pair join; FP-Growth covers
-    higher-order sets and is pinned to agree with this at size 2)."""
+    higher-order sets and is pinned to agree with this at size 2).
+    The max_basket_size=10k degenerate-basket guard is part of the
+    contract and mirrored in the oracle — found by the sf0.1 composed
+    soak, where the skew axis builds an ~18k-item hot basket that
+    trips the guard for the first time."""
     from .operators.itemsets import cooccurrence_pairs
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1293,9 +1303,14 @@ def q106_abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q107_copurchase_rules",
     """
-    WITH items AS (
+    WITH items0 AS (
       SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
     ),
+    -- max_basket_size mirror (same contract as q97): numerators AND
+    -- the confidence/lift denominators below all derive from the
+    -- guarded population, exactly like association_metrics
+    ok AS (SELECT b FROM items0 GROUP BY b HAVING COUNT(*) <= 10000),
+    items AS (SELECT i0.b, i0.i FROM items0 i0 JOIN ok USING (b)),
     freq AS (SELECT i FROM items GROUP BY i HAVING COUNT(*) >= 2),
     p AS (SELECT * FROM items WHERE i IN (SELECT i FROM freq)),
     pairs AS (
