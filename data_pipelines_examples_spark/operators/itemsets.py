@@ -25,6 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Default degenerate-basket fuse, shared with the q97/q107 oracle SQL
+# (the guard is part of the operator contract, so the oracles must
+# apply the same population cut — one constant keeps them in sync).
+MAX_BASKET_SIZE = 10_000
+
 
 def _filtered_items(
     df: DataFrame,
@@ -61,7 +66,7 @@ def cooccurrence_pairs(
     basket_col: str,
     item_col: str,
     min_support: int = 2,
-    max_basket_size: int | None = 10_000,
+    max_basket_size: int | None = MAX_BASKET_SIZE,
 ) -> DataFrame:
     """Exact (item_a, item_b, n_baskets) for unordered item pairs
     appearing together in at least ``min_support`` baskets. Items
@@ -126,7 +131,7 @@ def association_metrics(
     basket_col: str,
     item_col: str,
     min_support: int = 2,
-    max_basket_size: int | None = 10_000,
+    max_basket_size: int | None = MAX_BASKET_SIZE,
 ) -> DataFrame:
     """Directional association rules from the exact pair tier:
     (antecedent, consequent, n_both, n_antecedent, confidence, lift) for

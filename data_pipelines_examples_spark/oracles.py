@@ -55,6 +55,22 @@ def sql_bucket_expr(vec_expr: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def latest_event_per_ts_sql(src: str = "events") -> str:
+    """One observation per (user_id, ts): the max-event_id row's value
+    VERBATIM, NULL included — the shared dedup CTE body for the as-of
+    entries (q49/q93). row_number, NOT DuckDB max_by: max_by SKIPS rows
+    whose value argument is NULL while Spark's max_by RETURNS the NULL,
+    so the same SQL shape answers differently per engine on a duplicate
+    (user_id, ts) whose max-event_id row carries a NULL (composed
+    differential axes; pinned by test_oracle_contracts)."""
+    return f"""SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM {src})
+      WHERE rn = 1"""
+
+
 def _grams_cte(table: str, id_col: str, text_col: str, n: int) -> str:
     """CTE producing (id, g) distinct word n-gram rows, matching
     ``operators.dedup.shingle_rows``."""

@@ -14,26 +14,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.udfs import FINITE_OR_NULL_SQL
 from .operators.relational import asof_join
+from .oracles import latest_event_per_ts_sql
 from .queries import _dsum, _t, query
 
 
 @query(
     "q49_asof_latest_event_value",
-    """
+    f"""
     WITH e AS (
-      -- row_number, NOT max_by: DuckDB's max_by SKIPS rows whose value
-      -- argument is NULL while Spark's max_by RETURNS the NULL — with a
-      -- duplicate (user_id, ts) pair where the max-event_id row carries
-      -- a NULL value the engines answer differently (composed
-      -- differential axes). row_number keeps the max-event_id row's
-      -- value verbatim, NULL included, replicating Spark exactly.
-      SELECT user_id, ts, value FROM (
-        SELECT user_id, ts, value,
-               row_number() OVER (PARTITION BY user_id, ts
-                                  ORDER BY event_id DESC) AS rn
-        FROM events)
-      WHERE rn = 1
+      {latest_event_per_ts_sql("events")}
     )
     SELECT o.o_orderkey, o.o_custkey, e.ts AS asof_ts, e.value AS asof_value
     FROM orders o
@@ -133,13 +124,16 @@ def q51_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FIN_PRICE = FINITE_OR_NULL_SQL.format(col="o_totalprice")
+
+
 @query(
     "q52_price_percentiles",
-    """
+    f"""
     SELECT o_orderpriority,
-           quantile_cont(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END, 0.5) AS p50,
-           quantile_cont(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END, 0.9) AS p90,
-           quantile_cont(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END, 0.99) AS p99
+           quantile_cont({_FIN_PRICE}, 0.5) AS p50,
+           quantile_cont({_FIN_PRICE}, 0.9) AS p90,
+           quantile_cont({_FIN_PRICE}, 0.99) AS p99
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -206,12 +200,12 @@ def q53_first_last_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q54_filtered_aggregates",
-    """
+    f"""
     SELECT l_returnflag,
            count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
            count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
            CAST(SUM(TRY_CAST(nullif(l_extendedprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price,
-           CAST(TRY_CAST(AVG(CASE WHEN isfinite(l_quantity) THEN l_quantity END)
+           CAST(TRY_CAST(AVG({FINITE_OR_NULL_SQL.format(col="l_quantity")})
                          FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,4)) AS DOUBLE) AS avg_qty_f
     FROM lineitem GROUP BY l_returnflag
     """,

@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.hashing import sql_hash64, sql_hash64_seeded
-from .oracles import bm25_batch_sql, bm25_sql, gauss_planes, minhash_components_sql, semantic_dedup_sql, tfidf_sql
+from .oracles import bm25_batch_sql, bm25_sql, gauss_planes, latest_event_per_ts_sql, minhash_components_sql, semantic_dedup_sql, tfidf_sql
+from .operators.itemsets import MAX_BASKET_SIZE
 from .queries import _t, query
 
 # Pinned constants shared by the Spark plans and their oracle SQL.
@@ -772,7 +773,7 @@ def q92_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q93_hourly_resample_asof",
-    """
+    f"""
     WITH w0 AS (
       SELECT * FROM events
       WHERE ts >= TIMESTAMP '2020-01-01' AND ts < TIMESTAMP '2030-01-01'
@@ -781,12 +782,7 @@ def q92_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- timestamps picks an engine-dependent row (same max_by NULL trap
     -- as q49); the winner is the max-event_id row's value verbatim
     w AS (
-      SELECT user_id, ts, value FROM (
-        SELECT user_id, ts, value,
-               row_number() OVER (PARTITION BY user_id, ts
-                                  ORDER BY event_id DESC) AS rn
-        FROM w0)
-      WHERE rn = 1
+      {latest_event_per_ts_sql("w0")}
     ),
     b AS (
       SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
@@ -933,15 +929,15 @@ def q96_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q97_copurchase_pairs",
-    """
+    f"""
     WITH items0 AS (
       SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
     ),
-    -- max_basket_size mirror: cooccurrence_pairs drops baskets with
-    -- more than 10,000 distinct items (a degenerate basket is a k²
-    -- task bomb); the guard is part of the operator contract, so the
+    -- max_basket_size mirror: cooccurrence_pairs drops baskets over
+    -- the MAX_BASKET_SIZE fuse (a degenerate basket is a k² task
+    -- bomb); the guard is part of the operator contract, so the
     -- oracle must apply the SAME population cut
-    ok AS (SELECT b FROM items0 GROUP BY b HAVING COUNT(*) <= 10000),
+    ok AS (SELECT b FROM items0 GROUP BY b HAVING COUNT(*) <= {MAX_BASKET_SIZE}),
     items AS (SELECT i0.b, i0.i FROM items0 i0 JOIN ok USING (b)),
     freq AS (SELECT i FROM items GROUP BY i HAVING COUNT(*) >= 2),
     p AS (SELECT * FROM items WHERE i IN (SELECT i FROM freq))
@@ -963,7 +959,10 @@ def q97_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.itemsets import cooccurrence_pairs
 
     li = _t(spark, sf_dir, "lineitem")
-    return cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    return cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2,
+        max_basket_size=MAX_BASKET_SIZE,
+    )
 
 
 @query(
@@ -1302,14 +1301,14 @@ def q106_abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q107_copurchase_rules",
-    """
+    f"""
     WITH items0 AS (
       SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
     ),
     -- max_basket_size mirror (same contract as q97): numerators AND
     -- the confidence/lift denominators below all derive from the
     -- guarded population, exactly like association_metrics
-    ok AS (SELECT b FROM items0 GROUP BY b HAVING COUNT(*) <= 10000),
+    ok AS (SELECT b FROM items0 GROUP BY b HAVING COUNT(*) <= {MAX_BASKET_SIZE}),
     items AS (SELECT i0.b, i0.i FROM items0 i0 JOIN ok USING (b)),
     freq AS (SELECT i FROM items GROUP BY i HAVING COUNT(*) >= 2),
     p AS (SELECT * FROM items WHERE i IN (SELECT i FROM freq)),
@@ -1345,7 +1344,10 @@ def q107_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.itemsets import association_metrics
 
     li = _t(spark, sf_dir, "lineitem")
-    return association_metrics(li, "l_orderkey", "l_partkey", min_support=2)
+    return association_metrics(
+        li, "l_orderkey", "l_partkey", min_support=2,
+        max_basket_size=MAX_BASKET_SIZE,
+    )
 
 
 @query(

@@ -17,33 +17,84 @@ import re
 import __spark_entry__ as entry_mod
 
 # every double-typed money/measure column across the testdata tables
+# (including events.value — the --floats axis injects into all of them)
 MONEY_COLS = (
     "l_quantity|l_extendedprice|l_discount|l_tax|o_totalprice|"
-    "c_acctbal|s_acctbal|p_retailprice"
+    "c_acctbal|s_acctbal|p_retailprice|value"
 )
 
-# CAST or TRY_CAST applied DIRECTLY to a raw money column with a
-# DECIMAL target — i.e. not wrapped in the nullif(NaN) guard
-BARE_DECIMAL_CAST = re.compile(
-    rf"(?:TRY_)?CAST\(\s*(?:\w+\.)?({MONEY_COLS})\s+AS\s+DECIMAL",
-    re.IGNORECASE,
-)
-
-REQUIRED_GUARD = "nullif"
+MONEY_COL_RE = re.compile(rf"\b({MONEY_COLS})\b", re.IGNORECASE)
+DECIMAL_TARGET_RE = re.compile(r"AS\s+DECIMAL", re.IGNORECASE)
 
 
-def test_no_bare_decimal_cast_of_money_columns_in_oracles():
+def _cast_argument_spans(sql: str):
+    """For every ``AS DECIMAL`` target, walk parens backward to the
+    enclosing CAST('s opening paren and yield the full argument
+    substring — catches money columns buried in COMPOUND expressions
+    (e.g. ``CAST(a * (1 - b) AS DECIMAL)``), which a flat
+    column-immediately-before-AS regex misses."""
+    for m in DECIMAL_TARGET_RE.finditer(sql):
+        depth = 0
+        start = None
+        for i in range(m.start() - 1, -1, -1):
+            ch = sql[i]
+            if ch == ")":
+                depth += 1
+            elif ch == "(":
+                if depth == 0:
+                    start = i + 1
+                    break
+                depth -= 1
+        if start is not None:
+            yield sql[start:m.start()]
+
+
+def test_no_unguarded_money_column_in_decimal_casts():
+    """Any money column feeding a DECIMAL cast must sit DIRECTLY inside
+    the nullif(NaN) guard: DuckDB CAST throws on ±inf (and DuckDB 1.0
+    TRY_CAST throws on NaN) while Spark try_cast NULLs — an unguarded
+    operand diverges the gate under the --floats axis. Paren-walking
+    catches compound expressions, not just bare-column casts."""
     offenders = []
     for name, sql in entry_mod.oracle_sql().items():
-        for m in BARE_DECIMAL_CAST.finditer(sql):
-            offenders.append(f"{name}: ...{sql[max(0, m.start()-40):m.end()+10]}...")
+        for arg in _cast_argument_spans(sql):
+            for cm in MONEY_COL_RE.finditer(arg):
+                prefix = arg[: cm.start()]
+                # directly guarded: ...nullif( [alias.] col — or inside
+                # the canonical isfinite CASE (its exact shape is
+                # enforced by test_isfinite_uses_the_canonical_spelling,
+                # so accepting `isfinite(` / `THEN ` prefixes is safe)
+                if re.search(
+                    r"(?:nullif\(|isfinite\(|THEN)\s*(?:\w+\.)?$",
+                    prefix,
+                    re.IGNORECASE,
+                ):
+                    continue
+                offenders.append(f"{name}: CAST(...{arg.strip()[:90]}... AS DECIMAL)")
     assert not offenders, (
-        "oracle SQL casts a raw money column straight to DECIMAL — on "
-        "non-finite values DuckDB CAST throws (and DuckDB 1.0 TRY_CAST "
-        "throws on NaN), diverging from Spark. Use "
-        "TRY_CAST(nullif(col, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4)):\n"
+        "money column reaches a DECIMAL cast outside the "
+        "TRY_CAST(nullif(col, CAST('NaN' AS DOUBLE))) guard:\n"
         + "\n".join(offenders)
     )
+
+
+def test_isfinite_uses_the_canonical_spelling():
+    """Every DuckDB-side finite-only guard must be the exact
+    ``functions.udfs.FINITE_OR_NULL_SQL`` spelling (modulo the column),
+    so the CASE shape can't drift into a variant with different NaN
+    semantics."""
+    canonical = re.compile(
+        r"CASE WHEN isfinite\((?:\w+\.)?(\w+)\) THEN (?:\w+\.)?\1 END",
+        re.IGNORECASE,
+    )
+    for name, sql in entry_mod.oracle_sql().items():
+        n_isfinite = len(re.findall(r"isfinite\(", sql, re.IGNORECASE))
+        n_canon = len(canonical.findall(sql))
+        assert n_isfinite == n_canon, (
+            f"{name}: {n_isfinite} isfinite() uses but only {n_canon} match "
+            "the canonical 'CASE WHEN isfinite(x) THEN x END' spelling "
+            "(FINITE_OR_NULL_SQL) — variant detected"
+        )
 
 
 def test_guarded_decimal_sums_use_the_exact_idiom():
