@@ -165,3 +165,43 @@ def test_resample_guard_is_timezone_independent(spark):
             )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_nonfinite_guards_are_ansi_safe(spark):
+    """The non-finite money contract claims ANSI-mode safety: try_cast
+    and finite_or_null must neither throw nor change results when
+    spark.sql.ansi.enabled=true (Spark 4's default for vanilla user
+    sessions — the catalog pins ANSI off, but library OPERATORS run
+    under whatever session the caller owns)."""
+    from data_pipelines_examples_spark.functions.udfs import finite_or_null
+    from data_pipelines_examples_spark.operators.zorder import zorder_key
+    from data_pipelines_examples_spark.queries import _dsum
+
+    rows = [
+        (1, 10.0), (2, float("nan")), (3, float("inf")),
+        (4, float("-inf")), (5, -0.0), (6, 32.5),
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+
+    def run():
+        total = df.agg(_dsum("v").alias("s")).first()["s"]
+        fin = sorted(
+            r["f"] for r in df.select(finite_or_null("v").alias("f")).collect()
+            if r["f"] is not None
+        )
+        zk = {
+            r["id"]: r["__z"]
+            for r in zorder_key(df, ["id", "v"], how="minmax").collect()
+        }
+        return total, fin, zk
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        base = run()
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        ansi = run()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert base == ansi
+    assert base[0] == 42.5  # non-finite excluded, -0.0 contributes 0
