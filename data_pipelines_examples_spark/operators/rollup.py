@@ -66,9 +66,8 @@ _LEDGER = "_applied_batches.json"
 # lives in sources.writers next to _hadoop_fs — upsert_by_key and
 # compact_path use the same helpers
 from ..sources.writers import (  # noqa: E402
-    _checked_rename,
+    _install_and_validate,
     _recover_interrupted_swap,
-    _swap_into_place,
 )
 
 
@@ -134,7 +133,7 @@ def incremental_rollup(
 
     from ..sources.writers import _hadoop_fs, _path_exists
 
-    _recover_interrupted_swap(spark, state_path)
+    _recover_interrupted_swap(spark, state_path, fmt)
     applied = _read_ledger(spark, state_path) if batch_tag is not None else []
     if batch_tag is not None and batch_tag in applied:
         return spark.read.format(fmt).load(state_path)
@@ -151,15 +150,20 @@ def incremental_rollup(
         out = fs.create(lp, True)
         out.write(bytearray(json.dumps(applied + [batch_tag]).encode()))
         out.close()
-    # Rename-aside swap (shared writers discipline): the validation read
-    # below resolves footers over the installed state BEFORE the parked
-    # previous copy is deleted, so even an object-store partial install
-    # (rename = copy+delete there) fails the read while __old still
-    # holds a complete copy.
-    fs, old = _swap_into_place(spark, staging, state_path)
-    result = spark.read.format(fmt).load(state_path)
-    fs.delete(old, True)
-    return result
+    # Rename-aside swap (shared writers discipline): the validation is a
+    # FULL count() — a lazy load() only resolves one footer's schema, so
+    # an object-store partial install (rename = copy+delete there) could
+    # pass it and the parked complete copy would then be deleted. The
+    # count fails on any truncated file while __old still holds the
+    # complete previous state, and _install_and_validate rolls the
+    # partial install back so the next run recovers.
+    _install_and_validate(
+        spark,
+        staging,
+        state_path,
+        lambda: spark.read.format(fmt).load(state_path).count(),
+    )
+    return spark.read.format(fmt).load(state_path)
 
 
 def stream_incremental_rollup(

@@ -52,34 +52,69 @@ def _checked_rename(fs, src, dst, what: str) -> None:
         raise IOError(f"state swap: rename failed ({what}): {src} -> {dst}")
 
 
-def _recover_interrupted_swap(spark, target_path: str) -> None:
-    """Complete a ``_swap_into_place`` that crashed between its renames:
-    nothing at ``target_path`` but ``target_path__old`` present means the
-    previous run renamed the live state aside and died before installing
-    staging — restore it, so callers that treat a missing target as
-    "fresh" (upsert_by_key, incremental_rollup) merge against FULL
-    history instead of rebuilding from one delta."""
+def _recover_interrupted_swap(spark, target_path: str, fmt: str = "parquet") -> None:
+    """Complete a ``_swap_into_place`` that crashed mid-protocol. Two
+    crash shapes leave ``target_path__old`` behind:
+
+    - nothing at ``target_path`` — the previous run renamed the live
+      state aside and died before installing staging. Restore it, so
+      callers that treat a missing target as "fresh" (upsert_by_key,
+      incremental_rollup) merge against FULL history instead of
+      rebuilding from one delta.
+    - BOTH present — the previous run died between installing staging
+      and its post-validation delete of ``__old``, OR (object store)
+      the install itself was a partial copy. The two are distinguished
+      by fully materializing the target (``count()`` resolves every
+      footer): a readable target is the newer complete state (drop
+      ``__old``); an unreadable one is a partial install (discard it,
+      restore ``__old``). A partial copy whose individual files are
+      each complete can still pass this read — that residual window is
+      why object stores want a table format; see ``_swap_into_place``.
+    """
     fs, target = _hadoop_fs(spark, target_path)
     old = _hadoop_fs(spark, target_path.rstrip("/") + _OLD_SUFFIX)[1]
-    if not fs.exists(target) and fs.exists(old):
+    if not fs.exists(old):
+        return
+    if not fs.exists(target):
         _checked_rename(fs, old, target, "crash recovery: restore __old")
+        return
+    try:
+        spark.read.format(fmt).load(target_path).count()
+    except Exception:
+        fs.delete(target, True)
+        _checked_rename(
+            fs, old, target, "crash recovery: discard partial install"
+        )
+        return
+    fs.delete(old, True)
 
 
 def _swap_into_place(spark, staging_path: str, target_path: str):
     """Rename-aside swap: park the live target at ``__old``, install the
     staging dir, and RETURN the parked path's (fs, jpath) for the caller
     to delete only after it has validated the installed state (a read
-    that resolves footers) — so every crash window leaves a complete
-    copy at target or ``__old``. Renames raise on failure; a failed
-    install is rolled back best-effort. Single-filesystem rename is
-    atomic per the HDFS contract; on object stores rename is copy+delete
-    and a mid-install crash can leave a PARTIAL target — there, a table
-    format (Delta/Iceberg) or a manifest-commit layer is the real
-    answer; callers' validation read is the detection backstop."""
+    that fully materializes, resolving every footer) — so every crash
+    window leaves a complete copy at target or ``__old``. Renames raise
+    on failure; a failed install is rolled back best-effort. Single-
+    filesystem rename is atomic per the HDFS contract; on object stores
+    rename is copy+delete and a mid-install crash can leave a PARTIAL
+    target — there, a table format (Delta/Iceberg) or a manifest-commit
+    layer is the real answer; the validation read is the detection
+    backstop.
+
+    A pre-existing ``__old`` is REFUSED, not deleted: it means a prior
+    run crashed (or failed validation) after parking a complete copy,
+    and the current target may be that run's partial install — deleting
+    ``__old`` here would destroy the last good copy. Callers run
+    ``_recover_interrupted_swap`` first, which resolves that state."""
     fs, target = _hadoop_fs(spark, target_path)
     old = _hadoop_fs(spark, target_path.rstrip("/") + _OLD_SUFFIX)[1]
     if fs.exists(old):
-        fs.delete(old, True)
+        raise IOError(
+            f"state swap: parked copy already present at {old} — a prior "
+            "swap did not complete; run _recover_interrupted_swap before "
+            "swapping (it validates the target and resolves the parked copy)"
+        )
     had_state = fs.exists(target)
     if had_state:
         _checked_rename(fs, target, old, "state aside")
@@ -90,6 +125,32 @@ def _swap_into_place(spark, staging_path: str, target_path: str):
             fs.rename(old, target)  # best-effort rollback; recovery covers the rest
         raise
     return fs, old
+
+
+def _install_and_validate(spark, staging_path: str, target_path: str, validate):
+    """The full swap protocol: install ``staging_path`` at ``target_path``
+    via rename-aside, run ``validate()`` (which MUST fully materialize the
+    installed state — e.g. ``lambda: spark.read.load(path).count()``; a
+    lazy read that only touches one footer lets a partial install pass),
+    and delete the parked ``__old`` only after validation succeeds.
+
+    On validation failure the suspect install is DELETED and the parked
+    copy restored — without that, the next run would merge from the
+    partial target while ``_swap_into_place`` refuses the leftover
+    ``__old`` (or, in the pre-refusal protocol, silently destroyed it).
+    Returns ``validate()``'s result so callers keep their count."""
+    fs, old = _swap_into_place(spark, staging_path, target_path)
+    target = _hadoop_fs(spark, target_path)[1]
+    try:
+        result = validate()
+    except Exception:
+        if fs.exists(old):
+            fs.delete(target, True)
+            _checked_rename(fs, old, target, "validation rollback")
+        raise
+    if fs.exists(old):
+        fs.delete(old, True)
+    return result
 
 
 def write_partitioned(
@@ -201,7 +262,7 @@ def upsert_by_key(
     # broad except silently set merged=updates and the delete below then
     # destroyed the prior state. A swap interrupted mid-rename is
     # restored first for the same reason.
-    _recover_interrupted_swap(spark, path)
+    _recover_interrupted_swap(spark, path, fmt)
     if _path_exists(spark, path):
         prev = spark.read.format(fmt).load(path)
         merged = prev.unionByName(updates, allowMissingColumns=False)
@@ -213,11 +274,11 @@ def upsert_by_key(
     # state to a staging path, then swap with a filesystem rename.
     staging = path.rstrip("/") + "__staging"
     latest.write.format(fmt).mode("overwrite").save(staging)
-    fs, old = _swap_into_place(spark, staging, path)
-    # the count IS the validation read — only then drop the parked copy
-    n = spark.read.format(fmt).load(path).count()
-    fs.delete(old, True)
-    return n
+    # the count IS the validation read — __old is dropped only after it
+    # succeeds, and a failed read rolls the partial install back
+    return _install_and_validate(
+        spark, staging, path, lambda: spark.read.format(fmt).load(path).count()
+    )
 
 
 def compact_path(
@@ -243,7 +304,7 @@ def compact_path(
 
     Returns {"files_before", "files_after", "rows", "bytes"}.
     """
-    _recover_interrupted_swap(spark, path)
+    _recover_interrupted_swap(spark, path, fmt)
     fs, target = _hadoop_fs(spark, path)
     before, total_bytes = 0, 0
     it = fs.listFiles(target, True)
@@ -269,15 +330,17 @@ def compact_path(
         out = df.repartition(n_files)
         writer = out.write.format(fmt).mode("overwrite")
     writer.save(staging)
-    fs, old = _swap_into_place(spark, staging, path)
-    # the post-swap listing is the validation read; only then drop the
-    # parked previous layout
+    # a full count is the validation read (a listing alone never resolves
+    # footers, so it would pass a truncated install); only after it
+    # succeeds is the parked previous layout dropped
+    _install_and_validate(
+        spark, staging, path, lambda: spark.read.format(fmt).load(path).count()
+    )
     after = 0
     it = fs.listFiles(target, True)
     while it.hasNext():
         if not it.next().getPath().getName().startswith(("_", ".")):
             after += 1
-    fs.delete(old, True)
     return {
         "files_before": before,
         "files_after": after,

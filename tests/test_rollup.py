@@ -317,8 +317,10 @@ def test_incremental_rollup_failed_rename_raises_not_deletes(spark, tmp_path):
     """A failed staging->target rename must raise, never fall through to
     deleting the renamed-aside previous state (Hadoop rename reports
     failure by returning False)."""
-    from data_pipelines_examples_spark.operators.rollup import _checked_rename
-    from data_pipelines_examples_spark.sources.writers import _hadoop_fs
+    from data_pipelines_examples_spark.sources.writers import (
+        _checked_rename,
+        _hadoop_fs,
+    )
 
     fs, missing = _hadoop_fs(spark, str(tmp_path / "does_not_exist"))
     dst = _hadoop_fs(spark, str(tmp_path / "dst"))[1]

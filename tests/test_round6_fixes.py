@@ -1,0 +1,138 @@
+"""Regression pins for the round-6 ADVICE fixes on the rename-aside swap
+protocol (sources/writers.py).
+
+The scenario that motivated them (ADVICE r5, medium): run A parks the
+live state at __old, installs staging, and its VALIDATION read fails
+(object-store partial install). Old protocol: run B's recovery saw a
+target and did nothing, B merged from the PARTIAL target, and B's swap
+then unconditionally deleted __old — the last complete copy. New
+protocol: (a) a failed validation deletes the suspect install and
+restores __old immediately; (b) recovery validates a target that
+coexists with __old by full materialization and discards it when
+unreadable; (c) _swap_into_place refuses to run over a pre-existing
+__old instead of deleting it.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from data_pipelines_examples_spark.sources.writers import (
+    WriteValidationError,
+    _hadoop_fs,
+    _install_and_validate,
+    _recover_interrupted_swap,
+    _swap_into_place,
+    upsert_by_key,
+)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, "k string, v int, ver int")
+
+
+def _write_state(spark, path, pairs):
+    _rows(spark, pairs).write.mode("overwrite").parquet(path)
+
+
+def _corrupt_one_parquet(path: str) -> None:
+    """Truncate one data file so schema inference may still succeed from
+    another footer but a full materialization fails."""
+    files = sorted(Path(path).glob("*.parquet"))
+    assert files, f"no parquet files under {path}"
+    files[0].write_bytes(b"PAR1 this is not a parquet file")
+
+
+def test_recovery_discards_partial_install_and_restores_old(spark, tmp_path):
+    """Both target and __old present, target unreadable (the object-store
+    partial-install aftermath): recovery must restore __old, and the next
+    upsert must merge against the restored COMPLETE history."""
+    path = str(tmp_path / "state")
+    _write_state(spark, path, [("a", 1, 1), ("b", 2, 1)])
+    shutil.copytree(path, path + "__old")
+    _corrupt_one_parquet(path)
+
+    n = upsert_by_key(_rows(spark, [("c", 3, 1)]), path, "k", "ver")
+    assert n == 3
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}  # history survived the partial
+    fs, old = _hadoop_fs(spark, path + "__old")
+    assert not fs.exists(old)
+
+
+def test_recovery_keeps_readable_target_and_drops_old(spark, tmp_path):
+    """Both present, target fully readable (crash AFTER a good install,
+    before the __old delete): the newer target wins; __old is cleared."""
+    path = str(tmp_path / "state")
+    _write_state(spark, path, [("old", 1, 1)])
+    shutil.move(path, path + "__old")
+    _write_state(spark, path, [("new", 9, 2)])
+
+    _recover_interrupted_swap(spark, path)
+    got = {r["k"] for r in spark.read.parquet(path).collect()}
+    assert got == {"new"}
+    fs, old = _hadoop_fs(spark, path + "__old")
+    assert not fs.exists(old)
+
+
+def test_swap_refuses_preexisting_old(spark, tmp_path):
+    """_swap_into_place must never delete a parked copy it didn't park —
+    a pre-existing __old is a protocol violation and raises."""
+    path = str(tmp_path / "state")
+    staging = path + "__staging"
+    _write_state(spark, path, [("a", 1, 1)])
+    shutil.copytree(path, path + "__old")
+    _write_state(spark, staging, [("b", 2, 1)])
+
+    with pytest.raises(IOError, match="parked copy already present"):
+        _swap_into_place(spark, staging, path)
+    # nothing was destroyed by the refusal
+    fs, old = _hadoop_fs(spark, path + "__old")
+    assert fs.exists(old)
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == {"a"}
+
+
+def test_validation_failure_rolls_back_to_parked_copy(spark, tmp_path):
+    """_install_and_validate: when validate() raises, the suspect install
+    is deleted and the parked complete copy restored, so the NEXT run
+    merges from good state (not the partial) without manual repair."""
+    path = str(tmp_path / "state")
+    staging = path + "__staging"
+    _write_state(spark, path, [("good", 1, 1)])
+    _write_state(spark, staging, [("suspect", 2, 2)])
+
+    def _failing_validate():
+        raise WriteValidationError("simulated partial-install read failure")
+
+    with pytest.raises(WriteValidationError):
+        _install_and_validate(spark, staging, path, _failing_validate)
+    got = {r["k"] for r in spark.read.parquet(path).collect()}
+    assert got == {"good"}
+    fs, old = _hadoop_fs(spark, path + "__old")
+    assert not fs.exists(old)
+    # and the protocol is re-runnable: a fresh staging installs cleanly
+    _write_state(spark, staging, [("repaired", 3, 3)])
+    n = _install_and_validate(
+        spark, staging, path, lambda: spark.read.parquet(path).count()
+    )
+    assert n == 1
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == {"repaired"}
+
+
+def test_validation_failure_on_first_install_just_raises(spark, tmp_path):
+    """No prior state (nothing to roll back to): the failed install stays
+    for inspection and the error propagates."""
+    path = str(tmp_path / "state")
+    staging = path + "__staging"
+    _write_state(spark, staging, [("first", 1, 1)])
+
+    with pytest.raises(WriteValidationError):
+        _install_and_validate(
+            spark,
+            staging,
+            path,
+            lambda: (_ for _ in ()).throw(WriteValidationError("boom")),
+        )
