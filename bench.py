@@ -123,6 +123,34 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — unhashable column type
             return df.count()
 
+    # Ambient-load canary: this VM's walls swing ±30% with invisible host
+    # load, so round-over-round deltas on the queries alone can't separate
+    # a regression from a noisy host. Time two FIXED reference workloads
+    # (a full lineitem scan-hash — I/O + codegen bound — and a pure-CPU
+    # range hash) with the same min-of-3 estimator; future rounds divide
+    # query walls by the canary before calling anything a regression.
+    def _canary(make_df) -> float:
+        best = None
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            consume(make_df())
+            wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+        return round(best, 3)
+
+    canary = {
+        "scan_lineitem": _canary(
+            lambda: spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        ),
+        "cpu_hash_50m": _canary(
+            lambda: spark.range(50_000_000).select(
+                F.xxhash64("id").alias("h")
+            )
+        ),
+    }
+    print(f"# canary: {canary}", file=sys.stderr)
+
     timings: dict[str, float | None] = {}
     for name in BENCH_QUERIES:
         best: float | None = None
@@ -167,6 +195,11 @@ def main() -> None:
                 # projections) are NOT comparable to r4+. min-of-2
                 # runs, min-of-3 when the best is sub-second.
                 "method": "full-column-hash consume; min-of-2 (3 if <1s)",
+                # Fixed reference workloads timed the same way; divide
+                # query walls by these before reading a cross-round
+                # delta as a regression (host load swings ±30% here).
+                "canary_sec": canary["scan_lineitem"],
+                "canary": canary,
             }
         )
     )
