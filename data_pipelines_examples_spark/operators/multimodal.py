@@ -4,11 +4,14 @@ with typed metadata, processed via Arrow-batched pandas iterators.
 LLM-pipeline extension (BASELINE.json north star). The Spark-side design
 is fully real — schemas, partition-aware batch iteration, mapInPandas
 signatures, metadata propagation. The codec is tiered: PIL when
-importable; a REAL pure-numpy pixel decoder for uncompressed formats
-(PPM P6, 24-bit BMP — raw pixel arrays behind public headers, so decode
-and nearest-neighbor resize need no media library); a clearly-labeled
-deterministic byte-stub only for compressed codecs in this
-library-less environment.
+importable; a REAL pure-numpy pixel decoder for formats that need no
+media library — PPM P6 and 24-bit BMP (raw pixel arrays behind public
+headers) and, since r6, non-interlaced 8-bit PNG (gray/RGB/RGBA:
+stdlib zlib inflate + full five-filter scanline reconstruction per the
+PNG spec §9) — so decode and nearest-neighbor resize are pixel-real
+for the dominant lossless format; a clearly-labeled deterministic
+byte-stub only for the remaining compressed codecs (JPEG/video) in
+this library-less environment.
 
 Scale notes: media bytes never leave the executor — mapInPandas streams
 Arrow record batches through Python, so per-batch memory is bounded by
@@ -64,11 +67,11 @@ def codec_capability() -> str:
             import logging
 
             logging.getLogger(__name__).warning(
-                "multimodal codec: PIL not importable — uncompressed formats "
-                "(PPM P6, 24-bit BMP) still decode for real via the pure-"
-                "numpy path; compressed codecs fall back to the "
-                "deterministic byte-stub (features byte-derived, not "
-                "pixel-derived)"
+                "multimodal codec: PIL not importable — PPM P6, 24-bit BMP "
+                "and non-interlaced 8-bit PNG still decode for real via the "
+                "pure-numpy path; remaining compressed codecs (JPEG/video) "
+                "fall back to the deterministic byte-stub (features "
+                "byte-derived, not pixel-derived)"
             )
     return _CODEC
 
@@ -104,11 +107,11 @@ def _luma_stats(rgb, n_bytes: int) -> dict:
 
 
 def _decode_numpy(content: bytes) -> dict | None:
-    """Pure-numpy pixel decode for uncompressed image formats — PPM (P6,
-    8-bit) and BMP (24-bit, BI_RGB). These formats are raw pixel arrays
-    behind a trivial public header, so no media library is required; the
-    decode is REAL (pixel-level stats, not byte-level). Returns None for
-    anything else (compressed codecs → PIL tier or the labeled stub)."""
+    """Pure-numpy pixel decode for library-free image formats — PPM (P6,
+    8-bit), BMP (24-bit, BI_RGB), and non-interlaced 8-bit PNG (stdlib
+    zlib). No media library is required; the decode is REAL (pixel-level
+    stats, not byte-level). Returns None for anything else (JPEG/video →
+    PIL tier or the labeled stub)."""
     rgb = _decode_numpy_pixels(content)
     return None if rgb is None else _luma_stats(rgb, len(content))
 
@@ -137,6 +140,8 @@ def _decode_numpy_pixels(content: bytes):
                 return None
             rgb = np.frombuffer(content, np.uint8, count=w * h * 3, offset=pos)
             return rgb.reshape(h, w, 3)
+        if content[:8] == _PNG_SIG:
+            return _decode_png_pixels(content)
         if content[:2] == b"BM":
             off = int.from_bytes(content[10:14], "little")
             w = int.from_bytes(content[18:22], "little", signed=True)
@@ -155,6 +160,97 @@ def _decode_numpy_pixels(content: bytes):
     except (ValueError, IndexError):
         return None  # truncated/corrupt header — not decodable here
     return None
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png_pixels(content: bytes):
+    """Real PNG decode with no media library: stdlib zlib inflate + the
+    five scanline filters of PNG spec §9 (None/Sub/Up/Average/Paeth).
+    Supports the dominant archival shapes — non-interlaced, 8-bit depth,
+    color types 0 (gray), 2 (truecolor), 6 (truecolor+alpha; alpha is
+    dropped, matching PIL's RGB conversion before convert("L")). Returns
+    h×w×3 uint8 or None (Adam7/16-bit/palette → PIL tier or stub).
+
+    Sub is vectorized as a wrapping per-byte-lane cumsum and Up as one
+    row add; Average/Paeth carry a true left-and-up recurrence, so those
+    rows reconstruct via a per-byte loop — real decode beats fake speed
+    in this library-less tier, and PIL takes over when importable."""
+    import zlib
+
+    import numpy as np
+
+    pos = 8
+    w = h = None
+    channels = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        size = int.from_bytes(content[pos : pos + 4], "big")
+        cid = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"IHDR":
+            if len(body) < 13:
+                return None
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, comp, filt, interlace = body[8:13]
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                return None
+            channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # length + type + body + crc
+    if not channels or not w or not h or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None  # truncated/corrupt deflate stream
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    bpp = channels
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    at = 0
+    for y in range(h):
+        f = raw[at]
+        row = np.frombuffer(raw, np.uint8, count=stride, offset=at + 1)
+        at += stride + 1
+        if f == 0:
+            line = row.copy()
+        elif f == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp] — a wrapping
+            # cumsum along each byte lane (mod-256 addition is associative)
+            lanes = row.reshape(w, bpp).astype(np.uint64)
+            line = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up: uint8 add wraps natively
+            line = row + prev
+        elif f == 3:  # Average — left-dependency forces the scalar loop
+            line = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(line[i - bpp]) if i >= bpp else 0
+                line[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            line = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            return None  # invalid filter byte — corrupt stream
+        recon[y] = line
+        prev = line
+    px = recon.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])
 
 
 def _decode_pil(content: bytes) -> dict:  # pragma: no cover — PIL absent here

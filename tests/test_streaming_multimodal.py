@@ -335,3 +335,166 @@ def test_audio_features_real_wav_decode(spark):
     r2 = out[2]
     assert (r2.rms, r2.peak, r2.zero_crossing_rate) == (r1.rms, r1.peak, r1.zero_crossing_rate)
     assert out[3].sample_rate is None  # non-WAV -> null row, not fake numbers
+
+
+# ---------------------------------------------------------------------------
+# Round-6: real PNG decode (stdlib zlib + five-filter reconstruction)
+# ---------------------------------------------------------------------------
+
+
+def _png_bytes(pixels, filters=None, color_type=2, interlace=0, depth=8):
+    """Spec-compliant PNG encoder for tests: per-scanline filter choice
+    (0-4, applied per PNG spec §9 so the decoder must INVERT them), real
+    CRCs, single IDAT. pixels: rows of (r,g,b) or (r,g,b,a) or gray int."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+
+    def px_bytes(p):
+        return bytes([p]) if ch == 1 else bytes(p[:ch])
+
+    rows = [b"".join(px_bytes(p) for p in row) for row in pixels]
+    filters = filters or [0] * h
+    bpp = ch
+    raw = bytearray()
+    prev = bytes(len(rows[0]))
+    for f, row in zip(filters, rows):
+        raw.append(f)
+        out = bytearray()
+        for i in range(len(row)):
+            x = row[i]
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                out.append(x)
+            elif f == 1:
+                out.append((x - a) & 0xFF)
+            elif f == 2:
+                out.append((x - b) & 0xFF)
+            elif f == 3:
+                out.append((x - ((a + b) >> 1)) & 0xFF)
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((x - pred) & 0xFF)
+        raw += out
+        prev = row
+
+    def chunk(cid, body):
+        return (
+            struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _rand_pixels(seed, w=7, h=5, ch=3):
+    import random
+
+    rng = random.Random(seed)
+    if ch == 1:
+        return [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+    return [
+        [tuple(rng.randrange(256) for _ in range(ch)) for _ in range(w)]
+        for _ in range(h)
+    ]
+
+
+def test_png_decode_inverts_every_filter_exactly():
+    """Each scanline filter (None/Sub/Up/Average/Paeth) must reconstruct
+    the EXACT source pixels — compared array-to-array, not via stats."""
+    import numpy as np
+
+    from data_pipelines_examples_spark.operators.multimodal import (
+        _decode_numpy_pixels,
+    )
+
+    pixels = _rand_pixels(1)
+    want = np.array(pixels, dtype=np.uint8)
+    for f in range(5):
+        got = _decode_numpy_pixels(_png_bytes(pixels, filters=[f] * 5))
+        assert got is not None, f"filter {f} not decoded"
+        assert np.array_equal(got, want), f"filter {f} pixels differ"
+    # mixed filters per row (what real encoders emit)
+    got = _decode_numpy_pixels(_png_bytes(pixels, filters=[0, 1, 2, 3, 4]))
+    assert np.array_equal(got, want)
+
+
+def test_png_gray_and_rgba_decode():
+    import numpy as np
+
+    from data_pipelines_examples_spark.operators.multimodal import (
+        _decode_numpy_pixels,
+    )
+
+    gray = _rand_pixels(2, ch=1)
+    got = _decode_numpy_pixels(_png_bytes(gray, color_type=0, filters=[4] * 5))
+    want = np.repeat(np.array(gray, np.uint8)[..., None], 3, axis=2)
+    assert np.array_equal(got, want)
+    rgba = _rand_pixels(3, ch=4)
+    got = _decode_numpy_pixels(_png_bytes(rgba, color_type=6, filters=[1] * 5))
+    want = np.array(rgba, np.uint8)[..., :3]
+    assert np.array_equal(got, want)
+
+
+def test_png_entropy_matches_ppm_twin():
+    """The r5 verdict's done-criterion: the same pixel grid as PNG and as
+    PPM must produce IDENTICAL pixel-entropy through _decode_numpy."""
+    from data_pipelines_examples_spark.operators.multimodal import _decode_numpy
+
+    pixels = _rand_pixels(4, w=9, h=6)
+    png = _png_bytes(pixels, filters=[4, 3, 2, 1, 0, 4])
+    ppm = _ppm_bytes(pixels)
+    d_png, d_ppm = _decode_numpy(png), _decode_numpy(ppm)
+    assert d_png is not None and d_ppm is not None
+    assert d_png["byte_entropy"] == d_ppm["byte_entropy"]
+    assert d_png["n_bytes"] == len(png)
+
+
+def test_png_unsupported_shapes_fall_through():
+    """Adam7, 16-bit, and corrupt deflate must return None (stub tier),
+    never a wrong pixel array or an exception."""
+    from data_pipelines_examples_spark.operators.multimodal import (
+        _decode_numpy_pixels,
+        _decode_stub,
+    )
+
+    pixels = _rand_pixels(5)
+    assert _decode_numpy_pixels(_png_bytes(pixels, interlace=1)) is None
+    assert _decode_numpy_pixels(_png_bytes(pixels, depth=16)) is None
+    blob = bytearray(_png_bytes(pixels))
+    blob[40] ^= 0xFF  # corrupt inside the IDAT deflate stream
+    assert _decode_numpy_pixels(bytes(blob)) is None
+    # and the stub still yields schema-stable stats for such blobs
+    assert _decode_stub(bytes(blob))["n_bytes"] == len(blob)
+
+
+def test_resize_png_goes_through_real_pixel_path(spark):
+    """A >max PNG must be resized from its ACTUAL pixels (nearest-
+    neighbor, re-encoded as P6) — identical output to the PPM twin."""
+    from data_pipelines_examples_spark.operators.multimodal import resize_images
+
+    pixels = _rand_pixels(6, w=8, h=6)
+    png, ppm = _png_bytes(pixels, filters=[2] * 6), _ppm_bytes(pixels)
+    df = spark.createDataFrame(
+        [(1, png, "image", 8, 6, None, "png"), (2, ppm, "image", 8, 6, None, "ppm")],
+        "media_id bigint, content binary, media_type string, width int,"
+        " height int, duration_ms int, codec string",
+    )
+    out = {
+        r.media_id: r
+        for r in resize_images(df, max_width=4, max_height=4).collect()
+    }
+    assert (out[1].width, out[1].height) == (4, 3)
+    assert bytes(out[1].content) == bytes(out[2].content)  # same pixels in, same P6 out
