@@ -65,11 +65,23 @@ def shred_json(
     blob fails ``json_object_valid`` — get_json_object alone is LENIENT
     (it extracts from single-quoted pseudo-JSON), so strict mode is what a
     cross-engine-reproducible pipeline wants (string-injection gate,
-    round 5). Cost: top-level scalar paths (``$.name``) are read straight
-    out of ONE strict map parse (the parse is the validity probe — no
-    second pass; repeated from_json of the same blob collapses under
-    codegen subexpression elimination); only nested paths pay an extra
-    get_json_object guarded by the probe.
+    round 5). Cost: top-level TYPED-scalar paths (``$.n`` as bigint) are
+    read straight out of ONE strict map parse (the parse is the validity
+    probe — no second pass; repeated from_json of the same blob collapses
+    under codegen subexpression elimination); string-typed and nested
+    paths pay a get_json_object guarded by the probe.
+
+    Extraction-route contract (r5 ADVICE): a STRING-typed output always
+    comes from ``get_json_object``, in strict and lenient mode alike —
+    the map parse and the path extractor are different parsers, and for
+    raw string outputs any divergence in how they serialize a nested
+    value or resolve duplicate keys would surface verbatim (flipping
+    ``strict`` must only change malformed-blob gating, never the
+    extracted text). The map fast path is kept only where a final
+    ``try_cast`` normalizes the lexical form anyway. The two routes are
+    measured identical on Spark 4.1 across nested/dup-key/escape/bignum
+    shapes (pinned by test_json_strict_routes_agree), so the restriction
+    costs nothing today and removes the cross-parser drift surface.
     """
     strict_map = F.from_json(F.col(json_col), "map<string,string>", _STRICT_JSON_OPTS)
     cols: list[Column] = [F.col(c) for c in (keep if keep is not None else df.columns)]
@@ -78,9 +90,13 @@ def shred_json(
             path, typ = path_spec
         else:
             path, typ = path_spec, "string"
-        is_nested_type = typ.strip().lower().startswith(("array", "struct", "map"))
+        norm_typ = typ.strip().lower()
+        is_nested_type = norm_typ.startswith(("array", "struct", "map"))
+        is_string_type = norm_typ in ("string", "varchar", "char") or norm_typ.startswith(
+            ("varchar(", "char(")
+        )
         top_level = path.startswith("$.") and all(c not in path[2:] for c in ".[")
-        if strict and top_level and not is_nested_type:
+        if strict and top_level and not is_nested_type and not is_string_type:
             raw = strict_map.getItem(path[2:])
         else:
             raw = F.get_json_object(F.col(json_col), path)

@@ -136,3 +136,67 @@ def test_validation_failure_on_first_install_just_raises(spark, tmp_path):
             path,
             lambda: (_ for _ in ()).throw(WriteValidationError("boom")),
         )
+
+
+# ---------------------------------------------------------------------------
+# shred_json extraction-route contract (r5 ADVICE): string-typed outputs
+# always come from get_json_object; the map fast path is typed-scalar only
+# ---------------------------------------------------------------------------
+
+
+def test_json_strict_routes_agree(spark):
+    """Pin the measured Spark 4.1 agreement between the two parsers on
+    the adversarial shapes (nested serialization, duplicate keys,
+    escapes, bignum lexical form) — if a future Spark diverges, this
+    fails BEFORE a user sees strict/lenient outputs differ."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_examples_spark.operators.json_ops import (
+        _STRICT_JSON_OPTS,
+    )
+
+    blobs = [
+        '{"k": {"a": 1,  "b":[2, 3]}}',
+        '{"k": 1, "k": 2}',
+        '{"k": "  padded  "}',
+        '{"k": 1e2}',
+        '{"k": 123456789012345678901234567890}',
+        '{"k": "\\u00e9\\n\\t"}',
+        '{"k": [1, {"x": "y"}, null]}',
+    ]
+    df = spark.createDataFrame([(b,) for b in blobs], "j string")
+    rows = df.select(
+        F.get_json_object("j", "$.k").alias("gjo"),
+        F.from_json("j", "map<string,string>", _STRICT_JSON_OPTS)
+        .getItem("k")
+        .alias("map"),
+    ).collect()
+    for blob, r in zip(blobs, rows):
+        assert r["gjo"] == r["map"], f"route divergence on {blob!r}"
+
+
+def test_shred_json_string_output_identical_across_modes(spark):
+    """Flipping strict must only gate malformed blobs, never change the
+    extracted TEXT of a well-formed one — string outputs take the same
+    extractor in both modes."""
+    from data_pipelines_examples_spark.operators.json_ops import shred_json
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": {"a": 1,  "b":[2, 3]}}'),
+            (2, '{"k": 1, "k": 2}'),
+            (3, '{"k": "plain"}'),
+            (4, "{'k': 'lenient-only'}"),
+            (5, None),
+        ],
+        "id int, props string",
+    )
+    spec = {"k": "$.k"}
+    strict = {r["id"]: r["k"] for r in shred_json(df, "props", spec, keep=["id"], strict=True).collect()}
+    lenient = {r["id"]: r["k"] for r in shred_json(df, "props", spec, keep=["id"]).collect()}
+    # well-formed rows: byte-identical text either mode
+    for i in (1, 2, 3):
+        assert strict[i] == lenient[i] is not None
+    # malformed row: gated in strict, extracted leniently otherwise
+    assert strict[4] is None and lenient[4] == "lenient-only"
+    assert strict[5] is None and lenient[5] is None
