@@ -21,3 +21,5 @@ Layout (SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+from .cache import release_cached  # noqa: E402,F401 — caller-owned persist release hook

@@ -1,0 +1,59 @@
+"""Caller-owned release hook for the library's internal persists.
+
+Multi-consumer operators persist a narrow internal frame and return a
+LAZY DataFrame over it (see SCALING.md "Internal-persist lifecycle"):
+the operator cannot unpersist before returning — the caller hasn't
+consumed the result yet — so in a long-lived session those caches
+accumulate. ``spark.catalog.clearCache()`` works but nukes the USER'S
+caches too; this registry releases exactly the frames this library
+persisted.
+
+Every internal persist routes through :func:`persist_internal`, which
+records the frame in a process-wide registry. The registry holds STRONG
+references deliberately: the JVM's CacheManager keys cache entries by
+logical plan, not by the Python wrapper, so an operator's internal
+DataFrame object dying at function exit does NOT release the executor
+storage — a weak registry would forget exactly the entries that need
+releasing. The wrappers are tiny; the registry drains on every call to
+:func:`release_cached`. Call it between logical units of a resident
+session — notebook cells, benchmark entries, service requests:
+
+    from data_pipelines_examples_spark import release_cached
+    ...
+    n = release_cached()          # async (non-blocking) by default
+    n = release_cached(blocking=True)  # wait for executors to free it
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_TRACKED: list[DataFrame] = []
+
+
+def persist_internal(
+    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """Persist an operator-internal frame and register it for
+    :func:`release_cached`. Chain-friendly: ``df.transform(persist_internal)``."""
+    df.persist(level)
+    _TRACKED.append(df)
+    return df
+
+
+def release_cached(blocking: bool = False) -> int:
+    """Unpersist every still-cached frame this library persisted; returns
+    how many were released. Safe to call repeatedly (idempotent) and
+    never touches caches the user created directly."""
+    released = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            lvl = df.storageLevel
+            if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
+                df.unpersist(blocking)
+                released += 1
+        except Exception:  # noqa: BLE001 — a dead session's frames just drop
+            pass
+    return released

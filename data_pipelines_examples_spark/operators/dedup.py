@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import persist_internal
+
 from ..functions.hashing import hash64
 from .balance import ensure_parallelism
 
@@ -475,8 +477,6 @@ def ngram_jaccard_pairs(
     once); and past ~10^7 docs prefer ``minhash_lsh_pairs`` — exact
     Jaccard is the verification twin, LSH is the 100 TB path.
     """
-    from pyspark import StorageLevel
-
     # distinct (id, gram): a doc's shingle SET. shingle_rows dedups per
     # input row, but a doc_id appearing on multiple rows (re-crawled
     # corpora, replayed batches) would otherwise inflate gram counts —
@@ -490,8 +490,10 @@ def ngram_jaccard_pairs(
     # consumers; measured A/B at sf0.1 (order-controlled, min-of-2):
     # 1.90s vs 1.97s — indistinguishable here, and distinct-first wins
     # at scale because every downstream exchange carries the deduped set.
-    p = shingle_rows(df, id_col, text_col, shingle_n).distinct().persist(
-        StorageLevel.MEMORY_AND_DISK
+    p = (
+        shingle_rows(df, id_col, text_col, shingle_n)
+        .distinct()
+        .transform(persist_internal)
     )
     gram_df = p.groupBy("__g").agg(F.count("*").alias("__df"))
     docs = (
@@ -515,7 +517,7 @@ def ngram_jaccard_pairs(
                 (F.col("__n") - F.ceil(F.col("__n") * F.lit(threshold)) + 1).cast("int"),
             ),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_internal)
     )
     posting = docs.select(id_col, "__n", F.explode("__prefix").alias("__g"))
     a = posting.select(
@@ -710,8 +712,6 @@ def duplicate_components(
 
     from .iterate import iterate_until_fixpoint
 
-    from pyspark import StorageLevel
-
     fwd = pairs.select(F.col(id_a).alias("id"), F.col(id_b).alias("nbr"))
     rev = pairs.select(F.col(id_b).alias("id"), F.col(id_a).alias("nbr"))
     # Persist the edge list: every fixpoint iteration joins against it,
@@ -719,7 +719,7 @@ def duplicate_components(
     # pair lineage (for minhash input that is the whole md5 signature
     # pipeline — measured as the dominator of q74's 12 s gate wall).
     # Edges are (id, nbr) longs only — MEMORY_AND_DISK is scale-honest.
-    edges = fwd.unionByName(rev).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    edges = fwd.unionByName(rev).distinct().transform(persist_internal)
     labels = edges.select("id").distinct().withColumn("component", F.col("id"))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
@@ -876,8 +876,6 @@ def strip_duplicate_spans(
     ever shuffled are (hash, id, start) triples, positions, and single
     tokens, never whole documents.
     """
-    from pyspark import StorageLevel
-
     df = ensure_parallelism(df)
     # ws feeds the window pass AND the reassembly tokens; wins feeds the
     # canonical groupBy AND the kill-list join — persist both or the
@@ -885,7 +883,7 @@ def strip_duplicate_spans(
     # measured in the plan). wins is (id, pos, 8-byte hash) triples.
     ws = df.select(
         F.col(id_col), F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__ws")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(persist_internal)
     wins = ws.filter(F.size("__ws") >= k).select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(1), F.size("__ws") - (k - 1))).alias("__i"),
@@ -894,7 +892,7 @@ def strip_duplicate_spans(
         F.col(id_col),
         F.col("__i"),
         F.xxhash64(F.array_join(F.slice("__ws", F.col("__i"), k), " ")).alias("__h"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(persist_internal)
     canon = (
         wins.groupBy("__h")
         .agg(

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import persist_internal
+
 
 def funnel_steps(
     df: DataFrame,
@@ -36,8 +38,6 @@ def funnel_steps(
     steps_completed). Only keys that complete step 1 appear."""
     if not steps:
         raise ValueError("steps must be non-empty")
-    from pyspark import StorageLevel
-
     # ONE narrow scan for the whole funnel: filter to the union of step
     # types and project (key, ts, event) once, then each step filters
     # the persisted frame. Without this every step re-scanned the full
@@ -46,7 +46,7 @@ def funnel_steps(
     base = (
         df.filter(F.col(event_col).isin(steps))
         .select(F.col(key_col), F.col(ts_col), F.col(event_col))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_internal)
     )
     cur = (
         base.filter(F.col(event_col) == steps[0])

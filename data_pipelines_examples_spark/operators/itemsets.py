@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import persist_internal
+
 # Default degenerate-basket fuse, shared with the q97/q107 oracle SQL
 # (the guard is part of the operator contract, so the oracles must
 # apply the same population cut — one constant keeps them in sync).
@@ -43,8 +45,6 @@ def _filtered_items(
     ``cooccurrence_pairs``'s numerators both derive from this
     projection; computing them from different populations silently
     understates both ratios whenever the size guard fires."""
-    from pyspark import StorageLevel
-
     items = df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
@@ -58,7 +58,7 @@ def _filtered_items(
     # and Spark's exchange reuse does NOT collapse them — measured 8
     # full source scans in q97's adaptive plan without the persist.
     # (basket, item) pairs only — MEMORY_AND_DISK is scale-honest.
-    return items.persist(StorageLevel.MEMORY_AND_DISK)
+    return items.transform(persist_internal)
 
 
 def cooccurrence_pairs(

@@ -33,12 +33,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import persist_internal
+
 
 def heavy_hitters(df: DataFrame, key_col: str, k: int = 100) -> DataFrame:
     """Exact keys appearing more than n/k times: (key, cnt, frac),
     frac = cnt / n. Deterministic, oracle-replicable."""
-    from pyspark import StorageLevel
-
     # total derives from the counts table (sum of cnt == n), never from
     # a second pass over the input — for an exploded token stream the
     # old df.count() re-exploded the whole corpus. counts persists
@@ -46,7 +46,7 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 100) -> DataFrame:
     counts = (
         df.groupBy(key_col)
         .agg(F.count("*").alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_internal)
     )
     total = counts.agg(F.sum("cnt").alias("__n"))
     return (

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import persist_internal
+
 
 def _token_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, token) rows — whitespace tokens of the lowercased text
@@ -69,13 +71,11 @@ def tfidf_top_terms(
     recomputing. Past single-machine scale, stage tf to parquet once
     and derive everything from the artifact.
     """
-    from pyspark import StorageLevel
-
     toks = _token_rows(df, id_col, text_col)
     tf = (
         toks.groupBy(id_col, "__t")
         .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_internal)
     )
     vocab = tf.groupBy("__t").agg(F.count("*").alias("df"))
     totals = tf.select(id_col).agg(F.countDistinct(id_col).alias("__n"))
@@ -127,8 +127,6 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    from pyspark import StorageLevel
-
     terms = sorted(set(query_terms))
     # lens feeds the avgdl total AND the scoring join; persisting the
     # narrow (id, len) projection keeps tokenization at one pass per
@@ -137,7 +135,7 @@ def bm25_topk(
     lens = df.select(
         F.col(id_col),
         F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__dl"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(persist_internal)
     totals = lens.agg(
         F.count("*").alias("__n"), F.sum("__dl").alias("__sumdl")
     )
@@ -201,8 +199,6 @@ def bm25_topk_batch(
     pairs on the term key; the top-k window partitions per QUERY — no
     global single-reducer, each query's candidates rank independently.
     """
-    from pyspark import StorageLevel
-
     qterms = (
         queries.select(
             F.col(query_id_col),
@@ -216,7 +212,7 @@ def bm25_topk_batch(
     lens = df.select(
         F.col(id_col),
         F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__dl"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(persist_internal)
     totals = lens.agg(F.count("*").alias("__n"), F.sum("__dl").alias("__sumdl"))
     term_set = qterms.select("__t").distinct()
     tf = (

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import persist_internal
+
 
 def hash_mod_sample(
     df: DataFrame,
@@ -324,21 +326,19 @@ def select_within_token_budget(
     oracle-graded equivalence) with reducer load bounded by the largest
     single quality level, not the corpus.
     """
-    from pyspark import StorageLevel
-
     # lv feeds the level aggregation, the wholesale semi-join, and the
     # boundary window; lev_cum feeds fits and boundary — persist both
     # (lv is (id, quality, tokens) triples; lev_cum is level-cardinality
     # rows) or the source re-scans per consumer (4 scans measured).
     lv = df.select(
         F.col(id_col), F.col(quality_col).alias("__q"), F.col(token_col).alias("__t")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(persist_internal)
     levels = lv.groupBy("__q").agg(F.sum("__t").alias("__lt"))
     wlev = Window.orderBy(F.col("__q").desc())
     lev_cum = (
         levels.withColumn("__cum", F.sum("__lt").over(wlev))
         .withColumn("__prev_cum", F.col("__cum") - F.col("__lt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_internal)
     )
     fits = lev_cum.filter(F.col("__cum") <= budget).select("__q")
     boundary = (

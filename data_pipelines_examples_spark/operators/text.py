@@ -14,6 +14,8 @@ import pandas as pd  # module scope: pandas_udf type hints resolve at def time
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import persist_internal
+
 from ..functions.hashing import hash64
 
 # A small multilingual stopword sample per language for the n-gram/stopword
@@ -196,8 +198,6 @@ def unigram_surprisal(
     corpus vocabularies do) and averages per doc. Returns
     (id, n_tokens, mean_surprisal).
     """
-    from pyspark import StorageLevel
-
     from .balance import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -209,11 +209,11 @@ def unigram_surprisal(
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__t"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(persist_internal)
     vocab = (
         toks.groupBy("__t")
         .agg(F.count("*").alias("__c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_internal)
     )
     totals = vocab.agg(
         F.sum("__c").alias("__n"), F.count("*").alias("__v")
@@ -263,8 +263,6 @@ def bigram_surprisal(
             F.element_at(toks, i + 1).alias("c"),
         ),
     )
-    from pyspark import StorageLevel
-
     from .balance import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -276,11 +274,11 @@ def bigram_surprisal(
         df.filter(F.size(toks) >= 2)
         .select(F.col(id_col), F.explode(grams).alias("g"))
         .select(id_col, F.col("g.p").alias("__p"), F.col("g.c").alias("__c"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(persist_internal)
     c2 = (
         ex.groupBy("__p", "__c")
         .agg(F.count("*").alias("__n2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_internal)
     )
     c1 = c2.groupBy("__p").agg(F.sum("__n2").alias("__n1"))
     v = c2.agg(F.countDistinct("__c").alias("__vs"))

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from ..cache import persist_internal
+
 
 def cumulative_sum(
     df: DataFrame,
@@ -238,7 +240,7 @@ def resample_asof(
     bounds = df.groupBy(key_col).agg(
         F.date_trunc(trunc_unit, F.min(ts_col)).alias("__t0"),
         F.max(ts_col).cast("timestamp").alias("__t1"),
-    ).persist()
+    ).transform(persist_internal)
     # seconds per tick, engine-evaluated so any valid INTERVAL literal
     # works (CAST(interval AS BIGINT) would return the leading unit, not
     # seconds). Computed as a DIFFERENCE of two casts: a bare

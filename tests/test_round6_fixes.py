@@ -200,3 +200,41 @@ def test_shred_json_string_output_identical_across_modes(spark):
     # malformed row: gated in strict, extracted leniently otherwise
     assert strict[4] is None and lenient[4] == "lenient-only"
     assert strict[5] is None and lenient[5] is None
+
+
+# ---------------------------------------------------------------------------
+# Internal-persist release hook (r5 ADVICE): release_cached() drops exactly
+# the library's still-live internal caches, idempotently
+# ---------------------------------------------------------------------------
+
+
+def test_release_cached_releases_internal_persists(spark):
+    from pyspark import StorageLevel
+
+    from data_pipelines_examples_spark import release_cached
+    from data_pipelines_examples_spark.operators.funnel import funnel_counts
+
+    release_cached()  # clean slate
+    df = spark.createDataFrame(
+        [(1, 1, "view"), (1, 2, "cart"), (2, 1, "view")],
+        "user_id int, ts int, event string",
+    )
+    out = funnel_counts(df, "user_id", "ts", "event", ["view", "cart"])
+    out.collect()  # materialize: the internal frame is now cached
+    # a USER cache must survive the release
+    user_df = spark.range(5).persist(StorageLevel.MEMORY_AND_DISK)
+    user_df.count()
+    assert release_cached() >= 1
+    assert release_cached() == 0  # idempotent
+    assert user_df.storageLevel.useMemory  # untouched
+    user_df.unpersist()
+
+
+def test_persist_internal_transform_chain(spark):
+    from data_pipelines_examples_spark.cache import persist_internal, release_cached
+
+    release_cached()
+    df = spark.range(10).transform(persist_internal)
+    assert df.storageLevel.useDisk  # MEMORY_AND_DISK applied
+    assert release_cached() == 1
+    assert not df.storageLevel.useMemory and not df.storageLevel.useDisk
