@@ -69,7 +69,15 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def resample(src: str, dst: str, seed: int = 20260814) -> dict[str, int]:
+def resample(
+    src: str, dst: str, seed: int = 20260814, scale: int = 1
+) -> dict[str, int]:
+    """Bootstrap every table; ``scale`` > 1 draws scale·n rows, extending
+    the density ladder past the largest generated SF (r5 verdict item 7:
+    sf0.1 × 10 ≈ an sf1-density composed gate) — every key appears
+    ~scale times, so duplicate groups, tie runs, and per-key window
+    partitions all grow ~scale× beyond anything the same-size bootstrap
+    reaches."""
     os.makedirs(dst, exist_ok=True)
     rng = np.random.RandomState(seed)
     counts = {}
@@ -81,7 +89,7 @@ def resample(src: str, dst: str, seed: int = 20260814) -> dict[str, int]:
             pq.write_table(t, os.path.join(dst, name))
             counts[name] = 0
             continue
-        idx = rng.randint(0, n, size=n)
+        idx = rng.randint(0, n, size=n * scale)
         pq.write_table(t.take(pa.array(idx)), os.path.join(dst, name))
         counts[name] = len(set(idx))
     return counts
@@ -309,8 +317,7 @@ def inject_times(src: str, dst: str, seed: int = 17, rate: float = 0.03) -> None
 
 
 if __name__ == "__main__":
-    flags = {"--nulls", "--skew", "--strings", "--floats", "--times"}
-    args = [a for a in sys.argv[1:] if a not in flags]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
     dst = args[1] if len(args) > 1 else "/tmp/randsf"
     if "--nulls" in sys.argv:
@@ -330,5 +337,9 @@ if __name__ == "__main__":
         print(f"time-injected {src} -> {dst}")
     else:
         seed = int(args[2]) if len(args) > 2 else 20260814
-        for name, distinct in resample(src, dst, seed).items():
-            print(f"{name}: resampled ({distinct} distinct source rows)")
+        scale = next(
+            (int(a.split("=", 1)[1]) for a in sys.argv[1:] if a.startswith("--scale=")),
+            1,
+        )
+        for name, distinct in resample(src, dst, seed, scale=scale).items():
+            print(f"{name}: resampled x{scale} ({distinct} distinct source rows)")
