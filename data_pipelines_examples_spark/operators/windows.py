@@ -31,13 +31,18 @@ from ..cache import persist_internal
 def cumulative_sum(
     df: DataFrame,
     value_cols: str | list[str],
-    order_by: str | list[str],
+    order_by: str | Column | list[str | Column],
     partition_by: str | list[str] | None = None,
     suffix: str = "_cum",
 ) -> DataFrame:
-    """Running total(s) ordered by ``order_by``, optionally per partition."""
+    """Running total(s) ordered by ``order_by``, optionally per partition.
+    Include enough tiebreak columns for a TOTAL order over rows whose
+    summed values can differ — a running ROWS frame over ambiguous ties
+    emits order-dependent prefix sums (sort-expression Columns like
+    ``F.col(c).asc_nulls_last()`` are accepted for cross-engine null
+    placement)."""
     values = [value_cols] if isinstance(value_cols, str) else list(value_cols)
-    orders = [order_by] if isinstance(order_by, str) else list(order_by)
+    orders = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
     w = Window.orderBy(*orders)
     if partition_by:
         parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
@@ -51,7 +56,7 @@ def cumulative_sum(
 def lag_features(
     df: DataFrame,
     value_col: str,
-    order_by: str | list[str],
+    order_by: str | Column | list[str | Column],
     offsets: list[int],
     partition_by: str | list[str] | None = None,
     prefix: str | None = None,
@@ -60,9 +65,11 @@ def lag_features(
 
     The reference builds the same features with a cascade of offset
     self-joins (one shuffle each); a shared window spec does it with a
-    single exchange regardless of len(offsets).
+    single exchange regardless of len(offsets). As with
+    ``cumulative_sum``, the order should be TOTAL over rows whose lagged
+    value differs, or the emitted values are order-dependent.
     """
-    orders = [order_by] if isinstance(order_by, str) else list(order_by)
+    orders = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
     if partition_by:
         parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         w = Window.partitionBy(*parts).orderBy(*orders)
@@ -167,6 +174,14 @@ def streaks(
     (0→1 edge) → running sum of markers = streak id → rank within
     (partition, streak id) = position in streak. Rows with flag==0 get
     streak_len = 0.
+
+    CONTRACT: ``order_by`` must be UNIQUE per row within a partition, not
+    merely total over distinct rows — the lag → running-sum → rank chain
+    hands positional state between window passes, and fully-identical
+    duplicate rows let each pass order the tie differently (measured
+    nondeterministic within a single engine at the sf1-density gate).
+    With duplicate rows, pre-aggregate to (order-key, flag, count) and
+    weight lengths by count — q22 shows the shape.
     """
     orders = [order_by] if isinstance(order_by, str) else list(order_by)
     parts = (

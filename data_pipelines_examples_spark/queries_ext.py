@@ -25,7 +25,8 @@ from .queries import _dsum, _t, query
     """
     SELECT o_custkey, o_orderkey,
            CAST(CAST(SUM(TRY_CAST(nullif(o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey, o_totalprice NULLS LAST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DECIMAL(18,4)) AS DOUBLE) AS spend_cum
     FROM orders
@@ -33,12 +34,25 @@ from .queries import _dsum, _t, query
 )
 def q19_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned cumulative sum (reference:
-    notebooks/databricks/python/usage_analysis.py:381-386)."""
+    notebooks/databricks/python/usage_analysis.py:381-386).
+
+    The window order carries o_totalprice as the FINAL tiebreak (explicit
+    NULLS LAST — the engines' ASC defaults differ): a running ROWS frame
+    over ties emits prefix sums, so rows sharing (date, orderkey) but
+    differing in price — the sf1-density composed gate produces exactly
+    that: a bootstrap duplicates the key, then the float/null axes hit
+    ONE copy — would otherwise yield an order-dependent row multiset.
+    Fully identical rows commute under the sum, so the order is total
+    where it matters. Both engines agree NaN sorts above +inf and equals
+    itself."""
     o = _t(spark, sf_dir, "orders").withColumn(
         "spend", F.col("o_totalprice").try_cast("decimal(18,4)")
     )
     out = cumulative_sum(
-        o, "spend", ["o_orderdate", "o_orderkey"], partition_by="o_custkey"
+        o,
+        "spend",
+        ["o_orderdate", "o_orderkey", F.col("o_totalprice").asc_nulls_last()],
+        partition_by="o_custkey",
     )
     return out.select(
         "o_custkey",
@@ -51,20 +65,37 @@ def q19_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q20_order_lag_features",
     """
     SELECT o_custkey, o_orderkey,
-           LAG(o_totalprice, 1) OVER w AS o_totalprice_lag1,
-           LAG(o_totalprice, 3) OVER w AS o_totalprice_lag3
+           LAG(o_totalprice, 1) OVER w + 0.0 AS o_totalprice_lag1,
+           LAG(o_totalprice, 3) OVER w + 0.0 AS o_totalprice_lag3
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey, o_totalprice NULLS LAST)
     """,
 )
 def q20_order_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG feature cascade on ONE window sort — the reference builds this
-    with N offset self-joins (automl_linearreg_process_stocks.py:100-213)."""
+    with N offset self-joins (automl_linearreg_process_stocks.py:100-213).
+
+    Same total-order contract as q19: o_totalprice is the final tiebreak
+    (NULLS LAST on both sides), since LAG over ambiguous tie order would
+    emit a different value multiset once the composed gate differentiates
+    bootstrap copies of one orderkey. ``+ 0.0`` canonicalizes negative
+    zero (the −0.0/+0.0 pair ties under ANY order, so the lagged value's
+    sign bit would otherwise be the one residual ambiguity)."""
     o = _t(spark, sf_dir, "orders")
     out = lag_features(
-        o, "o_totalprice", ["o_orderdate", "o_orderkey"], [1, 3], partition_by="o_custkey"
+        o,
+        "o_totalprice",
+        ["o_orderdate", "o_orderkey", F.col("o_totalprice").asc_nulls_last()],
+        [1, 3],
+        partition_by="o_custkey",
     )
-    return out.select("o_custkey", "o_orderkey", "o_totalprice_lag1", "o_totalprice_lag3")
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice_lag1") + F.lit(0.0)).alias("o_totalprice_lag1"),
+        (F.col("o_totalprice_lag3") + F.lit(0.0)).alias("o_totalprice_lag3"),
+    )
 
 
 @query(
@@ -96,24 +127,23 @@ def q21_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH flagged AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN value > 100 THEN 1 ELSE 0 END AS flag
-      FROM events
+             CASE WHEN value > 100 THEN 1 ELSE 0 END AS flag,
+             COUNT(*) AS cnt
+      FROM events GROUP BY user_id, ts, event_id, CASE WHEN value > 100 THEN 1 ELSE 0 END
     ), marked AS (
-      SELECT user_id, ts, event_id, flag,
+      SELECT user_id, ts, event_id, flag, cnt,
         CASE WHEN COALESCE(LAG(flag) OVER w, 0) = 0 AND flag = 1 THEN 1 ELSE 0 END AS start
       FROM flagged
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, flag)
     ), grouped AS (
-      SELECT user_id, ts, event_id, flag,
-        SUM(start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      SELECT user_id, flag, cnt,
+        SUM(start) OVER (PARTITION BY user_id ORDER BY ts, event_id, flag
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM marked
     ), lens AS (
-      SELECT user_id, flag,
-        CASE WHEN flag = 1 THEN
-          ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id)
-        ELSE 0 END AS streak_len
-      FROM grouped
+      SELECT user_id, sid,
+             SUM(CASE WHEN flag = 1 THEN cnt ELSE 0 END) AS streak_len
+      FROM grouped GROUP BY user_id, sid
     )
     SELECT user_id, CAST(MAX(streak_len) AS BIGINT) AS max_streak
     FROM lens GROUP BY user_id
@@ -121,12 +151,32 @@ def q21_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_user_value_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streak detection via conditional cumulative sums (reference:
-    automl_linearreg_process_stocks.py:327-375)."""
+    automl_linearreg_process_stocks.py:327-375).
+
+    Tie-collapse first (sf1-density gate): duplicate IDENTICAL rows make
+    any column order non-UNIQUE, and the lag → running-sum segmentation
+    hands positional state between window passes that may each order
+    ties differently — measured nondeterministic WITHIN DuckDB itself
+    (same SQL, different answers across runs at 32 threads), so no
+    tiebreak column can fix it. Aggregating to one row per
+    (user, ts, event_id, flag) with a count makes the order key unique;
+    runs are then segments of consecutive flag-1 GROUPS and a streak's
+    length is the count-weighted sum — identical semantics (ties sort
+    adjacent under every valid order), deterministic everywhere. The
+    flag is CASE-shaped (NULL value → 0) to match the oracle exactly."""
     e = _t(spark, sf_dir, "events").withColumn(
-        "flag", (F.col("value") > 100).cast("int")
+        "flag", F.when(F.col("value") > 100, F.lit(1)).otherwise(F.lit(0))
     )
-    st = streaks(e, "flag", ["ts", "event_id"], partition_by="user_id")
-    return st.groupBy("user_id").agg(
+    g = e.groupBy("user_id", "ts", "event_id", "flag").agg(
+        F.count("*").alias("cnt")
+    )
+    st = streaks(g, "flag", ["ts", "event_id", "flag"], partition_by="user_id")
+    lens = st.groupBy("user_id", "streak_id").agg(
+        F.sum(F.when(F.col("flag") == 1, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "streak_len"
+        )
+    )
+    return lens.groupBy("user_id").agg(
         F.max("streak_len").cast("bigint").alias("max_streak")
     )
 

@@ -131,9 +131,9 @@ _FIN_PRICE = FINITE_OR_NULL_SQL.format(col="o_totalprice")
     "q52_price_percentiles",
     f"""
     SELECT o_orderpriority,
-           quantile_cont({_FIN_PRICE}, 0.5) AS p50,
-           quantile_cont({_FIN_PRICE}, 0.9) AS p90,
-           quantile_cont({_FIN_PRICE}, 0.99) AS p99
+           CAST(CAST(quantile_cont({_FIN_PRICE}, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS p50,
+           CAST(CAST(quantile_cont({_FIN_PRICE}, 0.9) AS DECIMAL(18,4)) AS DOUBLE) AS p90,
+           CAST(CAST(quantile_cont({_FIN_PRICE}, 0.99) AS DECIMAL(18,4)) AS DOUBLE) AS p99
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -149,10 +149,19 @@ def q52_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     'values' means nothing anyway."""
     o = _t(spark, sf_dir, "orders")
     fin = "IF(isnan(o_totalprice) OR abs(o_totalprice) = double('inf'), NULL, o_totalprice)"
+    # Quantize through DECIMAL(18,4) on BOTH sides (the _dsum idiom):
+    # the engines' interpolation (lo + frac·(hi-lo)) agrees to the last
+    # ulp on small groups, but the sf1-density gate found one group
+    # where the accumulated frac·span rounding differs by 1 ulp
+    # (…43 vs …43000000005). Rank statistics at 4 decimals are the
+    # contract; bit-level interpolation residue is not.
+    def _q(p: float, name: str):
+        return F.expr(
+            f"cast(cast(percentile({fin}, {p}) as decimal(18,4)) as double)"
+        ).alias(name)
+
     return o.groupBy("o_orderpriority").agg(
-        F.expr(f"percentile({fin}, 0.5)").alias("p50"),
-        F.expr(f"percentile({fin}, 0.9)").alias("p90"),
-        F.expr(f"percentile({fin}, 0.99)").alias("p99"),
+        _q(0.5, "p50"), _q(0.9, "p90"), _q(0.99, "p99")
     )
 
 
@@ -164,7 +173,8 @@ def q52_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            last_value(o_totalprice)  OVER w + 0.0 AS last_price,
            nth_value(o_totalprice, 2) OVER w + 0.0 AS second_price
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey, o_totalprice NULLS LAST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
@@ -182,9 +192,15 @@ def q53_first_last_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct MATERIALIZES +0.0, while DuckDB's distinct keeps the -0.0
     payload bits — equal values, different hashes (--floats axis)."""
     o = _t(spark, sf_dir, "orders")
+    # o_totalprice is the final tiebreak (NULLS LAST both sides; q19's
+    # total-order contract): first/last/nth over (date, orderkey) ties
+    # whose copies differ in price — the sf1-density composed gate's
+    # bootstrap-then-inject shape — would otherwise pick either copy.
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(
+            "o_orderdate", "o_orderkey", F.col("o_totalprice").asc_nulls_last()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return (

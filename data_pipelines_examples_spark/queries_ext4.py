@@ -58,10 +58,14 @@ def q63_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q64_pack_offsets",
     r"""
     WITH docs AS (
-      -- DISTINCT: packing orders by doc_id, and duplicate doc_id rows
-      -- have NO deterministic order in any engine — dedup first (no-op
-      -- on unique ids), mirrored on the Spark side
-      SELECT DISTINCT doc_id, text FROM documents
+      -- ONE canonical row per doc_id: packing orders by doc_id, so ANY
+      -- duplicate id (even with differing text — an id collision the
+      -- sf1-density composed gate manufactures by bootstrapping a row
+      -- and then string-injecting one copy) must resolve before the
+      -- cumsum or the layout is order-ambiguous. MIN(text) is engine-
+      -- independent (both engines compare UTF-8 bytes); a no-op on
+      -- unique ids. Mirrored on the Spark side.
+      SELECT doc_id, MIN(text) AS text FROM documents GROUP BY doc_id
     ),
     counted AS (
       SELECT doc_id,
@@ -97,10 +101,15 @@ def q64_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard, carrying only id+count — never text) + an explode over
     straddled sequences. Deterministic and engine-independent, so the
     training-data layout is re-derivable and auditable months later."""
-    # dedup on (doc_id, text) — the exact key the oracle's DISTINCT uses;
-    # full-row dropDuplicates would keep two rows that differ only in
-    # lang/source, violating pack_offsets' unique-id contract
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text").dropDuplicates()
+    # one canonical row per doc_id (MIN(text), matching the oracle's
+    # GROUP BY): (doc_id, text) dedup alone still leaves an id COLLISION
+    # ambiguous when two texts share an id, violating pack_offsets'
+    # unique-id contract
+    d = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"))
+    )
     return pack_offsets(d, budget=256, shards=8)
 
 

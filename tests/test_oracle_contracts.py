@@ -58,6 +58,16 @@ def test_no_unguarded_money_column_in_decimal_casts():
     offenders = []
     for name, sql in entry_mod.oracle_sql().items():
         for arg in _cast_argument_spans(sql):
+            # a window ORDER BY inside the cast argument (e.g. q19's
+            # tiebreak `ORDER BY ..., o_totalprice NULLS LAST`) ORDERS
+            # by the money column — no decimal arithmetic touches it,
+            # so it needs no guard; strip OVER bodies before linting
+            arg = re.sub(
+                r"OVER\s*\([^()]*(?:\([^()]*\)[^()]*)*\)",
+                "OVER ()",
+                arg,
+                flags=re.IGNORECASE,
+            )
             for cm in MONEY_COL_RE.finditer(arg):
                 prefix = arg[: cm.start()]
                 # directly guarded: ...nullif( [alias.] col — or inside
