@@ -63,6 +63,58 @@ def collapse_intervals(
     )
 
 
+def cap_intervals_per_key(
+    df: DataFrame,
+    keys: list[str],
+    max_intervals_per_key: int,
+    mode: str = "cut",
+    what: str = "overlap_join",
+) -> DataFrame:
+    """Hot-key population guard for interval joins: a key holding K
+    intervals costs K² comparisons (and up to K² output pairs) in ANY
+    overlap formulation — binning spreads the work but cannot shrink the
+    output. The sf1-density composed gate measured the shape directly: a
+    skew-hot customer with 450k orders implies ~10⁹ overlapping pairs,
+    unrunnable on any engine. ``mode='cut'`` drops over-cap keys before
+    the join (the ``max_basket_size`` population-cut idiom — mirror the
+    cut in any oracle); ``mode='error'`` fails loudly with the offending
+    key and count. One aggregate over (keys) + a broadcast-eligible semi
+    join; skip entirely by passing ``max_intervals_per_key=None`` to the
+    callers."""
+    counts = df.groupBy(*keys).agg(F.count("*").alias("__k_n"))
+    if mode == "error":
+        checked = counts.withColumn(
+            "__k_n",
+            F.when(
+                F.col("__k_n") > max_intervals_per_key,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"{what}: key ("),
+                        F.concat_ws(
+                            ",", *[F.col(k).cast("string") for k in keys]
+                        ),
+                        F.lit(") holds "),
+                        F.col("__k_n").cast("string"),
+                        F.lit(
+                            f" intervals, over max_intervals_per_key="
+                            f"{max_intervals_per_key} — a hot key this size "
+                            "implies a quadratic pair explosion; pre-filter, "
+                            "cut (mode='cut'), or raise the cap explicitly"
+                        ),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("__k_n")),
+        )
+        # the filter REFERENCES the checked column so column pruning can
+        # never elide the raise_error branch (a bare drop would let
+        # Catalyst prune the count — and the check with it)
+        return df.join(
+            checked.filter(F.col("__k_n") >= 0).drop("__k_n"), keys, "left_semi"
+        )
+    ok = counts.filter(F.col("__k_n") <= max_intervals_per_key).drop("__k_n")
+    return df.join(ok, keys, "left_semi")
+
+
 def overlap_join(
     left: DataFrame,
     right: DataFrame,
@@ -73,6 +125,8 @@ def overlap_join(
     right_end: str,
     gap_days: int = 0,
     how: str = "inner",
+    max_intervals_per_key: int | None = None,
+    cap_mode: str = "cut",
 ) -> DataFrame:
     """Theta/range self-join on interval overlap within a key.
 
@@ -82,9 +136,20 @@ def overlap_join(
 
     Scale note: the equi-key conjunct makes this a shuffled sort-merge join
     on the key; the range predicate is evaluated inside the join, so the
-    cross-product is bounded per key, never global.
+    cross-product is bounded per key, never global. That bound is still
+    QUADRATIC in one key's interval count — pass
+    ``max_intervals_per_key`` (see ``cap_intervals_per_key``) to cut or
+    refuse skew-hot keys before the join; off by default so exact-parity
+    callers keep the full population.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    if max_intervals_per_key is not None:
+        left = cap_intervals_per_key(
+            left, keys, max_intervals_per_key, cap_mode, "overlap_join"
+        )
+        right = cap_intervals_per_key(
+            right, keys, max_intervals_per_key, cap_mode, "overlap_join"
+        )
     cond: Column | None = None
     for k in keys:
         c = left[k] == right[k]
@@ -108,6 +173,8 @@ def overlap_join_binned(
     bin_days: int = 30,
     gap_days: int = 0,
     max_bins_per_interval: int = 100_000,
+    max_intervals_per_key: int | None = None,
+    cap_mode: str = "cut",
 ) -> DataFrame:
     """Interval-overlap join via time binning — the scale path for
     ``overlap_join`` (inner only). Row-identical output (pinned by
@@ -138,8 +205,20 @@ def overlap_join_binned(
     job with the offending span instead of silently stalling an
     executor. The default (100k bins ≈ 8,200 years at the default
     30-day bin) only ever fires on corrupt data.
+
+    ``max_intervals_per_key`` guards the OTHER data-driven explosion —
+    a skew-hot key whose K intervals imply K² output pairs, which
+    binning redistributes but cannot shrink; see
+    ``cap_intervals_per_key``. Off by default (exact-parity callers).
     """
     keys = [key] if isinstance(key, str) else list(key)
+    if max_intervals_per_key is not None:
+        left = cap_intervals_per_key(
+            left, keys, max_intervals_per_key, cap_mode, "overlap_join_binned"
+        )
+        right = cap_intervals_per_key(
+            right, keys, max_intervals_per_key, cap_mode, "overlap_join_binned"
+        )
 
     def _binned(df: DataFrame, start: str, end: str) -> DataFrame:
         s_day = F.datediff(F.col(start), F.lit("1970-01-01"))

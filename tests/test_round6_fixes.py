@@ -238,3 +238,92 @@ def test_persist_internal_transform_chain(spark):
     assert df.storageLevel.useDisk  # MEMORY_AND_DISK applied
     assert release_cached() == 1
     assert not df.storageLevel.useMemory and not df.storageLevel.useDisk
+
+
+# ---------------------------------------------------------------------------
+# Hot-key population guard for interval overlap joins (sf1-density gate:
+# a skew-hot key's K intervals imply K^2 pairs; binning redistributes but
+# cannot shrink the output)
+# ---------------------------------------------------------------------------
+
+
+def _intervals(spark, rows, suffix=""):
+    df = spark.createDataFrame(rows, "k int, id int, s date, e date")
+    if suffix:
+        for c in ("id", "s", "e"):
+            df = df.withColumnRenamed(c, c + suffix)
+    return df
+
+
+def test_overlap_join_cap_cut_drops_only_hot_keys(spark):
+    import datetime as dt
+
+    from data_pipelines_examples_spark.operators.intervals import overlap_join
+
+    d = dt.date(2024, 1, 1)
+    rows = [(1, i, d, d) for i in range(6)] + [(2, 10, d, d), (2, 11, d, d)]
+    left, right = _intervals(spark, rows), _intervals(spark, rows, "2")
+    full = overlap_join(left, right, "k", "s", "e", "s2", "e2")
+    capped = overlap_join(
+        left, right, "k", "s", "e", "s2", "e2", max_intervals_per_key=5
+    )
+    # key 1 (6 intervals) is cut entirely; key 2 survives untouched
+    # (k appears on both sides of the theta join — access positionally)
+    capped_ks = [r[0] for r in capped.collect()]
+    full_ks = [r[0] for r in full.collect()]
+    assert capped_ks.count(1) == 0
+    assert capped_ks.count(2) == full_ks.count(2) == 4
+    # under-cap data: guarded == unguarded
+    same = overlap_join(
+        left, right, "k", "s", "e", "s2", "e2", max_intervals_per_key=100
+    )
+    assert same.count() == full.count()
+
+
+def test_overlap_join_cap_error_mode_raises_with_key(spark):
+    import datetime as dt
+
+    from data_pipelines_examples_spark.operators.intervals import overlap_join
+
+    d = dt.date(2024, 1, 1)
+    rows = [(7, i, d, d) for i in range(4)]
+    out = overlap_join(
+        _intervals(spark, rows), _intervals(spark, rows, "2"),
+        "k", "s", "e", "s2", "e2",
+        max_intervals_per_key=3, cap_mode="error",
+    )
+    with pytest.raises(Exception, match="max_intervals_per_key"):
+        out.count()
+
+
+def test_overlap_join_binned_cap_matches_theta_cap(spark):
+    """Guarded binned join stays row-identical to the guarded theta join
+    (the r5 identity, now under the population cut)."""
+    import datetime as dt
+
+    from data_pipelines_examples_spark.operators.intervals import (
+        overlap_join,
+        overlap_join_binned,
+    )
+
+    d = dt.date(2024, 1, 1)
+    rows = [
+        (1, i, d + dt.timedelta(days=i), d + dt.timedelta(days=i + 3))
+        for i in range(8)
+    ] + [
+        (2, 20 + i, d + dt.timedelta(days=2 * i), d + dt.timedelta(days=2 * i + 2))
+        for i in range(4)
+    ]
+    left, right = _intervals(spark, rows), _intervals(spark, rows, "2")
+    theta = overlap_join(
+        left, right, "k", "s", "e", "s2", "e2", max_intervals_per_key=5
+    )
+    binned = overlap_join_binned(
+        left, right, "k", "s", "e", "s2", "e2",
+        bin_days=7, max_intervals_per_key=5,
+    )
+    t = sorted((r["id"], r["id2"]) for r in theta.select("id", "id2").collect())
+    b = sorted((r["id"], r["id2"]) for r in binned.select("id", "id2").collect())
+    assert t == b
+    # only key 2 (4 intervals, under cap) survives
+    assert {r[0] for r in theta.collect()} == {2}
