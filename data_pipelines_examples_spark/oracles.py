@@ -62,11 +62,21 @@ def latest_event_per_ts_sql(src: str = "events") -> str:
     whose value argument is NULL while Spark's max_by RETURNS the NULL,
     so the same SQL shape answers differently per engine on a duplicate
     (user_id, ts) whose max-event_id row carries a NULL (composed
-    differential axes; pinned by test_oracle_contracts)."""
-    return f"""SELECT user_id, ts, value FROM (
+    differential axes; pinned by test_oracle_contracts).
+
+    ``value DESC NULLS LAST`` is the final tiebreak (sf1-density gate):
+    event_id itself duplicates under a bootstrap and the float/null axes
+    differentiate the copies, so event_id alone is no longer a total
+    order — among event_id ties the greatest value wins, NULL losing to
+    any non-null, exactly Spark's ``max_by(value, struct(event_id,
+    value))`` struct comparison (verified: null field loses at equal
+    event_id, wins at higher event_id; NaN sorts greatest in both
+    engines). ``+ 0.0`` canonicalizes the one residual tie, −0.0/+0.0
+    (equal sort keys, different hash bits)."""
+    return f"""SELECT user_id, ts, value + 0.0 AS value FROM (
         SELECT user_id, ts, value,
                row_number() OVER (PARTITION BY user_id, ts
-                                  ORDER BY event_id DESC) AS rn
+                                  ORDER BY event_id DESC, value DESC NULLS LAST) AS rn
         FROM {src})
       WHERE rn = 1"""
 

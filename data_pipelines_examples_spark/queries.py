@@ -387,25 +387,40 @@ def q04_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q05_latest_order_per_customer",
     """
-    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice + 0.0 AS o_totalprice
     FROM (
       SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                                ORDER BY o_orderdate DESC, o_orderkey DESC,
+                                         o_totalprice DESC NULLS LAST) AS rn
       FROM orders
     ) WHERE rn = 1
     """,
 )
 def q05_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-pick / latest-snapshot (reference:
-    dags/dataswm/servicenow_api_extract.py:2337-2342, bof rank-1 pick)."""
+    dags/dataswm/servicenow_api_extract.py:2337-2342, bof rank-1 pick).
+
+    o_totalprice closes the rank order (DESC NULLS LAST on both sides)
+    and +0.0 canonicalizes −0.0: the sf1-density gate duplicates an
+    orderkey and float-injects one copy, so (date, orderkey) ties with
+    different prices made the rank-1 pick order-dependent."""
     o = _t(spark, sf_dir, "orders")
     return rank_pick(
         o,
         "o_custkey",
-        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+        [
+            F.col("o_orderdate").desc(),
+            F.col("o_orderkey").desc(),
+            F.col("o_totalprice").desc_nulls_last(),
+        ],
         use_row_number=True,
-    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_totalprice") + F.lit(0.0)).alias("o_totalprice"),
+    )
 
 
 @query(
@@ -559,44 +574,58 @@ def q10_scd_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "q11_sessionize_events",
     """
-    WITH flagged AS (
-      SELECT user_id, ts, event_id,
+    WITH per_ts AS (
+      SELECT user_id, ts, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, ts
+    ), flagged AS (
+      SELECT user_id, ts, cnt,
         CASE WHEN LAG(ts) OVER w IS NULL
                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
              THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      FROM per_ts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sess AS (
-      SELECT user_id, ts, event_id,
-        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      SELECT user_id, ts, cnt,
+        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
-           COUNT(*) AS n_events
+           CAST(SUM(cnt) AS BIGINT) AS n_events
     FROM sess GROUP BY user_id, session_id
     """,
 )
 def q11_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization — the gaps-and-islands composition on event time
     (reference pattern: overlap_query_no_recursive_cte_needed.sql:36-107
-    applied to a 30-minute inactivity gap)."""
+    applied to a 30-minute inactivity gap).
+
+    Tie-collapse first (the q22 lesson at sf1 density): session
+    boundaries depend only on DISTINCT timestamps — same-ts events are
+    one session by definition — but running the lag → cumsum chain over
+    raw rows hands positional state between window passes, and
+    fully-duplicated rows let each pass order a tie differently,
+    splitting a tie group across two sessions nondeterministically.
+    Aggregating to (user, ts, count) makes the order key unique, then
+    n_events is the count-weighted sum. Also one fewer wide column
+    through the two window sorts — the same plan you want at 100 TB."""
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    per_ts = e.groupBy("user_id", "ts").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy("ts")
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(
         prev_ts.isNull()
         | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > 1_800_000_000),
         1,
     ).otherwise(0)
-    sess = e.withColumn(
+    sess = per_ts.withColumn(
         "session_id",
         F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.count("*").alias("n_events"),
+        F.sum("cnt").cast("bigint").alias("n_events"),
     )
 
 
@@ -633,10 +662,14 @@ def q12_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q13_dedup_exact_documents",
     """
+    -- IN (= semi join), NOT an inner join against the winner list: the
+    -- operator's semantics are an ID SET of survivors (Spark side is a
+    -- left_semi). Under id collisions (sf1-density bootstrap: one
+    -- doc_id, ten copies, one string-injected) an id can win SEVERAL
+    -- text groups, and an inner join would multiply its copies per win.
     SELECT d.doc_id, d.lang, d.source, d.n_chars
     FROM documents d
-    JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text) k
-      ON d.doc_id = k.doc_id
+    WHERE d.doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
     ORDER BY d.doc_id
     """,
 )

@@ -44,8 +44,13 @@ def q49_asof_latest_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (you see what was recorded at that instant) — mirrored by the
     # oracle's row_number dedup, NOT DuckDB max_by, which silently
     # skips NULL-valued rows where Spark's max_by returns the NULL.
+    # struct(event_id, value) comparator + output +0.0: see
+    # oracles.latest_event_per_ts_sql — event_id duplicates under the
+    # sf1-density bootstrap, so value breaks the residual tie.
     e1 = e.groupBy("user_id", "ts").agg(
-        F.max_by("value", "event_id").alias("value")
+        (F.max_by("value", F.struct("event_id", "value")) + F.lit(0.0)).alias(
+            "value"
+        )
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     out = asof_join(
@@ -221,8 +226,14 @@ def q53_first_last_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
            count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
            CAST(SUM(TRY_CAST(nullif(l_extendedprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price,
-           CAST(TRY_CAST(AVG({FINITE_OR_NULL_SQL.format(col="l_quantity")})
-                         FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,4)) AS DOUBLE) AS avg_qty_f
+           -- the AVG OUTPUT needs the NaN guard too: ±1e308 inputs are
+           -- FINITE (the input guard keeps them), but their running sum
+           -- can overflow to ±inf and mix to NaN — and DuckDB TRY_CAST
+           -- still throws on NaN→DECIMAL (sf1-density gate; Spark
+           -- try_cast NULLs it)
+           CAST(TRY_CAST(nullif(AVG({FINITE_OR_NULL_SQL.format(col="l_quantity")})
+                                FILTER (WHERE l_linestatus = 'F'),
+                                CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4)) AS DOUBLE) AS avg_qty_f
     FROM lineitem GROUP BY l_returnflag
     """,
 )

@@ -219,7 +219,9 @@ def q67_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q68_materialized_sequences",
     r"""
     WITH docs AS (
-      SELECT DISTINCT doc_id, text FROM documents
+      -- one canonical row per doc_id (see q64): id collisions would
+      -- make the pack cumsum order-ambiguous
+      SELECT doc_id, MIN(text) AS text FROM documents GROUP BY doc_id
     ),
     counted AS (
       SELECT doc_id,
@@ -268,8 +270,12 @@ def q68_materialized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembly are all hash-checked together. Text crosses one shuffle."""
     from .operators.packing import materialize_sequences, pack_offsets
 
-    # same (doc_id, text) dedup key as q64 and both oracles' DISTINCT
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text").dropDuplicates()
+    # one canonical row per doc_id (MIN(text)) — same contract as q64
+    d = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"))
+    )
     manifest = pack_offsets(d, budget=256, shards=8)
     out = materialize_sequences(d, manifest)
     return out.select(

@@ -825,7 +825,11 @@ def q93_hourly_resample_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts") < F.lit("2030-01-01").cast("timestamp"))
     )
     obs = ev.groupBy("user_id", "ts").agg(
-        F.max_by("value", "event_id").alias("value")
+        # struct comparator + output +0.0: event_id duplicates under the
+        # sf1-density bootstrap — see oracles.latest_event_per_ts_sql
+        (F.max_by("value", F.struct("event_id", "value")) + F.lit(0.0)).alias(
+            "value"
+        )
     )
     out = resample_asof(
         obs, "user_id", "ts", ["value"], interval="1 hour", trunc_unit="hour"
