@@ -300,8 +300,11 @@ def q79_dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q80_duplicate_spans",
     r"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-      FROM documents
+      -- one canonical row per doc_id (MIN(text), the q64 contract): id
+      -- collisions would give one doc_id two token arrays and make
+      -- every positional span ambiguous
+      SELECT doc_id, string_split_regex(lower(trim(MIN(text))), '\s+') AS w
+      FROM documents GROUP BY doc_id
     ),
     wins AS (
       SELECT doc_id,
@@ -339,7 +342,15 @@ def q80_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributes; spans merge per-doc with one gaps-and-islands window."""
     from .operators.dedup import duplicate_spans
 
-    out = duplicate_spans(_t(spark, sf_dir, "documents"), k=8, min_docs=2)
+    # one canonical row per doc_id (MIN(text)) — id collisions would
+    # give one doc_id two token arrays and make every span positional
+    # claim ambiguous; mirrored in the oracle's GROUP BY
+    d = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"))
+    )
+    out = duplicate_spans(d, k=8, min_docs=2)
     return out.select(
         "doc_id",
         F.col("span_start").cast("long").alias("span_start"),
@@ -353,8 +364,11 @@ def q80_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q81_strip_duplicate_spans",
     r"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-      FROM documents
+      -- one canonical row per doc_id (MIN(text), the q64 contract): id
+      -- collisions would give one doc_id two token arrays and make
+      -- every positional span ambiguous
+      SELECT doc_id, string_split_regex(lower(trim(MIN(text))), '\s+') AS w
+      FROM documents GROUP BY doc_id
     ),
     wins AS (
       SELECT doc_id,
@@ -395,7 +409,13 @@ def q81_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline is hash-checked end to end."""
     from .operators.dedup import strip_duplicate_spans
 
-    return strip_duplicate_spans(_t(spark, sf_dir, "documents"), k=8, min_docs=2)
+    # canonical row per doc_id — same contract as q80/q64
+    d = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"))
+    )
+    return strip_duplicate_spans(d, k=8, min_docs=2)
 
 
 @query(
@@ -435,16 +455,21 @@ def q82_scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q83_apply_cdc_snapshot",
     """
     WITH ch AS (
+      -- +0.0 canonicalizes -0.0; the window below totals the order
       SELECT o_custkey AS c_custkey,
-             CAST(o_totalprice AS DOUBLE) AS c_acctbal,
+             CAST(o_totalprice AS DOUBLE) + 0.0 AS c_acctbal,
              CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
              o_orderkey AS ver
       FROM orders
     ),
     latest AS (
       SELECT c_custkey, c_acctbal, op FROM (
+        -- ver (an orderkey) duplicates under the sf1-density
+        -- bootstrap with float/status-injected copies: op and balance
+        -- close the order so rn=1 is deterministic in both engines
         SELECT ch.*, ROW_NUMBER() OVER (
-          PARTITION BY c_custkey ORDER BY ver DESC
+          PARTITION BY c_custkey
+          ORDER BY ver DESC, op DESC, c_acctbal DESC NULLS LAST
         ) AS rn FROM ch
       ) WHERE rn = 1
     )
@@ -465,11 +490,25 @@ def q83_apply_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal")
     )
+    # +0.0 canonicalizes -0.0; the (key, ver) dedup below makes the
+    # change stream a total order per key — ver (an orderkey) duplicates
+    # under the sf1-density bootstrap with float/status-injected copies,
+    # and apply_cdc's latest-by-ver pick was ambiguous among them.
+    # Mirrored by the oracle window's `ver DESC, op DESC, c_acctbal
+    # DESC NULLS LAST`.
     changes = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey"),
-        F.col("o_totalprice").cast("double").alias("c_acctbal"),
+        (F.col("o_totalprice").cast("double") + F.lit(0.0)).alias("c_acctbal"),
         F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
         F.col("o_orderkey").alias("ver"),
+    )
+    wv = Window.partitionBy("c_custkey", "ver").orderBy(
+        F.col("op").desc(), F.col("c_acctbal").desc_nulls_last()
+    )
+    changes = (
+        changes.withColumn("__rn", F.row_number().over(wv))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
     return apply_cdc(cust, changes, "c_custkey", "op", "ver")
 
@@ -565,16 +604,21 @@ def q85_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM customer
     ),
     ch AS (
+      -- +0.0 canonicalizes -0.0; the window below totals the order
       SELECT o_custkey AS c_custkey,
-             CAST(o_totalprice AS DOUBLE) AS c_acctbal,
+             CAST(o_totalprice AS DOUBLE) + 0.0 AS c_acctbal,
              CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
              o_orderkey AS ver
       FROM orders
     ),
     latest AS (
       SELECT c_custkey, c_acctbal, op FROM (
+        -- ver (an orderkey) duplicates under the sf1-density
+        -- bootstrap with float/status-injected copies: op and balance
+        -- close the order so rn=1 is deterministic in both engines
         SELECT ch.*, ROW_NUMBER() OVER (
-          PARTITION BY c_custkey ORDER BY ver DESC
+          PARTITION BY c_custkey
+          ORDER BY ver DESC, op DESC, c_acctbal DESC NULLS LAST
         ) AS rn FROM ch
       ) WHERE rn = 1
     ),
@@ -614,11 +658,25 @@ def q86_snapshot_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = _t(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal")
     )
+    # +0.0 canonicalizes -0.0; the (key, ver) dedup below makes the
+    # change stream a total order per key — ver (an orderkey) duplicates
+    # under the sf1-density bootstrap with float/status-injected copies,
+    # and apply_cdc's latest-by-ver pick was ambiguous among them.
+    # Mirrored by the oracle window's `ver DESC, op DESC, c_acctbal
+    # DESC NULLS LAST`.
     changes = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey"),
-        F.col("o_totalprice").cast("double").alias("c_acctbal"),
+        (F.col("o_totalprice").cast("double") + F.lit(0.0)).alias("c_acctbal"),
         F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
         F.col("o_orderkey").alias("ver"),
+    )
+    wv = Window.partitionBy("c_custkey", "ver").orderBy(
+        F.col("op").desc(), F.col("c_acctbal").desc_nulls_last()
+    )
+    changes = (
+        changes.withColumn("__rn", F.row_number().over(wv))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
     new = apply_cdc(old, changes, "c_custkey", "op", "ver")
     diff = snapshot_diff(old, new, "c_custkey")
