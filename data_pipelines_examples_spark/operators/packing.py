@@ -329,7 +329,13 @@ def length_bucketed_batches(
         F.pmod(F.col(id_col), F.lit(shards)).cast("int").alias("shard"),
         hash64(key, seed=seed, how=hash_how).alias("__hk"),
     )
-    w = Window.partitionBy("bucket", "shard").orderBy(F.col("__hk"), F.col(id_col))
+    # len_col closes the order: duplicate ids tie on (hash, id), and
+    # copies can differ in length yet share a bucket (sf1-density gate —
+    # string-injected bootstrap copies), which left batch positions
+    # order-ambiguous. Identical (id, len) rows commute.
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.col("__hk"), F.col(id_col), F.col(len_col)
+    )
     rn = F.row_number().over(w) - F.lit(1)
     return b.withColumn(
         "batch_id", (rn / F.lit(batch_size)).cast("bigint")

@@ -160,7 +160,9 @@ def q75_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY bucket, shard
-        ORDER BY {sql_hash64_seeded("CAST(doc_id AS VARCHAR)", 3)}, doc_id
+        -- n_tokens closes the order (duplicate ids, divergent lengths,
+        -- same bucket — sf1-density gate); mirrored in the operator
+        ORDER BY {sql_hash64_seeded("CAST(doc_id AS VARCHAR)", 3)}, doc_id, n_tokens
       ) AS rn
       FROM b
     )
