@@ -163,9 +163,17 @@ def q22_user_value_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs are then segments of consecutive flag-1 GROUPS and a streak's
     length is the count-weighted sum — identical semantics (ties sort
     adjacent under every valid order), deterministic everywhere. The
-    flag is CASE-shaped (NULL value → 0) to match the oracle exactly."""
-    e = _t(spark, sf_dir, "events").withColumn(
-        "flag", F.when(F.col("value") > 100, F.lit(1)).otherwise(F.lit(0))
+    flag is CASE-shaped (NULL value → 0) to match the oracle exactly.
+    The explicit repartition on user_id makes the tie-collapse FREE of
+    extra shuffles: hash(user) clusters every (user, ts, event, flag)
+    group AND the streak windows — one exchange total (q11's measured
+    shape)."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .repartition("user_id")
+        .withColumn(
+            "flag", F.when(F.col("value") > 100, F.lit(1)).otherwise(F.lit(0))
+        )
     )
     g = e.groupBy("user_id", "ts", "event_id", "flag").agg(
         F.count("*").alias("cnt")

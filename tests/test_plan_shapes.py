@@ -316,3 +316,17 @@ def test_winnowing_materializes_before_window_min(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     plan = winnowing_fingerprints(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert "__winnow_h" in plan
+
+
+def test_sessionize_tie_collapse_single_exchange(spark):
+    """q11/q22's r6 tie-collapse must stay FREE: the explicit user_id
+    repartition satisfies both the (user, ts[, ...]) collapse aggregation
+    and the downstream windows, so the whole pipeline is ONE exchange —
+    a second exchange means someone dropped the repartition or broke
+    subset-partitioning reuse."""
+    from data_pipelines_examples_spark.queries import _QUERIES, _load_all
+
+    _load_all()
+    for name in ("q11_sessionize_events", "q22_user_value_streaks"):
+        df = _QUERIES[name](spark, SF_SMOKE)
+        assert count_shuffles(df) == 1, f"{name} grew a second exchange"
