@@ -166,7 +166,12 @@ def main() -> None:
                     break
                 # Operators with internal multi-consumer persists would
                 # otherwise serve run 2+ from run 1's cache, timing the
-                # cached-read path instead of the full pipeline.
+                # cached-read path instead of the full pipeline. Drain
+                # the library's persist registry too so its strong refs
+                # stay bounded across 35 queries × 3 runs.
+                from data_pipelines_examples_spark import release_cached
+
+                release_cached()
                 spark.catalog.clearCache()
                 t0 = time.time()
                 n = consume(qs[name](spark, sf_dir))

@@ -39,6 +39,20 @@ def persist_internal(
     :func:`release_cached`. Chain-friendly: ``df.transform(persist_internal)``."""
     df.persist(level)
     _TRACKED.append(df)
+    # Self-prune: a long-lived process that clears caches some other way
+    # (spark.catalog.clearCache between bench entries) would otherwise
+    # accumulate dead wrappers — each pinning a py4j-backed plan —
+    # forever. Cheap O(n) sweep, amortized by the threshold.
+    if len(_TRACKED) > 128:
+        live = []
+        for d in _TRACKED:
+            try:
+                lvl = d.storageLevel
+                if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
+                    live.append(d)
+            except Exception:  # noqa: BLE001
+                pass
+        _TRACKED[:] = live
     return df
 
 

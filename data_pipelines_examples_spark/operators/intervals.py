@@ -81,6 +81,16 @@ def cap_intervals_per_key(
     key and count. One aggregate over (keys) + a broadcast-eligible semi
     join; skip entirely by passing ``max_intervals_per_key=None`` to the
     callers."""
+    # NULL-key rows bypass the guard untouched: the equi-join predicate
+    # rejects NULLs, so a NULL-key population can never pair-explode —
+    # cutting them would silently drop outer-join rows, and error mode
+    # would refuse a job that cannot blow up.
+    nonnull = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        nonnull = c if nonnull is None else (nonnull & c)
+    null_rows = df.filter(~nonnull)
+    df = df.filter(nonnull)
     counts = df.groupBy(*keys).agg(F.count("*").alias("__k_n"))
     if mode == "error":
         checked = counts.withColumn(
@@ -108,11 +118,12 @@ def cap_intervals_per_key(
         # the filter REFERENCES the checked column so column pruning can
         # never elide the raise_error branch (a bare drop would let
         # Catalyst prune the count — and the check with it)
-        return df.join(
+        guarded = df.join(
             checked.filter(F.col("__k_n") >= 0).drop("__k_n"), keys, "left_semi"
         )
+        return guarded.unionByName(null_rows)
     ok = counts.filter(F.col("__k_n") <= max_intervals_per_key).drop("__k_n")
-    return df.join(ok, keys, "left_semi")
+    return df.join(ok, keys, "left_semi").unionByName(null_rows)
 
 
 def overlap_join(

@@ -52,6 +52,17 @@ def _checked_rename(fs, src, dst, what: str) -> None:
         raise IOError(f"state swap: rename failed ({what}): {src} -> {dst}")
 
 
+def _checked_delete(fs, path, what: str) -> None:
+    """Hadoop delete ALSO reports failure by returning False. A silently
+    failed delete immediately before a rename is the nasty case: rename
+    into a still-existing directory NESTS the source inside it and
+    returns True, so the 'restored' state would be a partial install
+    with the last complete copy buried one level down. Any delete that
+    precedes a rename must fail loudly instead."""
+    if fs.exists(path) and not fs.delete(path, True):
+        raise IOError(f"state swap: delete failed ({what}): {path}")
+
+
 def _recover_interrupted_swap(spark, target_path: str, fmt: str = "parquet") -> None:
     """Complete a ``_swap_into_place`` that crashed mid-protocol. Two
     crash shapes leave ``target_path__old`` behind:
@@ -81,7 +92,7 @@ def _recover_interrupted_swap(spark, target_path: str, fmt: str = "parquet") -> 
     try:
         spark.read.format(fmt).load(target_path).count()
     except Exception:
-        fs.delete(target, True)
+        _checked_delete(fs, target, "crash recovery: remove partial install")
         _checked_rename(
             fs, old, target, "crash recovery: discard partial install"
         )
@@ -145,7 +156,7 @@ def _install_and_validate(spark, staging_path: str, target_path: str, validate):
         result = validate()
     except Exception:
         if fs.exists(old):
-            fs.delete(target, True)
+            _checked_delete(fs, target, "validation rollback: remove suspect")
             _checked_rename(fs, old, target, "validation rollback")
         raise
     if fs.exists(old):

@@ -327,3 +327,25 @@ def test_overlap_join_binned_cap_matches_theta_cap(spark):
     assert t == b
     # only key 2 (4 intervals, under cap) survives
     assert {r[0] for r in theta.collect()} == {2}
+
+
+def test_overlap_join_cap_passes_null_keys_through(spark):
+    """NULL-key rows can never pair-explode (the equi-join rejects NULLs)
+    — the guard must neither cut them nor error on them."""
+    import datetime as dt
+
+    from data_pipelines_examples_spark.operators.intervals import (
+        cap_intervals_per_key,
+    )
+
+    d = dt.date(2024, 1, 1)
+    rows = [(None, i, d, d) for i in range(10)] + [(1, 50 + i, d, d) for i in range(6)]
+    df = spark.createDataFrame(rows, "k int, id int, s date, e date")
+    cut = cap_intervals_per_key(df, ["k"], 5, mode="cut")
+    got = [(r["k"], r["id"]) for r in cut.collect()]
+    # hot key 1 (6 rows) cut; ALL 10 null-key rows pass through
+    assert len(got) == 10
+    assert all(k is None for k, _ in got)
+    # error mode: >cap NULL population must NOT raise
+    err = cap_intervals_per_key(df.filter("k IS NULL"), ["k"], 5, mode="error")
+    assert err.count() == 10

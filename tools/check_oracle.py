@@ -69,7 +69,12 @@ def main() -> int:
         t0 = time.time()
         try:
             # keep entries independent: operators with internal persists
-            # must not serve (or charge) another entry's cache
+            # must not serve (or charge) another entry's cache; draining
+            # the library registry too keeps its strong refs bounded
+            # over a 100+-entry run
+            from data_pipelines_examples_spark import release_cached
+
+            release_cached()
             spark.catalog.clearCache()
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001

@@ -69,27 +69,44 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+# The many-side tables: safe to upscale. Scaling the one-side
+# (dimension) tables instead multiplies EVERY FK join hop ~scale× —
+# a 4-table star join reached ~6e9 intermediate rows on an all-tables
+# ×10 set (COVERAGE.md round 6) — so --scale defaults to facts only.
+FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+
+
 def resample(
-    src: str, dst: str, seed: int = 20260814, scale: int = 1
+    src: str,
+    dst: str,
+    seed: int = 20260814,
+    scale: int = 1,
+    scale_tables: set[str] | None = None,
 ) -> dict[str, int]:
-    """Bootstrap every table; ``scale`` > 1 draws scale·n rows, extending
-    the density ladder past the largest generated SF (r5 verdict item 7:
-    sf0.1 × 10 ≈ an sf1-density composed gate) — every key appears
-    ~scale times, so duplicate groups, tie runs, and per-key window
-    partitions all grow ~scale× beyond anything the same-size bootstrap
-    reaches."""
+    """Bootstrap every table; ``scale`` > 1 draws scale·n rows for the
+    tables in ``scale_tables`` (default: ``FACT_TABLES``; pass a set to
+    override, or ``{"*"}`` for all — see the join-fan-out warning above),
+    extending the density ladder past the largest generated SF (r5
+    verdict item 7: sf0.1 × 10 ≈ an sf1-density composed gate) — every
+    key appears ~scale times, so duplicate groups, tie runs, and per-key
+    window partitions all grow ~scale× beyond anything the same-size
+    bootstrap reaches."""
+    if scale_tables is None:
+        scale_tables = FACT_TABLES
     os.makedirs(dst, exist_ok=True)
     rng = np.random.RandomState(seed)
     counts = {}
     for p in sorted(glob.glob(os.path.join(src, "*.parquet"))):
         name = os.path.basename(p)
+        stem = name.replace(".parquet", "")
         t = pq.read_table(p)
         n = t.num_rows
         if n == 0:  # nothing to resample; copy through
             pq.write_table(t, os.path.join(dst, name))
             counts[name] = 0
             continue
-        idx = rng.randint(0, n, size=n * scale)
+        k = scale if ("*" in scale_tables or stem in scale_tables) else 1
+        idx = rng.randint(0, n, size=n * k)
         pq.write_table(t.take(pa.array(idx)), os.path.join(dst, name))
         counts[name] = len(set(idx))
     return counts
@@ -341,5 +358,8 @@ if __name__ == "__main__":
             (int(a.split("=", 1)[1]) for a in sys.argv[1:] if a.startswith("--scale=")),
             1,
         )
-        for name, distinct in resample(src, dst, seed, scale=scale).items():
-            print(f"{name}: resampled x{scale} ({distinct} distinct source rows)")
+        tables = {"*"} if "--scale-all-tables" in sys.argv else None
+        for name, distinct in resample(
+            src, dst, seed, scale=scale, scale_tables=tables
+        ).items():
+            print(f"{name}: resampled ({distinct} distinct source rows)")
