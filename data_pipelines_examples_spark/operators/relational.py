@@ -161,7 +161,11 @@ def rank_pick(
     rule-priority pick (reference: notebooks/zeppelin/bof_30_migrate.scala:79-80,145-149)
     and latest-snapshot dedup (dags/dataswm/servicenow_api_extract.py:2337-2342).
 
-    ``use_row_number=True`` keeps exactly one row per partition even on ties.
+    ``use_row_number=True`` keeps exactly one row per partition even on ties
+    — which row is ENGINE- and RUN-dependent unless ``order_by`` is a
+    total order over rows whose payloads differ (the sf1-density lesson:
+    include the payload columns the caller reads, with explicit null
+    placement, as final tiebreaks — q05 shows the shape).
     """
     parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     orders = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
