@@ -57,6 +57,15 @@ def curate_corpus(
 
     The returned frame has the original columns plus ``lang_pred``,
     ``quality``, and ``shuffle_key``.
+
+    Cache lifecycle: this composition leaves NO library-internal
+    persists behind (pinned by tests/test_round7_fixes.py) — its only
+    persisting stage, ``duplicate_components``, parquet-materializes its
+    state and releases its edge cache before returning. Callers who
+    FURTHER compose the lazy result with persisting operators
+    (``ngram_jaccard_pairs``, ``select_within_token_budget``, …) own the
+    release: call ``data_pipelines_examples_spark.release_cached()``
+    after materializing; see cache.py and SCALING.md.
     """
     if mix_rates is not None and mix_alpha is not None:
         raise ValueError("pass mix_rates or mix_alpha, not both")

@@ -249,6 +249,13 @@ def fit_evaluate(
         return results
     finally:
         base.unpersist()
+        # Terminal action: results are fully materialized dicts, so no
+        # returned plan depends on library-internal persists — drain the
+        # registry so resident sessions don't accumulate executor
+        # storage across repeated fits (see cache.py).
+        from .cache import release_cached
+
+        release_cached()
 
 
 def train_quality_classifier(
@@ -326,6 +333,11 @@ def train_quality_classifier(
             data_checksum=corpus_checksum(df, cols=[text_col, label_col]),
             model=model,
         )
+    # Terminal action: the fitted PipelineModel is driver-resident state,
+    # independent of any library-internal persist — drain the registry.
+    from .cache import release_cached
+
+    release_cached()
     return model
 
 

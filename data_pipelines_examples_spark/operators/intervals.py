@@ -126,6 +126,18 @@ def cap_intervals_per_key(
     return df.join(ok, keys, "left_semi").unionByName(null_rows)
 
 
+DEFAULT_MAX_INTERVALS_PER_KEY = 100_000
+"""Default hot-key ceiling for the overlap joins. A key holding K
+intervals implies up to K² comparisons AND output pairs in any overlap
+formulation — at 100k that is 10¹⁰ pairs from ONE key, a runaway stage
+on any engine (the sf1-density gate measured the shape: one skew-hot
+customer with ~450k orders ⇒ ~10⁹ pairs, unrunnable). The default
+``cap_mode='error'`` is parity-safe — it never changes rows, it either
+runs identically or fails loudly naming the hot key — so the guided
+default is ON; pass ``max_intervals_per_key=None`` to run unguarded
+(exact-parity archaeology on data you know is sane)."""
+
+
 def overlap_join(
     left: DataFrame,
     right: DataFrame,
@@ -136,8 +148,8 @@ def overlap_join(
     right_end: str,
     gap_days: int = 0,
     how: str = "inner",
-    max_intervals_per_key: int | None = None,
-    cap_mode: str = "cut",
+    max_intervals_per_key: int | None = DEFAULT_MAX_INTERVALS_PER_KEY,
+    cap_mode: str = "error",
 ) -> DataFrame:
     """Theta/range self-join on interval overlap within a key.
 
@@ -148,10 +160,15 @@ def overlap_join(
     Scale note: the equi-key conjunct makes this a shuffled sort-merge join
     on the key; the range predicate is evaluated inside the join, so the
     cross-product is bounded per key, never global. That bound is still
-    QUADRATIC in one key's interval count — pass
-    ``max_intervals_per_key`` (see ``cap_intervals_per_key``) to cut or
-    refuse skew-hot keys before the join; off by default so exact-parity
-    callers keep the full population.
+    QUADRATIC in one key's interval count — so the hot-key guard
+    (see ``cap_intervals_per_key``) is ON BY DEFAULT in error mode
+    (``DEFAULT_MAX_INTERVALS_PER_KEY``), which never changes output:
+    it either runs identically or refuses the job naming the hot key.
+    Pass ``cap_mode='cut'`` to drop over-cap keys instead (mirror the
+    cut in any oracle), or ``max_intervals_per_key=None`` to run
+    unguarded. At production density prefer ``overlap_join_binned`` —
+    same rows (inner), but hot keys spread across their time axis
+    instead of landing on one reducer.
     """
     keys = [key] if isinstance(key, str) else list(key)
     if max_intervals_per_key is not None:
@@ -184,8 +201,8 @@ def overlap_join_binned(
     bin_days: int = 30,
     gap_days: int = 0,
     max_bins_per_interval: int = 100_000,
-    max_intervals_per_key: int | None = None,
-    cap_mode: str = "cut",
+    max_intervals_per_key: int | None = DEFAULT_MAX_INTERVALS_PER_KEY,
+    cap_mode: str = "error",
 ) -> DataFrame:
     """Interval-overlap join via time binning — the scale path for
     ``overlap_join`` (inner only). Row-identical output (pinned by
@@ -220,7 +237,9 @@ def overlap_join_binned(
     ``max_intervals_per_key`` guards the OTHER data-driven explosion —
     a skew-hot key whose K intervals imply K² output pairs, which
     binning redistributes but cannot shrink; see
-    ``cap_intervals_per_key``. Off by default (exact-parity callers).
+    ``cap_intervals_per_key``. ON by default in error mode
+    (``DEFAULT_MAX_INTERVALS_PER_KEY`` — parity-safe: identical rows or
+    a loud refusal naming the hot key); ``None`` disables.
     """
     keys = [key] if isinstance(key, str) else list(key)
     if max_intervals_per_key is not None:

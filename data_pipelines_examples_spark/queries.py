@@ -155,71 +155,73 @@ def _load_all() -> None:
 # pinned by tests/test_grading_window.py against the committed
 # CORRECTNESS_r*.json history: every oracled entry whose last
 # driver-green row is older than (latest_round − 1), or that has never
-# been driver-green, MUST occupy a graded slot. This round that set is
-# 26 entries (never-green: q25, q64, q41 — now hash-ORACLED via its
-# error-bound contract — plus the rows-only twins q87/q88; last green
-# r1-r3: q10, q19, q21, q22, q26-q28, q30, q33, q36, q39, q43, q44,
-# q46-q48, q50, q52, q53, q56, q57). The remaining 24 slots go to the
-# oldest r4-green entries (q24..q69 band); the 7 r4 leftovers
-# (q70-q76) head the r7 window. Everything displaced (q01-q23 head,
-# q77-q109) is green in CORRECTNESS_r05. q87/q88 deliberately take
-# graded slots ONCE for the driver's weaker rows-only record — their
-# xxhash64 semantics stay verified via the hash-graded portable twins
-# q33/q34.
+# been driver-green, MUST occupy a graded slot. Round 6 graded the 26
+# stale entries (never-green q25/q64/q41 + r1-r3 band) plus the oldest
+# 24 r4-green entries — all 48 oracled ones came back hash-green in
+# CORRECTNESS_r06. q87/q88 took graded slots ONCE for the driver's
+# weaker rows-only record; the driver records `no_oracle` and skips
+# unoracled entries entirely, so that experiment is CONCLUDED — they
+# are rotated out permanently (their xxhash64 semantics stay verified
+# via the hash-graded portable twins q33/q34; see NO_ORACLE_ALLOWED in
+# tests/test_grading_window.py).
+# ROUND-7 ROTATION (this window): the only stale entries (last green
+# r4) are q70-q76 — they head the window. Per the no-wasted-slot rule,
+# the remaining 43 slots go to r5-green entries in catalog order
+# (q01-q23 band, then q77-q102); the 7 r5-green leftovers (q103-q109)
+# wait for r8 and everything displaced is green in CORRECTNESS_r06.
 _PROMOTED = [
-    # never driver-green in any round
-    "q25_map_payload_roundtrip",
-    "q64_pack_offsets",
-    "q41_approx_sliding_distinct",
-    "q87_minhash_fast_path",
-    "q88_simhash_fast_path",
-    # last driver-green r1-r3
-    "q10_scd_latest_event_per_user",
-    "q19_customer_running_spend",
-    "q21_acctbal_quartiles",
-    "q22_user_value_streaks",
-    "q26_union_dedup_pairs",
-    "q27_distinct_users_by_type",
-    "q28_transitive_closure",
-    "q30_group_max_join_back",
-    "q33_minhash_candidates",
-    "q36_map_key_filter",
-    "q39_one_hot_segments",
-    "q43_lsh_topk",
-    "q44_hourly_rollup",
-    "q46_right_outer_fill",
-    "q47_sql_text_pipeline",
-    "q48_ivf_topk_full_probe",
-    "q50_region_nation_rollup",
-    "q52_price_percentiles",
-    "q53_first_last_order_value",
-    "q56_vocab_top_tokens",
-    "q57_doclen_histogram",
-    # last driver-green r4 (oldest 24 of 31; q70-q76 wait for r7)
-    "q24_region_revenue_rollup",
-    "q29_fiscal_date_functions",
-    "q31_ngram_jaccard_pairs",
-    "q34_simhash_pairs",
-    "q37_string_functions",
-    "q38_null_safe_join",
-    "q40_sas_composite_shape",
-    "q42_embedding_dedup_pairs",
-    "q45_schema_evolution_union",
-    "q49_asof_latest_event_value",
-    "q51_status_pivot",
-    "q54_filtered_aggregates",
-    "q55_shipping_priority",
-    "q58_training_mix",
-    "q59_redact_pii",
-    "q60_repetition_ratios",
-    "q61_grouping_sets_revenue",
-    "q62_duplicate_components",
-    "q63_chunk_documents",
-    "q65_epoch_shuffle",
-    "q66_quality_floor_filter",
-    "q67_unigram_surprisal",
-    "q68_materialized_sequences",
-    "q69_dedup_against_corpus",
+    # last driver-green r4 (stale — must be graded this round)
+    "q70_zorder_keys",
+    "q71_tfidf_top_terms",
+    "q72_bm25_topk",
+    "q73_cap_per_source",
+    "q74_leakage_free_split",
+    "q75_semantic_dedup_pairs",
+    "q76_length_bucketed_batches",
+    # last driver-green r5, catalog order (q103-q109 wait for r8)
+    "q01_pricing_summary",
+    "q02_top_customers",
+    "q03_interval_collapse",
+    "q04_customers_without_orders",
+    "q05_latest_order_per_customer",
+    "q06_cumulative_daily_revenue",
+    "q07_salted_join_priority_volume",
+    "q08_part_unpivot",
+    "q09_json_shred_events",
+    "q11_sessionize_events",
+    "q12_sliding_distinct_users",
+    "q13_dedup_exact_documents",
+    "q14_text_profile",
+    "q15_embedding_topk",
+    "q16_size_band_join",
+    "q17_wildcard_rule_tiering",
+    "q18_open_not_fulfilled_custkeys",
+    "q20_order_lag_features",
+    "q23_overlapping_order_windows",
+    "q77_token_heavy_hitters",
+    "q78_bigram_surprisal",
+    "q79_dedup_corpus_lines",
+    "q80_duplicate_spans",
+    "q81_strip_duplicate_spans",
+    "q82_scd2_event_type_history",
+    "q83_apply_cdc_snapshot",
+    "q84_temporal_regime_join",
+    "q85_weighted_sample",
+    "q86_snapshot_diff_reconcile",
+    "q89_quarantine_orders",
+    "q90_winnowing_fingerprints",
+    "q91_bm25_batch_topk",
+    "q92_fuzzy_name_pairs",
+    "q93_hourly_resample_asof",
+    "q94_event_feed_gaps",
+    "q95_contamination_report",
+    "q96_budget_selection",
+    "q97_copurchase_pairs",
+    "q98_normalize_text",
+    "q99_corpus_checksum",
+    "q100_pseudonymized_order_counts",
+    "q101_event_funnel",
+    "q102_retention_cohorts",
 ]
 # Nothing needs active demotion this round: the window is exactly
 # _PROMOTED (50 entries), and all other entries follow in registration

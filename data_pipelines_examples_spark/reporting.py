@@ -222,6 +222,12 @@ def corpus_datacard(
         out = fs.create(hpath, True)
         out.write(bytearray(_json.dumps(card, indent=2, sort_keys=True).encode()))
         out.close()
+    # Terminal action: the card is a plain dict — drain any
+    # library-internal persists left by upstream operators in the same
+    # logical unit (see cache.py).
+    from .cache import release_cached
+
+    release_cached()
     return card
 
 

@@ -24,17 +24,21 @@ WINDOW = 50
 REPO = Path(__file__).resolve().parent.parent
 
 # Catalog entries that legitimately carry no oracle: engine-specific
-# (xxhash64) by design. Anything else without an oracle is a bug.
+# (xxhash64) by design — DuckDB lacks the hash, so their portable md5
+# twins q33/q34 are the hash-graded surface. The round-6 experiment of
+# giving them graded slots anyway is CONCLUDED: the driver records
+# `err: "no_oracle"` and skips unoracled entries (no rows-only check
+# exists), so they are permanently rotated out of the window
+# (CORRECTNESS_r06.json holds the breadcrumb rows).
 NO_ORACLE_ALLOWED = {
-    "q87_minhash_fast_path",  # xxhash64 — DuckDB lacks the hash;
-    "q88_simhash_fast_path",  # portable twins q33/q34 are hash-graded
+    "q87_minhash_fast_path",
+    "q88_simhash_fast_path",
 }
 
-# No-oracle entries deliberately occupying graded slots THIS round so
-# the driver records its weaker rows-only check for them (r5 verdict
-# item 1: "+q87/q88 as rows-only if feasible"). They have never had a
-# driver row of any kind; after round 6 they should rotate back out.
-ROWS_ONLY_GRADED = {"q87_minhash_fast_path", "q88_simhash_fast_path"}
+# No-oracle entries deliberately occupying graded slots this round.
+# Empty since round 7 — see NO_ORACLE_ALLOWED above for why q87/q88
+# never return to the window.
+ROWS_ONLY_GRADED: set[str] = set()
 
 
 def _catalog():
@@ -83,7 +87,7 @@ def test_graded_window_is_exactly_the_promoted_list():
         f"_PROMOTED must fill the window exactly: {len(cat._PROMOTED)}"
     )
     assert names[:WINDOW] == cat._PROMOTED, (
-        "graded window drifted from the planned round-6 set"
+        "graded window drifted from the planned rotation"
     )
 
 

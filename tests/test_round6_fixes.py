@@ -265,7 +265,8 @@ def test_overlap_join_cap_cut_drops_only_hot_keys(spark):
     left, right = _intervals(spark, rows), _intervals(spark, rows, "2")
     full = overlap_join(left, right, "k", "s", "e", "s2", "e2")
     capped = overlap_join(
-        left, right, "k", "s", "e", "s2", "e2", max_intervals_per_key=5
+        left, right, "k", "s", "e", "s2", "e2",
+        max_intervals_per_key=5, cap_mode="cut",
     )
     # key 1 (6 intervals) is cut entirely; key 2 survives untouched
     # (k appears on both sides of the theta join — access positionally)
@@ -316,11 +317,12 @@ def test_overlap_join_binned_cap_matches_theta_cap(spark):
     ]
     left, right = _intervals(spark, rows), _intervals(spark, rows, "2")
     theta = overlap_join(
-        left, right, "k", "s", "e", "s2", "e2", max_intervals_per_key=5
+        left, right, "k", "s", "e", "s2", "e2",
+        max_intervals_per_key=5, cap_mode="cut",
     )
     binned = overlap_join_binned(
         left, right, "k", "s", "e", "s2", "e2",
-        bin_days=7, max_intervals_per_key=5,
+        bin_days=7, max_intervals_per_key=5, cap_mode="cut",
     )
     t = sorted((r["id"], r["id2"]) for r in theta.select("id", "id2").collect())
     b = sorted((r["id"], r["id2"]) for r in binned.select("id", "id2").collect())
