@@ -76,7 +76,19 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    except ValueError:  # non-numeric rung name, e.g. /tmp/sf1_bench
+        sf = os.path.basename(sf_dir.rstrip("/"))
+    # Optional subset (comma-separated names) for scaling rungs above
+    # sf0.1 — same harness (canary, full-column-hash consume, min-of-2/3)
+    # so rung walls are directly comparable to the sf0.1 artifact.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    bench_queries = (
+        [q.strip() for q in subset.split(",") if q.strip()]
+        if subset
+        else BENCH_QUERIES
+    )
 
     from data_pipelines_examples_spark import queries as catalog
     from data_pipelines_examples_spark.session import get_session
@@ -94,8 +106,10 @@ def main() -> None:
     # (measured 5s on the jaccard pipeline, ~1s steady-state) and would
     # otherwise be attributed to whichever query runs first.
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in BENCH_QUERIES:
+        for name in bench_queries:
             try:
                 qs[name](spark, warm_dir).count()
             except Exception:  # noqa: BLE001 — failures surface in the timed run
@@ -152,7 +166,7 @@ def main() -> None:
     print(f"# canary: {canary}", file=sys.stderr)
 
     timings: dict[str, float | None] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         best: float | None = None
         n = 0
         try:
