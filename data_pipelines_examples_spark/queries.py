@@ -169,6 +169,17 @@ def _load_all() -> None:
 # the remaining 43 slots go to r5-green entries in catalog order
 # (q01-q23 band, then q77-q102); the 7 r5-green leftovers (q103-q109)
 # wait for r8 and everything displaced is green in CORRECTNESS_r06.
+# The round this window was PLANNED FOR: the staleness tests evaluate
+# the rotation against the correctness history that existed when the
+# window was planned (rounds < _WINDOW_ROUND), so they stay green when
+# the driver drops THIS round's CORRECTNESS file mid-judging — the r6
+# formulation keyed off "latest file present" and was designed-red at
+# every judging. Rotating the window for round N+1 means: edit
+# _PROMOTED per the policy AND bump this to N+1. Forgetting entirely is
+# caught by the rolling-coverage alarm (every oracled entry green
+# within the last 3 graded rounds) in tests/test_grading_window.py.
+_WINDOW_ROUND = 7
+
 _PROMOTED = [
     # last driver-green r4 (stale — must be graded this round)
     "q70_zorder_keys",

@@ -1,21 +1,31 @@
 """The grading window is load-bearing: the driver hash-grades only the
-FIRST 50 catalog entries, so the _PROMOTED/_DEPRIORITIZED rotation
-mechanism decides which operators get driver verification. A typo in
-either list would silently shrink or reshuffle the graded set — these
-pins make that a test failure instead.
+FIRST 50 catalog entries, so the _PROMOTED rotation mechanism decides
+which operators get driver verification. A typo in the list would
+silently shrink or reshuffle the graded set — these pins make that a
+test failure instead.
 
-Round 6 adds the STALENESS INVARIANT (r5 verdict item 2): the rotation
-is no longer a hand-written snapshot but a policy checked against the
-committed CORRECTNESS_r*.json history — every oracled entry whose last
-driver-green row is older than (latest_round − 1), or that has never
-been driver-green, must occupy a slot in the upcoming window. A future
-promotion that re-orphans an entry (the q25/q64 failure mode of rounds
-2-5) now fails pytest instead of surfacing in a judge verdict.
+Round 6 added the STALENESS INVARIANT; round 7 made it TIME-INVARIANT.
+The r6 formulation evaluated the window against "the latest committed
+CORRECTNESS_r*.json", so the moment the driver dropped the round's own
+grading artifact the tests demanded the NEXT rotation — designed-red at
+every judging (r6 verdict finding 1). Worse, with 105 oracled entries
+and 50 slots/round, "everything green within the last 2 rounds" is
+unsatisfiable (2 × 50 < 105), so some entry is ALWAYS two rounds stale
+at judging time. The r7 formulation splits the concern:
+
+- the ROTATION POLICY tests evaluate the window against the history
+  that existed when the window was planned (rounds < _WINDOW_ROUND,
+  committed alongside the window) — green at judging, red the moment a
+  builder edits _PROMOTED incorrectly for the round it claims;
+- the ROLLING COVERAGE alarm evaluates full history with the capacity-
+  honest horizon ceil(n_oracled / 50) rounds — it fires only when a
+  rotation was genuinely missed, which is exactly when red is correct.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import re
 from pathlib import Path
 
@@ -47,15 +57,18 @@ def _catalog():
     return catalog
 
 
-def _driver_history():
-    """(latest_round, {entry: last_driver_green_round}) from the committed
-    CORRECTNESS_r*.json files. "Green" = rows+schema match, hash matches
-    when a hash was computed (rows-only entries have hash_match None),
-    and no error."""
+def _driver_history(before_round: int | None = None):
+    """(latest_round, {entry: last_driver_green_round}) from the
+    CORRECTNESS_r*.json files at the repo root, optionally truncated to
+    rounds < before_round (the history that existed when a window was
+    planned). "Green" = rows+schema match, hash matches when a hash was
+    computed, and no error."""
     last_green: dict[str, int] = {}
     latest = 0
     for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
         r = int(re.search(r"r(\d+)", p.name).group(1))
+        if before_round is not None and r >= before_round:
+            continue
         latest = max(latest, r)
         for name, row in json.loads(p.read_text()).items():
             ok = (
@@ -91,18 +104,39 @@ def test_graded_window_is_exactly_the_promoted_list():
     )
 
 
-def test_staleness_invariant_no_oracled_entry_left_behind():
-    """THE rotation policy: anything not driver-green within the last two
-    graded rounds (or never green) must be in the upcoming window."""
+def test_window_round_is_current():
+    """_WINDOW_ROUND tracks the round the committed window targets. It
+    may lag the newest correctness file by at most one round — exactly
+    the judging moment, when the driver has just graded this window and
+    the NEXT builder owes the rotation (enforced one round later by the
+    rolling-coverage alarm). A larger lag means rotations stopped."""
     cat = _catalog()
-    latest, last_green = _driver_history()
+    latest, _ = _driver_history()
     assert latest >= 5, "correctness history missing from repo root"
+    assert latest <= cat._WINDOW_ROUND + 1, (
+        f"window planned for r{cat._WINDOW_ROUND} but history reaches "
+        f"r{latest} — more than one grading has passed without a rotation"
+    )
+    assert cat._WINDOW_ROUND <= latest + 1, (
+        f"_WINDOW_ROUND={cat._WINDOW_ROUND} is ahead of the history "
+        f"(r{latest}) by more than the one plannable round"
+    )
+
+
+def test_staleness_invariant_no_oracled_entry_left_behind():
+    """THE rotation policy, evaluated against the history that existed
+    when the window was planned (time-invariant — the driver dropping
+    this round's own artifact cannot flip it): anything not driver-green
+    within the two rounds before _WINDOW_ROUND must occupy a slot."""
+    cat = _catalog()
+    planned_latest, last_green = _driver_history(before_round=cat._WINDOW_ROUND)
+    assert planned_latest >= 5, "correctness history missing from repo root"
     window = set(list(cat.queries().keys())[:WINDOW])
     graded_pool = set(cat.oracle_sql().keys()) | ROWS_ONLY_GRADED
     stale = {
         n
         for n in graded_pool
-        if last_green.get(n, 0) < latest - 1
+        if last_green.get(n, 0) < planned_latest - 1
     }
     assert len(stale) <= WINDOW, (
         f"{len(stale)} stale entries cannot fit one window — rotation "
@@ -110,26 +144,52 @@ def test_staleness_invariant_no_oracled_entry_left_behind():
     )
     left_behind = stale - window
     assert not left_behind, (
-        f"oracled entries stale since r{latest - 2} or earlier are not "
-        f"in the upcoming graded window: {sorted(left_behind)}"
+        f"oracled entries stale since r{planned_latest - 2} or earlier are "
+        f"not in the r{cat._WINDOW_ROUND} graded window: {sorted(left_behind)}"
     )
 
 
 def test_window_wastes_no_slot_on_fresh_entries():
     """While older-green oracled entries wait outside the window, no slot
-    may go to an entry that is already green in the LATEST graded round.
-    (Guarded: only enforceable while enough non-fresh entries exist.)"""
+    may go to an entry that was already green in the newest round the
+    planner could see. (Guarded: only enforceable while enough non-fresh
+    entries exist.)"""
     cat = _catalog()
-    latest, last_green = _driver_history()
+    planned_latest, last_green = _driver_history(before_round=cat._WINDOW_ROUND)
     oracled = set(cat.oracle_sql().keys()) | ROWS_ONLY_GRADED
-    not_fresh = {n for n in oracled if last_green.get(n, 0) < latest}
+    not_fresh = {n for n in oracled if last_green.get(n, 0) < planned_latest}
     if len(not_fresh) < WINDOW:
         return
     window = list(cat.queries().keys())[:WINDOW]
-    wasted = [n for n in window if last_green.get(n, 0) >= latest]
+    wasted = [n for n in window if last_green.get(n, 0) >= planned_latest]
     assert not wasted, (
-        f"window slots spent on entries already green in r{latest} while "
-        f"older entries wait: {wasted}"
+        f"window slots spent on entries already green in r{planned_latest} "
+        f"while older entries wait: {wasted}"
+    )
+
+
+def test_rolling_coverage_every_oracled_entry_recently_green():
+    """The alarm that replaces r6's designed-red tripwire: every oracled
+    entry must be driver-green within the last ceil(n/WINDOW) graded
+    rounds (full history, judging-time state included). With 105 entries
+    that horizon is 3 — satisfiable by construction when each round's
+    builder rotates, red exactly when a rotation was missed."""
+    cat = _catalog()
+    latest, last_green = _driver_history()
+    assert latest >= 5, "correctness history missing from repo root"
+    oracled = set(cat.oracle_sql().keys())
+    horizon = math.ceil(len(oracled) / WINDOW)
+    if latest < horizon + 3:
+        # not enough history for the horizon to be meaningful pre-r5
+        return
+    overdue = {
+        n for n in oracled if last_green.get(n, 0) <= latest - horizon
+    }
+    assert not overdue, (
+        f"oracled entries with no driver-green row in the last {horizon} "
+        f"graded rounds (r{latest - horizon + 1}..r{latest}): "
+        f"{sorted(overdue)} — a rotation was missed; rotate _PROMOTED and "
+        "bump _WINDOW_ROUND"
     )
 
 
