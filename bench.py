@@ -95,6 +95,11 @@ def main() -> None:
 
     spark = get_session("bench")
     qs = catalog.queries()
+    unknown = sorted(set(bench_queries) - set(qs))
+    if unknown:
+        # fail FAST: a typo'd subset would otherwise record a null timing
+        # and silently understate the rung total
+        raise SystemExit(f"unknown bench queries: {unknown}")
 
     # Warm the JVM/readers once (session spin-up, codegen compiler, parquet
     # footers) so timings measure query execution, not first-job overhead.

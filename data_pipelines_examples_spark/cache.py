@@ -26,6 +26,8 @@ session — notebook cells, benchmark entries, service requests:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
@@ -54,6 +56,36 @@ def persist_internal(
                 pass
         _TRACKED[:] = live
     return df
+
+
+@contextmanager
+def internal_persist_scope(blocking: bool = False):
+    """Scope-local drain for TERMINAL library compositions (fit/report
+    functions whose return value is driver-resident, not a lazy plan):
+    on exit — success OR exception — release exactly the internal
+    persists armed INSIDE the scope, leaving persists armed before it
+    (e.g. a caller's still-unconsumed ``ngram_jaccard_pairs`` frame)
+    untouched. A global :func:`release_cached` here would drop caches
+    backing unrelated pending lazy frames and silently trigger full
+    recomputes; the snapshot makes the drain precise. Identity-based:
+    the snapshot's members stay strongly referenced by the registry, so
+    ids cannot be recycled while the scope is open."""
+    before = {id(df) for df in _TRACKED}
+    try:
+        yield
+    finally:
+        kept: list[DataFrame] = []
+        for df in _TRACKED:
+            if id(df) in before:
+                kept.append(df)
+                continue
+            try:
+                lvl = df.storageLevel
+                if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
+                    df.unpersist(blocking)
+            except Exception:  # noqa: BLE001 — a dead session's frames just drop
+                pass
+        _TRACKED[:] = kept
 
 
 def release_cached(blocking: bool = False) -> int:

@@ -190,72 +190,73 @@ def fit_evaluate(
     from pyspark.ml.evaluation import RegressionEvaluator
     from pyspark.ml.regression import LinearRegression
 
+    from .cache import internal_persist_scope
+
     horizons = horizons or [1]
     base = assemble_features(df, feature_cols).cache()
+    # Terminal composition: results are fully materialized dicts, so no
+    # returned plan depends on library-internal persists. The SCOPED
+    # drain (cache.py) releases exactly the persists armed inside this
+    # call — on success or exception — without touching caches backing
+    # a caller's unrelated pending lazy frames.
     try:
-        results: dict[int, dict] = {}
-        for h in horizons:
-            labeled = shift_label(
-                base, value_col, ts_col, horizon=h, partition_by=partition_by
-            ).dropna(subset=["label"])
-            vec = to_mllib_vectors(labeled)
-            train, test = time_split(vec, ts_col, split_point)
-            lr = LinearRegression(
-                featuresCol="features",
-                labelCol="label",
-                regParam=reg_param,
-                elasticNetParam=elastic_net_param,
-                solver="normal",
-            )
-            model = lr.fit(train)
-            preds = model.transform(test)
-            rmse = RegressionEvaluator(
-                labelCol="label", predictionCol="prediction", metricName="rmse"
-            ).evaluate(preds)
-            results[h] = {
-                "rmse": float(rmse),
-                "coefficients": [float(c) for c in model.coefficients],
-                "intercept": float(model.intercept),
-                "n_train": train.count(),
-                "n_test": test.count(),
-            }
-        if run_dir is not None:
-            from .reporting import corpus_checksum
+        with internal_persist_scope():
+            results: dict[int, dict] = {}
+            for h in horizons:
+                labeled = shift_label(
+                    base, value_col, ts_col, horizon=h, partition_by=partition_by
+                ).dropna(subset=["label"])
+                vec = to_mllib_vectors(labeled)
+                train, test = time_split(vec, ts_col, split_point)
+                lr = LinearRegression(
+                    featuresCol="features",
+                    labelCol="label",
+                    regParam=reg_param,
+                    elasticNetParam=elastic_net_param,
+                    solver="normal",
+                )
+                model = lr.fit(train)
+                preds = model.transform(test)
+                rmse = RegressionEvaluator(
+                    labelCol="label", predictionCol="prediction", metricName="rmse"
+                ).evaluate(preds)
+                results[h] = {
+                    "rmse": float(rmse),
+                    "coefficients": [float(c) for c in model.coefficients],
+                    "intercept": float(model.intercept),
+                    "n_train": train.count(),
+                    "n_test": test.count(),
+                }
+            if run_dir is not None:
+                from .reporting import corpus_checksum
 
-            log_run(
-                df.sparkSession,
-                run_dir,
-                params={
-                    "feature_cols": feature_cols,
-                    "value_col": value_col,
-                    "ts_col": ts_col,
-                    "split_point": str(split_point),
-                    "horizons": horizons,
-                    "partition_by": partition_by,
-                    "reg_param": reg_param,
-                    "elastic_net_param": elastic_net_param,
-                },
-                metrics={str(h): r for h, r in results.items()},
-                # checksum BASE, not df: the cached post-null-drop
-                # feature frame every horizon trains FROM (each model
-                # additionally label-drops its horizon tail and splits
-                # at split_point — those are pinned by the params, not
-                # the checksum), served from cache instead of re-running
-                # the raw input lineage end-to-end
-                data_checksum=corpus_checksum(
-                    base, cols=[*feature_cols, value_col]
-                ),
-            )
-        return results
+                log_run(
+                    df.sparkSession,
+                    run_dir,
+                    params={
+                        "feature_cols": feature_cols,
+                        "value_col": value_col,
+                        "ts_col": ts_col,
+                        "split_point": str(split_point),
+                        "horizons": horizons,
+                        "partition_by": partition_by,
+                        "reg_param": reg_param,
+                        "elastic_net_param": elastic_net_param,
+                    },
+                    metrics={str(h): r for h, r in results.items()},
+                    # checksum BASE, not df: the cached post-null-drop
+                    # feature frame every horizon trains FROM (each model
+                    # additionally label-drops its horizon tail and splits
+                    # at split_point — those are pinned by the params, not
+                    # the checksum), served from cache instead of re-running
+                    # the raw input lineage end-to-end
+                    data_checksum=corpus_checksum(
+                        base, cols=[*feature_cols, value_col]
+                    ),
+                )
+            return results
     finally:
         base.unpersist()
-        # Terminal action: results are fully materialized dicts, so no
-        # returned plan depends on library-internal persists — drain the
-        # registry so resident sessions don't accumulate executor
-        # storage across repeated fits (see cache.py).
-        from .cache import release_cached
-
-        release_cached()
 
 
 def train_quality_classifier(
@@ -290,6 +291,8 @@ def train_quality_classifier(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import IDF, HashingTF, RegexTokenizer
 
+    from .cache import internal_persist_scope
+
     stages = [
         RegexTokenizer(
             inputCol=text_col, outputCol="__tokens", pattern=r"\s+", toLowercase=True
@@ -308,37 +311,37 @@ def train_quality_classifier(
             maxIter=max_iter,
         )
     )
-    model = Pipeline(stages=stages).fit(df)
-    if run_dir is not None:
-        from .reporting import corpus_checksum
+    # Terminal composition: the fitted PipelineModel is driver-resident
+    # state, independent of any library-internal persist — the SCOPED
+    # drain (cache.py) releases exactly what this call armed, on success
+    # or exception, leaving a caller's unrelated pending frames cached.
+    with internal_persist_scope():
+        model = Pipeline(stages=stages).fit(df)
+        if run_dir is not None:
+            from .reporting import corpus_checksum
 
-        lr_model = model.stages[-1]
-        summary = lr_model.summary
-        log_run(
-            df.sparkSession,
-            run_dir,
-            params={
-                "label_col": label_col,
-                "text_col": text_col,
-                "num_features": num_features,
-                "use_idf": use_idf,
-                "reg_param": reg_param,
-                "max_iter": max_iter,
-            },
-            metrics={
-                "accuracy": float(summary.accuracy),
-                "area_under_roc": float(summary.areaUnderROC),
-                "n_train": df.count(),
-            },
-            data_checksum=corpus_checksum(df, cols=[text_col, label_col]),
-            model=model,
-        )
-    # Terminal action: the fitted PipelineModel is driver-resident state,
-    # independent of any library-internal persist — drain the registry.
-    from .cache import release_cached
-
-    release_cached()
-    return model
+            lr_model = model.stages[-1]
+            summary = lr_model.summary
+            log_run(
+                df.sparkSession,
+                run_dir,
+                params={
+                    "label_col": label_col,
+                    "text_col": text_col,
+                    "num_features": num_features,
+                    "use_idf": use_idf,
+                    "reg_param": reg_param,
+                    "max_iter": max_iter,
+                },
+                metrics={
+                    "accuracy": float(summary.accuracy),
+                    "area_under_roc": float(summary.areaUnderROC),
+                    "n_train": df.count(),
+                },
+                data_checksum=corpus_checksum(df, cols=[text_col, label_col]),
+                model=model,
+            )
+        return model
 
 
 def score_quality(

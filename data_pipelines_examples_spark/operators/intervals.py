@@ -81,6 +81,13 @@ def cap_intervals_per_key(
     key and count. One aggregate over (keys) + a broadcast-eligible semi
     join; skip entirely by passing ``max_intervals_per_key=None`` to the
     callers."""
+    # A mode typo must never demote a refusal into a silent cut — with
+    # the guard armed by default, falling through to the cut path would
+    # silently delete every row of a hot key.
+    if mode not in ("cut", "error"):
+        raise ValueError(
+            f"cap_intervals_per_key: unknown mode {mode!r} (use 'cut' or 'error')"
+        )
     # NULL-key rows bypass the guard untouched: the equi-join predicate
     # rejects NULLs, so a NULL-key population can never pair-explode —
     # cutting them would silently drop outer-join rows, and error mode

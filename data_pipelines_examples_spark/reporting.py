@@ -189,7 +189,21 @@ def corpus_datacard(
 
     from pyspark.sql import functions as F
 
+    from .cache import internal_persist_scope
+
     ntok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    # Terminal composition: the card is a plain dict — scoped drain
+    # (cache.py) releases exactly the internal persists armed inside
+    # this call, on success or exception.
+    with internal_persist_scope():
+        return _corpus_datacard_inner(
+            df, text_col, source_col, lang_col, save_path, ntok, _json
+        )
+
+
+def _corpus_datacard_inner(df, text_col, source_col, lang_col, save_path, ntok, _json):
+    from pyspark.sql import functions as F
+
     row = df.agg(
         F.count("*").alias("n_docs"),
         F.sum(ntok).alias("n_tokens"),
@@ -222,12 +236,6 @@ def corpus_datacard(
         out = fs.create(hpath, True)
         out.write(bytearray(_json.dumps(card, indent=2, sort_keys=True).encode()))
         out.close()
-    # Terminal action: the card is a plain dict — drain any
-    # library-internal persists left by upstream operators in the same
-    # logical unit (see cache.py).
-    from .cache import release_cached
-
-    release_cached()
     return card
 
 
