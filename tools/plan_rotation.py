@@ -64,11 +64,17 @@ def main() -> None:
             key=lambda n: last_green.get(n, 0),
         )
     ]
-    window = stale + fill[: WINDOW - len(stale)]
     if len(stale) > WINDOW:
         raise SystemExit(
             f"{len(stale)} stale entries exceed the {WINDOW}-slot window — "
             "rotation has fallen more than a full cycle behind"
+        )
+    window = stale + fill[: WINDOW - len(stale)]
+    if len(window) < WINDOW:
+        print(
+            f"# WARNING: only {len(window)} entries available for a "
+            f"{WINDOW}-slot window (fill ran dry) — verify before pasting",
+            file=sys.stderr,
         )
     left_out = [n for n in oracled if n not in set(window) and n not in fresh]
     print(f"# window planned for round {latest + 1} "
