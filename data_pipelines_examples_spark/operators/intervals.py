@@ -92,6 +92,7 @@ def cap_intervals_per_key(
     # rejects NULLs, so a NULL-key population can never pair-explode —
     # cutting them would silently drop outer-join rows, and error mode
     # would refuse a job that cannot blow up.
+    cols = list(df.columns)  # name-list joins hoist keys first; restore
     nonnull = None
     for k in keys:
         c = F.col(k).isNotNull()
@@ -128,9 +129,9 @@ def cap_intervals_per_key(
         guarded = df.join(
             checked.filter(F.col("__k_n") >= 0).drop("__k_n"), keys, "left_semi"
         )
-        return guarded.unionByName(null_rows)
+        return guarded.unionByName(null_rows).select(*cols)
     ok = counts.filter(F.col("__k_n") <= max_intervals_per_key).drop("__k_n")
-    return df.join(ok, keys, "left_semi").unionByName(null_rows)
+    return df.join(ok, keys, "left_semi").unionByName(null_rows).select(*cols)
 
 
 DEFAULT_MAX_INTERVALS_PER_KEY = 100_000
@@ -195,6 +196,100 @@ def overlap_join(
         & (right[right_start] <= F.date_add(left[left_end], gap_days))
     )
     return left.join(right, cond, how)
+
+
+def overlap_self_join(
+    df: DataFrame,
+    key: str | list[str],
+    start: str,
+    end: str,
+    *,
+    gap_days: int = 0,
+    suffix: str = "_r",
+    binned: bool = False,
+    bin_days: int = 30,
+    max_bins_per_interval: int = 100_000,
+    max_intervals_per_key: int | None = DEFAULT_MAX_INTERVALS_PER_KEY,
+    cap_mode: str = "error",
+) -> DataFrame:
+    """Interval-overlap SELF-join: every pair of intervals of the same
+    key that overlap (within ``gap_days``), including a row with itself.
+    Output = ``df``'s columns plus the partner row's non-key columns
+    renamed ``<col><suffix>`` (key columns appear once).
+
+    Exists to halve the hot-key-guard cost of the two-sided form: a
+    self-join's two sides are BY CONSTRUCTION the same population, so
+    the per-key interval count is computed ONCE on the shared guarded
+    plan — both join branches then reference the same aggregate /
+    broadcast subtree and Spark's ReuseExchange builds it once (the
+    two-sided ``overlap_join`` must guard each side separately because
+    it cannot know the sides are the same set; guarding only one side
+    there would silently drop the other side's unmatched keys).
+    Guard semantics are unchanged: ``cap_mode='error'`` (default) never
+    alters rows — identical output or a loud refusal naming the hot key.
+
+    ``binned=True`` routes through ``overlap_join_binned`` (the
+    time-binned scale path — row-identical for inner joins, hot keys
+    spread across their time axis); see that docstring for ``bin_days``
+    and the ``max_bins_per_interval`` corrupt-data fuse.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if max_intervals_per_key is not None:
+        df = cap_intervals_per_key(
+            df, keys, max_intervals_per_key, cap_mode, "overlap_self_join"
+        )
+    others = [c for c in df.columns if c not in keys]
+    clash = [c for c in others if c + suffix in df.columns]
+    if clash:
+        raise ValueError(
+            f"overlap_self_join: suffix {suffix!r} collides with existing "
+            f"column(s) {[c + suffix for c in clash]}; pick another suffix"
+        )
+    # keys are RE-ALIASED (not passed through): an alias mints a fresh
+    # exprId, so `left[k] == right[k]` in the join is a genuine
+    # cross-plan equality — a pass-through key keeps the left plan's
+    # exprId and the predicate silently collapses to trivially-true
+    # (cross-key pairs), which Spark only warns about
+    right = df.select(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(c).alias(c + suffix) for c in others],
+    )
+    if binned:
+        out = overlap_join_binned(
+            df,
+            right,
+            keys,
+            start,
+            end,
+            start + suffix,
+            end + suffix,
+            bin_days=bin_days,
+            gap_days=gap_days,
+            max_bins_per_interval=max_bins_per_interval,
+            max_intervals_per_key=None,
+        )
+    else:
+        out = overlap_join(
+            df,
+            right,
+            keys,
+            start,
+            end,
+            start + suffix,
+            end + suffix,
+            gap_days=gap_days,
+            max_intervals_per_key=None,
+        )
+    # drop the right side's (equal-valued) key columns POSITIONALLY: in a
+    # self-join, `right[k]` can resolve to the left branch after Spark's
+    # ambiguity rewrite, silently dropping the wrong column — a positional
+    # toDF rename is unambiguous (join output is left.columns + right.columns)
+    names = list(df.columns) + [
+        ("__self_join_dup_" + c) if c in keys else c for c in right.columns
+    ]
+    return out.toDF(*names).drop(
+        *[n for n in names if n.startswith("__self_join_dup_")]
+    )
 
 
 def overlap_join_binned(

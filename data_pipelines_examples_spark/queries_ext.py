@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from .functions.udfs import last_day_of_month
 from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
-from .operators.intervals import overlap_join
+from .operators.intervals import overlap_self_join
 from .operators.iterate import transitive_reachability
 from .operators.json_ops import map_payload_select
 from .operators.windows import cumulative_sum, lag_features, ntile_bucket, streaks
@@ -216,16 +216,13 @@ def q23_overlapping_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame
         F.to_date("o_orderdate").alias("begindt"),
         F.date_add(F.to_date("o_orderdate"), 30).alias("enddt"),
     )
-    right = iv.select(
-        F.col("memnum").alias("memnum"),
-        F.col("o_orderkey").alias("ok2"),
-        F.col("begindt").alias("b2"),
-        F.col("enddt").alias("e2"),
-    )
-    joined = overlap_join(iv, right, "memnum", "begindt", "enddt", "b2", "e2").filter(
-        F.col("o_orderkey") < F.col("ok2")
-    )
-    return joined.groupBy(iv["memnum"].alias("memnum")).agg(
+    # self-join form: the hot-key guard aggregates the key population
+    # ONCE (shared by both join branches via ReuseExchange) instead of
+    # once per side
+    joined = overlap_self_join(
+        iv, "memnum", "begindt", "enddt", suffix="2"
+    ).filter(F.col("o_orderkey") < F.col("o_orderkey2"))
+    return joined.groupBy("memnum").agg(
         F.count("*").alias("n_overlapping_pairs")
     )
 

@@ -1477,7 +1477,7 @@ def q109_overlap_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the plain theta join: identical answers is the claim.
     Exactly-once without a dedup shuffle: each overlapping pair is
     emitted only in the canonical bin of greatest(start_a, start_b)."""
-    from .operators.intervals import overlap_join_binned
+    from .operators.intervals import overlap_self_join
 
     o = _t(spark, sf_dir, "orders")
     iv = o.select(
@@ -1486,15 +1486,12 @@ def q109_overlap_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("begindt"),
         F.date_add(F.to_date("o_orderdate"), 30).alias("enddt"),
     )
-    right = iv.select(
-        F.col("memnum").alias("memnum"),
-        F.col("o_orderkey").alias("ok2"),
-        F.col("begindt").alias("b2"),
-        F.col("enddt").alias("e2"),
-    )
-    joined = overlap_join_binned(
-        iv, right, "memnum", "begindt", "enddt", "b2", "e2", bin_days=30
-    ).filter(F.col("o_orderkey") < F.col("ok2"))
-    return joined.groupBy(iv["memnum"].alias("memnum")).agg(
+    # self-join form: the hot-key guard aggregates the key population
+    # ONCE (shared by both join branches via ReuseExchange) instead of
+    # once per side
+    joined = overlap_self_join(
+        iv, "memnum", "begindt", "enddt", suffix="2", binned=True, bin_days=30
+    ).filter(F.col("o_orderkey") < F.col("o_orderkey2"))
+    return joined.groupBy("memnum").agg(
         F.count("*").alias("n_overlapping_pairs")
     )

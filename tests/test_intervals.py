@@ -188,3 +188,110 @@ def test_overlap_join_binned_fuse_trips_on_corrupt_start(spark):
     )
     with pytest.raises(Exception, match="max_bins_per_interval"):
         out.collect()
+
+
+def _selfjoin_df(spark):
+    """Random per-key intervals incl. a hot key and an extra non-key col."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(8)
+    rows = []
+    for i in range(240):
+        key = "hot" if i % 3 else f"k{i % 15}"
+        start = rng.randint(0, 300)
+        rows.append((i, key, start, start + rng.randint(0, 60)))
+    return (
+        spark.createDataFrame(rows, "id bigint, k string, s int, e int")
+        .select(
+            "id",
+            "k",
+            F.date_add(F.lit("2023-01-01"), F.col("s")).alias("start"),
+            F.date_add(F.lit("2023-01-01"), F.col("e")).alias("end"),
+        )
+    )
+
+
+def test_overlap_self_join_equals_two_sided(spark):
+    """overlap_self_join (plain and binned) is row-identical to building
+    the renamed right side by hand and calling the two-sided join — the
+    single shared hot-key guard must not change output."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_examples_spark.operators.intervals import (
+        overlap_join,
+        overlap_join_binned,
+        overlap_self_join,
+    )
+
+    df = _selfjoin_df(spark)
+    right = df.select(
+        "k",
+        F.col("id").alias("id_r"),
+        F.col("start").alias("start_r"),
+        F.col("end").alias("end_r"),
+    )
+    for gap in (0, 5):
+        two_sided = overlap_join(
+            df, right, "k", "start", "end", "start_r", "end_r", gap_days=gap
+        )
+        for binned in (False, True):
+            got = overlap_self_join(
+                df, "k", "start", "end", gap_days=gap, binned=binned, bin_days=30
+            )
+            assert got.columns == ["id", "k", "start", "end", "id_r", "start_r", "end_r"]
+            g = sorted((x["id"], x["id_r"]) for x in got.select("id", "id_r").collect())
+            t = sorted((x["id"], x["id_r"]) for x in two_sided.select("id", "id_r").collect())
+            assert g == t and len(g) > 500
+
+
+def test_overlap_self_join_guard_aggregate_is_shared(spark):
+    """The point of the self-join form: ONE per-key count aggregate
+    feeds both join branches. Pin the physical plan — the second guard
+    broadcast must be a ReusedExchange, and only one side builds the
+    __k_n aggregate."""
+    df = _selfjoin_df(spark)
+    from data_pipelines_examples_spark.operators.intervals import overlap_self_join
+
+    for binned in (False, True):
+        out = overlap_self_join(df, "k", "start", "end", binned=binned)
+        # execute THIS dataframe's plan (count() plans a different query);
+        # under AQE the reuse only appears in the final executed plan
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
+
+
+def test_overlap_self_join_guard_error_names_hot_key(spark):
+    import pytest
+
+    from data_pipelines_examples_spark.operators.intervals import overlap_self_join
+
+    df = _selfjoin_df(spark)
+    out = overlap_self_join(df, "k", "start", "end", max_intervals_per_key=50)
+    with pytest.raises(Exception, match=r"key \(hot\) holds \d+ intervals"):
+        out.count()
+
+
+def test_overlap_self_join_cut_mode_drops_hot_key_only(spark):
+    from data_pipelines_examples_spark.operators.intervals import overlap_self_join
+
+    df = _selfjoin_df(spark)
+    out = overlap_self_join(
+        df, "k", "start", "end", max_intervals_per_key=50, cap_mode="cut"
+    )
+    keys = {r["k"] for r in out.select("k").distinct().collect()}
+    # non-hot rows are i % 3 == 0 → exactly the 5 keys k0,k3,k6,k9,k12
+    assert "hot" not in keys and keys == {"k0", "k3", "k6", "k9", "k12"}
+
+
+def test_overlap_self_join_suffix_collision_raises(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipelines_examples_spark.operators.intervals import overlap_self_join
+
+    df = _selfjoin_df(spark).withColumn("id_r", F.col("id"))
+    with pytest.raises(ValueError, match="suffix"):
+        overlap_self_join(df, "k", "start", "end", suffix="_r")
