@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -76,10 +77,13 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    except ValueError:  # non-numeric rung name, e.g. /tmp/sf1_bench
-        sf = os.path.basename(sf_dir.rstrip("/"))
+    # Strict match: Python's float() accepts digit underscores, so a rung
+    # dir like "sf1_0" would silently parse as 10.0 under a bare float()
+    # — a mislabeled artifact. Numeric only for exactly sf<digits[.digits]>;
+    # any other rung name (e.g. sf1_bench) stays the raw basename string.
+    base = os.path.basename(sf_dir.rstrip("/"))
+    m = re.fullmatch(r"sf(\d+(?:\.\d+)?)", base)
+    sf: float | str = float(m.group(1)) if m else base
     # Optional subset (comma-separated names) for scaling rungs above
     # sf0.1 — same harness (canary, full-column-hash consume, min-of-2/3)
     # so rung walls are directly comparable to the sf0.1 artifact.
@@ -158,20 +162,46 @@ def main() -> None:
             best = wall if best is None else min(best, wall)
         return round(best, 3)
 
+    def _cpu_canary_df():
+        return spark.range(50_000_000).select(F.xxhash64("id").alias("h"))
+
     canary = {
         "scan_lineitem": _canary(
             lambda: spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
         ),
-        "cpu_hash_50m": _canary(
-            lambda: spark.range(50_000_000).select(
-                F.xxhash64("id").alias("h")
-            )
-        ),
+        "cpu_hash_50m": _canary(_cpu_canary_df),
     }
     print(f"# canary: {canary}", file=sys.stderr)
 
+    # Per-BLOCK canary (r7 verdict): a single start-of-run canary cannot
+    # see mid-run host load — r7's artifact carried 16 false >1.3×
+    # "regressions" from exactly that. Re-time the fixed pure-CPU
+    # workload every CANARY_EVERY queries (min-of-2, ~0.5 s per block)
+    # and emit the timeline, so a load-corrupted artifact self-identifies:
+    # a query wall is only a regression if the canary value in force for
+    # its block is at the baseline level (normalization rule in
+    # BASELINE.md). Keyed by the index of the NEXT query to run.
+    CANARY_EVERY = 8
+
+    def _block_canary() -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            consume(_cpu_canary_df())
+            wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+        return round(best, 3)
+
+    canary_timeline: dict[str, float] = {"0": canary["cpu_hash_50m"]}
+
     timings: dict[str, float | None] = {}
-    for name in bench_queries:
+    for qi, name in enumerate(bench_queries):
+        if qi and qi % CANARY_EVERY == 0:
+            canary_timeline[str(qi)] = _block_canary()
+            print(
+                f"# canary cpu_hash_50m @q{qi}: {canary_timeline[str(qi)]}",
+                file=sys.stderr,
+            )
         best: float | None = None
         n = 0
         try:
@@ -202,6 +232,8 @@ def main() -> None:
             continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+    # closing sample so the LAST block is bracketed too
+    canary_timeline[str(len(bench_queries))] = _block_canary()
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
@@ -224,6 +256,12 @@ def main() -> None:
                 # delta as a regression (host load swings ±30% here).
                 "canary_sec": canary["scan_lineitem"],
                 "canary": canary,
+                # cpu_hash_50m re-timed every 8 queries, keyed by the
+                # index of the next query: before reading queries[i] as
+                # a regression, check canary_timeline at the largest key
+                # <= i — if it is inflated vs this round's first block,
+                # the block's walls are host-load noise, not plan cost.
+                "canary_timeline": canary_timeline,
             }
         )
     )
