@@ -67,10 +67,25 @@ def internal_persist_scope(blocking: bool = False):
     (e.g. a caller's still-unconsumed ``ngram_jaccard_pairs`` frame)
     untouched. A global :func:`release_cached` here would drop caches
     backing unrelated pending lazy frames and silently trigger full
-    recomputes; the snapshot makes the drain precise. Identity-based:
-    the snapshot's members stay strongly referenced by the registry, so
-    ids cannot be recycled while the scope is open."""
-    before = {id(df) for df in _TRACKED}
+    recomputes; the snapshot makes the drain precise.
+
+    Identity-based, with a strong-reference ANCHOR: ids in the snapshot
+    must stay un-recyclable for the scope's whole lifetime. The registry
+    alone cannot guarantee that — a :func:`release_cached` call or the
+    self-prune sweep running INSIDE the scope drops the registry's
+    references, a collected pre-scope wrapper's id could then be recycled
+    by a frame persisted inside the scope, and that frame would be kept
+    instead of drained (a deferred release, not corruption — but a leak).
+    Holding ``anchor`` until scope exit makes recycling impossible.
+
+    Driver-concurrency contract: the registry is process-wide and
+    lock-free, which assumes the standard single-threaded Spark driver.
+    If multiple request threads call into this library concurrently, a
+    persist armed by one thread while another thread's scope is open is
+    drained at that scope's exit — serialize library calls, or give each
+    request its own scope and don't overlap them."""
+    anchor = list(_TRACKED)
+    before = {id(df) for df in anchor}
     try:
         yield
     finally:
@@ -86,6 +101,7 @@ def internal_persist_scope(blocking: bool = False):
             except Exception:  # noqa: BLE001 — a dead session's frames just drop
                 pass
         _TRACKED[:] = kept
+        del anchor  # held until here so no `before` id could be recycled
 
 
 def release_cached(blocking: bool = False) -> int:

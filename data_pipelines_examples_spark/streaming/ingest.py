@@ -51,7 +51,35 @@ def ingest_batch(
     table (ids only cross the join); (3) append survivors to the corpus
     and their buckets to the band table, both into partition
     ``__batch_id = batch_id`` with dynamic overwrite so a replayed batch
-    rewrites instead of duplicating."""
+    rewrites instead of duplicating.
+
+    TERMINAL pipeline (everything is consumed by the two writes before
+    return), so the internal persists armed by minhash_lsh_pairs /
+    dedup_keep_canonical are scope-drained on exit — without this, a
+    long-running stream leaks one set of cached frames PER MICRO-BATCH
+    (the r7-verdict drain-audit's one real gap)."""
+    from ..cache import internal_persist_scope
+
+    with internal_persist_scope():
+        _ingest_batch_inner(
+            spark, batch, batch_id, out_path, bands_path,
+            id_col, text_col, num_hashes, bands, shingle_n, hash_how,
+        )
+
+
+def _ingest_batch_inner(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    out_path: str,
+    bands_path: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    hash_how: str,
+) -> None:
     batch = batch.dropDuplicates([id_col])
     pairs = minhash_lsh_pairs(
         batch, id_col, text_col, num_hashes, bands, shingle_n, hash_how

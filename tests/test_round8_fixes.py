@@ -1,0 +1,105 @@
+"""Round-8 regression pins (r7 ADVICE items).
+
+1. internal_persist_scope anchors STRONG references to the pre-scope
+   registry for its whole lifetime: a release_cached() call (or the
+   self-prune sweep) inside the scope empties the registry, and without
+   the anchor a collected pre-scope wrapper's id could be recycled by a
+   frame persisted inside the scope — which the exit drain would then
+   keep instead of draining (a deferred release / leak).
+
+2. Frames persisted inside the scope AFTER an inner release_cached()
+   are still drained at exit (the snapshot is taken at entry, not
+   against the registry's mutable state).
+"""
+
+from __future__ import annotations
+
+import gc
+import weakref
+
+from pyspark.sql import functions as F
+
+
+def _is_cached(df) -> bool:
+    lvl = df.storageLevel
+    return lvl.useMemory or lvl.useDisk or lvl.useOffHeap
+
+
+def test_scope_anchors_pre_scope_wrappers_against_gc(spark):
+    """The pre-scope snapshot's members must stay alive (hence their ids
+    un-recyclable) until scope exit even if release_cached() drops the
+    registry's own references inside the scope."""
+    from data_pipelines_examples_spark import release_cached
+    from data_pipelines_examples_spark.cache import (
+        internal_persist_scope,
+        persist_internal,
+    )
+
+    release_cached()
+    outside = persist_internal(spark.range(64).withColumn("k", F.col("id") % 3))
+    outside.count()
+    ref = weakref.ref(outside)
+    del outside  # registry (then the scope's anchor) holds the only ref
+
+    with internal_persist_scope():
+        release_cached()  # empties the registry inside the scope
+        gc.collect()
+        # the anchor must keep the pre-scope wrapper alive: its id being
+        # recycled by a frame persisted below would corrupt the drain
+        assert ref() is not None
+        inside = persist_internal(
+            spark.range(32).withColumn("x", F.col("id") * 2)
+        )
+        inside.count()
+        assert _is_cached(inside)
+    # armed inside (after the inner release_cached) -> drained at exit
+    assert not _is_cached(inside)
+
+
+def test_scope_exit_releases_anchor(spark):
+    """After the scope exits the anchor is dropped — pre-scope wrappers
+    already released inside the scope become collectable again (no
+    permanent pinning)."""
+    from data_pipelines_examples_spark import release_cached
+    from data_pipelines_examples_spark.cache import (
+        internal_persist_scope,
+        persist_internal,
+    )
+
+    release_cached()
+    outside = persist_internal(spark.range(16).withColumn("k", F.col("id")))
+    outside.count()
+    ref = weakref.ref(outside)
+    del outside
+
+    with internal_persist_scope():
+        release_cached()
+    gc.collect()
+    assert ref() is None
+
+
+def test_ingest_batch_drains_internal_persists(spark, tmp_path):
+    """ingest_batch is terminal (both writes happen before return), so
+    the persists armed by minhash_lsh_pairs / dedup_keep_canonical must
+    be scope-drained on exit — a long-running stream would otherwise
+    leak one set of cached frames PER MICRO-BATCH. A caller's pre-armed
+    persist must survive."""
+    from data_pipelines_examples_spark import release_cached
+    from data_pipelines_examples_spark.cache import persist_internal
+    from data_pipelines_examples_spark.streaming.ingest import ingest_batch
+
+    release_cached()
+    callers = persist_internal(spark.range(10).withColumn("k", F.col("id")))
+    callers.count()
+
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again today"),
+         (2, "completely different content about spark and parquet files")],
+        "doc_id bigint, text string",
+    )
+    ingest_batch(spark, b0, 0, str(tmp_path / "corpus"), str(tmp_path / "bands"))
+
+    assert _is_cached(callers)  # pre-armed persist untouched
+    # everything the batch armed is gone: draining the registry now
+    # releases exactly the caller's one frame
+    assert release_cached() == 1
