@@ -184,13 +184,11 @@ def main() -> None:
     CANARY_EVERY = 8
 
     def _block_canary() -> float:
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            consume(_cpu_canary_df())
-            wall = time.time() - t0
-            best = wall if best is None else min(best, wall)
-        return round(best, 3)
+        # SAME estimator as the start-of-run canary (clearCache +
+        # min-of-3): a cheaper min-of-2 without the cache clear read
+        # systematically ~2× the start value at JVM steady state, which
+        # would make the >1.2× noise rule cry wolf on every block.
+        return _canary(_cpu_canary_df)
 
     canary_timeline: dict[str, float] = {"0": canary["cpu_hash_50m"]}
 
