@@ -176,8 +176,8 @@ def main() -> None:
     # Per-BLOCK canary (r7 verdict): a single start-of-run canary cannot
     # see mid-run host load — r7's artifact carried 16 false >1.3×
     # "regressions" from exactly that. Re-time the fixed pure-CPU
-    # workload every CANARY_EVERY queries (min-of-2, ~0.5 s per block)
-    # and emit the timeline, so a load-corrupted artifact self-identifies:
+    # workload every CANARY_EVERY queries (clearCache+min-of-3, ~1 s per
+    # block) and emit the timeline, so a load-corrupted artifact self-identifies:
     # a query wall is only a regression if the canary value in force for
     # its block is at the baseline level (normalization rule in
     # BASELINE.md). Keyed by the index of the NEXT query to run.

@@ -22,16 +22,35 @@ session — notebook cells, benchmark entries, service requests:
     ...
     n = release_cached()          # async (non-blocking) by default
     n = release_cached(blocking=True)  # wait for executors to free it
+
+Thread model: all registry mutations run under one process-wide lock
+(Spark drives foreachBatch bodies on its micro-batch threads, so two
+concurrent streams — or a stream plus driver-thread library calls —
+interleave here in NORMAL use, not misuse; an unlocked read-modify-
+write could lose a concurrent arm, leaving a frame cached but
+unreleasable forever). Scopes additionally attribute each arm to the
+thread that made it, so one thread's scope exit can never drain a
+persist another thread armed mid-scope (see
+:func:`internal_persist_scope`). :func:`release_cached` stays global
+across threads by design — it is the between-logical-units drain.
 """
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-_TRACKED: list[DataFrame] = []
+# (frame, ident of the thread that armed it)
+_TRACKED: list[tuple[DataFrame, int]] = []
+_LOCK = threading.RLock()
+
+
+def _is_cached(df: DataFrame) -> bool:
+    lvl = df.storageLevel
+    return lvl.useMemory or lvl.useDisk or lvl.useOffHeap
 
 
 def persist_internal(
@@ -40,21 +59,22 @@ def persist_internal(
     """Persist an operator-internal frame and register it for
     :func:`release_cached`. Chain-friendly: ``df.transform(persist_internal)``."""
     df.persist(level)
-    _TRACKED.append(df)
-    # Self-prune: a long-lived process that clears caches some other way
-    # (spark.catalog.clearCache between bench entries) would otherwise
-    # accumulate dead wrappers — each pinning a py4j-backed plan —
-    # forever. Cheap O(n) sweep, amortized by the threshold.
-    if len(_TRACKED) > 128:
-        live = []
-        for d in _TRACKED:
-            try:
-                lvl = d.storageLevel
-                if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
-                    live.append(d)
-            except Exception:  # noqa: BLE001
-                pass
-        _TRACKED[:] = live
+    with _LOCK:
+        _TRACKED.append((df, threading.get_ident()))
+        # Self-prune: a long-lived process that clears caches some other
+        # way (spark.catalog.clearCache between bench entries) would
+        # otherwise accumulate dead wrappers — each pinning a
+        # py4j-backed plan — forever. Cheap O(n) sweep, amortized by
+        # the threshold.
+        if len(_TRACKED) > 128:
+            live = []
+            for entry in _TRACKED:
+                try:
+                    if _is_cached(entry[0]):
+                        live.append(entry)
+                except Exception:  # noqa: BLE001
+                    pass
+            _TRACKED[:] = live
     return df
 
 
@@ -63,11 +83,14 @@ def internal_persist_scope(blocking: bool = False):
     """Scope-local drain for TERMINAL library compositions (fit/report
     functions whose return value is driver-resident, not a lazy plan):
     on exit — success OR exception — release exactly the internal
-    persists armed INSIDE the scope, leaving persists armed before it
-    (e.g. a caller's still-unconsumed ``ngram_jaccard_pairs`` frame)
-    untouched. A global :func:`release_cached` here would drop caches
-    backing unrelated pending lazy frames and silently trigger full
-    recomputes; the snapshot makes the drain precise.
+    persists armed INSIDE the scope BY THIS THREAD, leaving untouched
+    both persists armed before it (e.g. a caller's still-unconsumed
+    ``ngram_jaccard_pairs`` frame) and persists other threads armed
+    while the scope was open (e.g. a concurrent stream's micro-batch
+    mid-consumption — draining those would force silent full
+    recomputes inside its writes). A global :func:`release_cached`
+    here would have both problems; the snapshot + thread attribution
+    make the drain precise.
 
     Identity-based, with a strong-reference ANCHOR: ids in the snapshot
     must stay un-recyclable for the scope's whole lifetime. The registry
@@ -77,43 +100,47 @@ def internal_persist_scope(blocking: bool = False):
     by a frame persisted inside the scope, and that frame would be kept
     instead of drained (a deferred release, not corruption — but a leak).
     Holding ``anchor`` until scope exit makes recycling impossible.
-
-    Driver-concurrency contract: the registry is process-wide and
-    lock-free, which assumes the standard single-threaded Spark driver.
-    If multiple request threads call into this library concurrently, a
-    persist armed by one thread while another thread's scope is open is
-    drained at that scope's exit — serialize library calls, or give each
-    request its own scope and don't overlap them."""
-    anchor = list(_TRACKED)
+    """
+    me = threading.get_ident()
+    with _LOCK:
+        anchor = [entry[0] for entry in _TRACKED]
     before = {id(df) for df in anchor}
     try:
         yield
     finally:
-        kept: list[DataFrame] = []
-        for df in _TRACKED:
-            if id(df) in before:
-                kept.append(df)
-                continue
+        with _LOCK:
+            kept: list[tuple[DataFrame, int]] = []
+            to_release: list[DataFrame] = []
+            for entry in _TRACKED:
+                df, owner = entry
+                if id(df) in before or owner != me:
+                    kept.append(entry)
+                else:
+                    to_release.append(df)
+            _TRACKED[:] = kept
+        # unpersist OUTSIDE the lock: a blocking release shouldn't stall
+        # other threads' arms
+        for df in to_release:
             try:
-                lvl = df.storageLevel
-                if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
+                if _is_cached(df):
                     df.unpersist(blocking)
             except Exception:  # noqa: BLE001 — a dead session's frames just drop
                 pass
-        _TRACKED[:] = kept
         del anchor  # held until here so no `before` id could be recycled
 
 
 def release_cached(blocking: bool = False) -> int:
-    """Unpersist every still-cached frame this library persisted; returns
-    how many were released. Safe to call repeatedly (idempotent) and
-    never touches caches the user created directly."""
+    """Unpersist every still-cached frame this library persisted —
+    across ALL threads; returns how many were released. Safe to call
+    repeatedly (idempotent) and never touches caches the user created
+    directly."""
+    with _LOCK:
+        drained = list(_TRACKED)
+        _TRACKED.clear()
     released = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    for df, _owner in drained:
         try:
-            lvl = df.storageLevel
-            if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
+            if _is_cached(df):
                 df.unpersist(blocking)
                 released += 1
         except Exception:  # noqa: BLE001 — a dead session's frames just drop

@@ -245,6 +245,15 @@ def overlap_self_join(
             f"overlap_self_join: suffix {suffix!r} collides with existing "
             f"column(s) {[c + suffix for c in clash]}; pick another suffix"
         )
+    reserved = [c for c in df.columns if c.startswith("__self_join_dup_")]
+    if reserved:
+        # the positional-drop bookkeeping below uses this prefix; an
+        # input column in that namespace would be silently dropped with
+        # the right side's duplicate keys — fail loudly instead
+        raise ValueError(
+            f"overlap_self_join: column(s) {reserved} use the reserved "
+            "'__self_join_dup_' prefix; rename them before the join"
+        )
     # keys are RE-ALIASED (not passed through): an alias mints a fresh
     # exprId, so `left[k] == right[k]` in the join is a genuine
     # cross-plan equality — a pass-through key keeps the left plan's

@@ -295,3 +295,17 @@ def test_overlap_self_join_suffix_collision_raises(spark):
     df = _selfjoin_df(spark).withColumn("id_r", F.col("id"))
     with pytest.raises(ValueError, match="suffix"):
         overlap_self_join(df, "k", "start", "end", suffix="_r")
+
+
+def test_overlap_self_join_reserved_prefix_raises(spark):
+    """An input column in the internal '__self_join_dup_' namespace
+    would be silently dropped with the right side's duplicate keys —
+    must fail loudly like the suffix clash does."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipelines_examples_spark.operators.intervals import overlap_self_join
+
+    df = _selfjoin_df(spark).withColumn("__self_join_dup_k", F.col("id"))
+    with pytest.raises(ValueError, match="reserved"):
+        overlap_self_join(df, "k", "start", "end")

@@ -103,3 +103,40 @@ def test_ingest_batch_drains_internal_persists(spark, tmp_path):
     # everything the batch armed is gone: draining the registry now
     # releases exactly the caller's one frame
     assert release_cached() == 1
+
+
+def test_scope_never_drains_another_threads_mid_scope_persist(spark):
+    """foreachBatch bodies run on Spark's micro-batch threads, so two
+    streams' scopes overlap in NORMAL use: a persist armed by thread B
+    while thread A's scope is open must survive A's exit (draining it
+    would force a silent full recompute inside B's writes). B's own
+    scope (or release_cached) still reclaims it."""
+    import threading
+
+    from data_pipelines_examples_spark import release_cached
+    from data_pipelines_examples_spark.cache import (
+        internal_persist_scope,
+        persist_internal,
+    )
+
+    release_cached()
+    b_frame = {}
+
+    def arm_on_b():
+        df = persist_internal(spark.range(48).withColumn("y", F.col("id") + 1))
+        df.count()
+        b_frame["df"] = df
+
+    with internal_persist_scope():
+        a_inside = persist_internal(
+            spark.range(24).withColumn("z", F.col("id") * 3)
+        )
+        a_inside.count()
+        t = threading.Thread(target=arm_on_b)
+        t.start()
+        t.join()
+        assert _is_cached(b_frame["df"])
+    # A's exit drained A's own arm, not B's
+    assert not _is_cached(a_inside)
+    assert _is_cached(b_frame["df"])
+    assert release_cached() == 1  # B's frame drains globally
