@@ -140,3 +140,60 @@ def test_scope_never_drains_another_threads_mid_scope_persist(spark):
     assert not _is_cached(a_inside)
     assert _is_cached(b_frame["df"])
     assert release_cached() == 1  # B's frame drains globally
+
+
+def test_two_concurrent_streams_drain_cleanly(spark, tmp_path):
+    """The cross-thread scenario behind the r8 registry fix, end to end:
+    TWO ingest streams run concurrently (each foreachBatch body on its
+    own micro-batch thread, each scope-draining per batch). After both
+    finish: every stream's output is correct, and the registry holds
+    ZERO leaked frames — under the old thread-blind scope a concurrent
+    arm could be drained mid-consumption or lost from the registry."""
+    import json as _json
+    import os
+
+    from data_pipelines_examples_spark import release_cached
+    from data_pipelines_examples_spark.streaming.ingest import stream_ingest_dedup
+
+    release_cached()
+    schema = "doc_id bigint, text string"
+    queries = []
+    for s in (1, 2):
+        src = str(tmp_path / f"src{s}")
+        os.makedirs(src, exist_ok=True)
+        for f in range(3):
+            with open(f"{src}/f{f}.json", "w") as fh:
+                for d in range(2):
+                    # every doc's word multiset is DISJOINT from every
+                    # other's, or the ingest minhash dedup (correctly)
+                    # kills the near-dups and the count assert below lies
+                    k = s * 100 + f * 10 + d
+                    words = " ".join(f"w{k}x{i}" for i in range(12))
+                    fh.write(_json.dumps({
+                        "doc_id": s * 1000 + f * 10 + d,
+                        "text": words,
+                    }) + "\n")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        queries.append(
+            stream_ingest_dedup(
+                stream,
+                str(tmp_path / f"corpus{s}"),
+                str(tmp_path / f"bands{s}"),
+                str(tmp_path / f"ckpt{s}"),
+            )
+        )
+    for q in queries:
+        q.awaitTermination(180)
+
+    for s in (1, 2):
+        got = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / f"corpus{s}")).collect()
+        )
+        assert got == [s * 1000 + f * 10 + d for f in range(3) for d in range(2)]
+    # every micro-batch scope-drained its own arms; nothing leaked
+    assert release_cached() == 0
