@@ -197,3 +197,57 @@ def test_two_concurrent_streams_drain_cleanly(spark, tmp_path):
         assert got == [s * 1000 + f * 10 + d for f in range(3) for d in range(2)]
     # every micro-batch scope-drained its own arms; nothing leaked
     assert release_cached() == 0
+
+
+def test_registry_concurrent_arm_release_stress(spark):
+    """Registry consistency under true contention: N threads hammer
+    persist_internal / release_cached / scopes concurrently. The lock
+    must prevent lost arms — after quiescence, one global drain leaves
+    ZERO cached library frames (the old unlocked read-modify-write
+    could drop a concurrent arm from the registry while its frame
+    stayed cached forever)."""
+    import threading
+
+    from data_pipelines_examples_spark import release_cached
+    from data_pipelines_examples_spark.cache import (
+        internal_persist_scope,
+        persist_internal,
+    )
+
+    release_cached()
+    frames = []
+    frames_lock = threading.Lock()
+    errors = []
+
+    def worker(wid: int):
+        try:
+            for i in range(6):
+                if i % 3 == 2:
+                    with internal_persist_scope():
+                        df = persist_internal(
+                            spark.range(8 + wid).withColumn("w", F.lit(wid))
+                        )
+                        df.count()
+                    # scope drained its own arm
+                else:
+                    df = persist_internal(
+                        spark.range(16 + wid * 7 + i).withColumn("w", F.lit(i))
+                    )
+                    df.count()
+                    with frames_lock:
+                        frames.append(df)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    # every non-scope arm is still registered (none lost to a race):
+    # the global drain releases exactly those still-cached frames
+    still_cached = sum(1 for df in frames if _is_cached(df))
+    assert release_cached() == still_cached
+    # and nothing the library persisted remains cached anywhere
+    assert all(not _is_cached(df) for df in frames)
