@@ -214,3 +214,62 @@ def test_every_catalog_entry_has_oracle_unless_allowed():
     assert ROWS_ONLY_GRADED <= NO_ORACLE_ALLOWED, (
         "rows-only graded entries must be on the no-oracle allowlist"
     )
+
+
+def test_rotation_planner_replans_current_window_exactly():
+    """tools/plan_rotation.py re-run on the committed history through
+    round _WINDOW_ROUND-1 must reproduce queries._PROMOTED verbatim —
+    the window in force IS the planner's output, not a hand edit."""
+    import re
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "plan_rotation.py")],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    planned = re.findall(r'^\s+"(q[^"]+)",', out, re.M)
+    from data_pipelines_examples_spark import queries as cat
+
+    # only compare when the history the planner sees is the history the
+    # committed window was planned from (mid-round, before the driver
+    # drops this round's files)
+    m = re.search(r"window planned for round (\d+)", out)
+    if int(m.group(1)) == cat._WINDOW_ROUND:
+        assert planned == list(cat._PROMOTED)
+
+
+def test_rotation_planner_warns_on_short_window(tmp_path):
+    """A fill that runs dry must WARN (stderr), never print a silently
+    short window a paste could carry into queries._PROMOTED."""
+    import importlib.util
+    import io
+    import sys
+    from contextlib import redirect_stderr, redirect_stdout
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_rotation", str(REPO / "tools" / "plan_rotation.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # shrink the catalog the planner sees: pretend only 9 oracled
+    # entries exist so stale+fill can never reach the 50-slot window
+    import data_pipelines_examples_spark.queries as cat
+
+    real_q, real_o = cat.queries, cat.oracle_sql
+    few = dict(list(real_q().items())[:9])
+    few_sql = {k: v for k, v in real_o().items() if k in few}
+    cat_queries = lambda: few  # noqa: E731
+    cat_oracle = lambda: few_sql  # noqa: E731
+    try:
+        cat.queries, cat.oracle_sql = cat_queries, cat_oracle
+        out, err = io.StringIO(), io.StringIO()
+        with redirect_stdout(out), redirect_stderr(err):
+            mod.main()
+        assert "WARNING" in err.getvalue()
+        assert "fill ran dry" in err.getvalue()
+    finally:
+        cat.queries, cat.oracle_sql = real_q, real_o
