@@ -215,7 +215,11 @@ def overlap_self_join(
     """Interval-overlap SELF-join: every pair of intervals of the same
     key that overlap (within ``gap_days``), including a row with itself.
     Output = ``df``'s columns plus the partner row's non-key columns
-    renamed ``<col><suffix>`` (key columns appear once).
+    renamed ``<col><suffix>`` (key columns appear once). This is the
+    shape of the reference's date-range self-join (reference:
+    notebooks/databricks/sql/overlap_query_no_recursive_cte_needed.sql:7-17
+    — `iv a JOIN iv b` on equi-key + range predicates), packaged so the
+    caller doesn't hand-build the renamed right side.
 
     Exists to halve the hot-key-guard cost of the two-sided form: a
     self-join's two sides are BY CONSTRUCTION the same population, so
