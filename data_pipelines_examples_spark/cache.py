@@ -29,10 +29,14 @@ concurrent streams — or a stream plus driver-thread library calls —
 interleave here in NORMAL use, not misuse; an unlocked read-modify-
 write could lose a concurrent arm, leaving a frame cached but
 unreleasable forever). Scopes additionally attribute each arm to the
-thread that made it, so one thread's scope exit can never drain a
-persist another thread armed mid-scope (see
-:func:`internal_persist_scope`). :func:`release_cached` stays global
-across threads by design — it is the between-logical-units drain.
+thread that made it, so one thread's scope exit never drains a
+DISTINCT-plan persist another thread armed mid-scope (see
+:func:`internal_persist_scope`; Spark's CacheManager keys cache
+entries by logical plan, so two arms over one plan SHARE a cache
+entry — scope exit defers the unpersist whenever an equal-plan arm is
+still registered, leaving the shared entry for the surviving owner's
+own drain). :func:`release_cached` stays global across threads by
+design — it is the between-logical-units drain.
 """
 
 from __future__ import annotations
@@ -46,6 +50,9 @@ from pyspark.storagelevel import StorageLevel
 # (frame, ident of the thread that armed it)
 _TRACKED: list[tuple[DataFrame, int]] = []
 _LOCK = threading.RLock()
+# self-prune trigger; doubles past 128 so a registry that LEGITIMATELY
+# holds many live entries doesn't re-sweep (n JVM roundtrips) per arm
+_PRUNE_AT = 128
 
 
 def _is_cached(df: DataFrame) -> bool:
@@ -53,28 +60,48 @@ def _is_cached(df: DataFrame) -> bool:
     return lvl.useMemory or lvl.useDisk or lvl.useOffHeap
 
 
+def _plan_key(df: DataFrame):
+    """Semantic identity of the frame's analyzed plan — the key Spark's
+    CacheManager dedupes cache entries by (approximated here by the
+    canonicalized plan's semanticHash). None when unavailable."""
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # noqa: BLE001 — dead session / connect-only API
+        return None
+
+
 def persist_internal(
     df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
 ) -> DataFrame:
     """Persist an operator-internal frame and register it for
     :func:`release_cached`. Chain-friendly: ``df.transform(persist_internal)``."""
+    global _PRUNE_AT
     df.persist(level)
     with _LOCK:
         _TRACKED.append((df, threading.get_ident()))
-        # Self-prune: a long-lived process that clears caches some other
-        # way (spark.catalog.clearCache between bench entries) would
-        # otherwise accumulate dead wrappers — each pinning a
-        # py4j-backed plan — forever. Cheap O(n) sweep, amortized by
-        # the threshold.
-        if len(_TRACKED) > 128:
-            live = []
-            for entry in _TRACKED:
-                try:
-                    if _is_cached(entry[0]):
-                        live.append(entry)
-                except Exception:  # noqa: BLE001
-                    pass
-            _TRACKED[:] = live
+        do_prune = len(_TRACKED) > _PRUNE_AT
+        snapshot = list(_TRACKED) if do_prune else None
+    # Self-prune: a long-lived process that clears caches some other way
+    # (spark.catalog.clearCache between bench entries) would otherwise
+    # accumulate dead wrappers — each pinning a py4j-backed plan —
+    # forever. The liveness probes are py4j roundtrips, so they run on a
+    # snapshot OUTSIDE the lock (holding it would stall every other
+    # thread's arm/drain for ~n roundtrips); the rebuild under the lock
+    # drops only ids the probe saw dead, never entries added meanwhile.
+    if do_prune:
+        dead_ids = set()
+        for entry in snapshot:
+            try:
+                if not _is_cached(entry[0]):
+                    dead_ids.add(id(entry[0]))
+            except Exception:  # noqa: BLE001
+                dead_ids.add(id(entry[0]))
+        with _LOCK:
+            # snapshot entries stay referenced until here, so dead ids
+            # cannot have been recycled by frames armed meanwhile
+            _TRACKED[:] = [e for e in _TRACKED if id(e[0]) not in dead_ids]
+            _PRUNE_AT = max(128, 2 * len(_TRACKED))
+        del snapshot
     return df
 
 
@@ -100,6 +127,15 @@ def internal_persist_scope(blocking: bool = False):
     by a frame persisted inside the scope, and that frame would be kept
     instead of drained (a deferred release, not corruption — but a leak).
     Holding ``anchor`` until scope exit makes recycling impossible.
+
+    EQUAL-PLAN deferral: Spark's CacheManager keys cache entries by
+    logical plan, so unpersisting this scope's arm would ALSO evict an
+    equal-plan frame another caller armed (same operator over the same
+    input — plausible across concurrent requests), forcing its silent
+    recompute. Exit therefore skips frames whose plan is still
+    registered to someone else; the surviving owner's own drain
+    releases the shared entry (a deferred release, never a premature
+    one).
     """
     me = threading.get_ident()
     with _LOCK:
@@ -118,10 +154,17 @@ def internal_persist_scope(blocking: bool = False):
                 else:
                     to_release.append(df)
             _TRACKED[:] = kept
-        # unpersist OUTSIDE the lock: a blocking release shouldn't stall
-        # other threads' arms
+        # plan probes + unpersist OUTSIDE the lock: py4j roundtrips and
+        # a blocking release shouldn't stall other threads' arms
+        kept_plans = {
+            k for k in (_plan_key(df) for df, _o in kept) if k is not None
+        }
         for df in to_release:
             try:
+                if _plan_key(df) in kept_plans:
+                    # the cache entry is shared with a still-registered
+                    # arm — defer to that owner's drain
+                    continue
                 if _is_cached(df):
                     df.unpersist(blocking)
             except Exception:  # noqa: BLE001 — a dead session's frames just drop

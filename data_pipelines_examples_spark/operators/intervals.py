@@ -249,14 +249,21 @@ def overlap_self_join(
             f"overlap_self_join: suffix {suffix!r} collides with existing "
             f"column(s) {[c + suffix for c in clash]}; pick another suffix"
         )
-    reserved = [c for c in df.columns if c.startswith("__self_join_dup_")]
+    # the positional-drop bookkeeping below deletes every output column
+    # in the reserved namespace; a name landing there — directly, or a
+    # non-key column whose SUFFIXED form lands there (c='__self_join',
+    # suffix='_dup_x') — would be silently dropped with the right
+    # side's duplicate keys. Fail loudly instead.
+    reserved = [c for c in df.columns if c.startswith("__self_join_dup_")] + [
+        c + suffix
+        for c in others
+        if (c + suffix).startswith("__self_join_dup_")
+    ]
     if reserved:
-        # the positional-drop bookkeeping below uses this prefix; an
-        # input column in that namespace would be silently dropped with
-        # the right side's duplicate keys — fail loudly instead
         raise ValueError(
-            f"overlap_self_join: column(s) {reserved} use the reserved "
-            "'__self_join_dup_' prefix; rename them before the join"
+            f"overlap_self_join: column(s) {sorted(set(reserved))} land in "
+            "the reserved '__self_join_dup_' namespace; rename the column "
+            "or pick another suffix"
         )
     # keys are RE-ALIASED (not passed through): an alias mints a fresh
     # exprId, so `left[k] == right[k]` in the join is a genuine

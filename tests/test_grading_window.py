@@ -237,6 +237,7 @@ def test_rotation_planner_replans_current_window_exactly():
     # committed window was planned from (mid-round, before the driver
     # drops this round's files)
     m = re.search(r"window planned for round (\d+)", out)
+    assert m is not None, f"planner banner line missing from output:\n{out}"
     if int(m.group(1)) == cat._WINDOW_ROUND:
         assert planned == list(cat._PROMOTED)
 

@@ -251,3 +251,63 @@ def test_registry_concurrent_arm_release_stress(spark):
     assert release_cached() == still_cached
     # and nothing the library persisted remains cached anywhere
     assert all(not _is_cached(df) for df in frames)
+
+
+def test_scope_defers_unpersist_of_equal_plan_arms(spark):
+    """Spark caches are PLAN-keyed: unpersisting one arm evicts the
+    entry an equal-plan arm (another request, same operator, same
+    input) still depends on. Scope exit must defer to the surviving
+    owner's drain instead of evicting the shared entry."""
+    import threading
+
+    from data_pipelines_examples_spark import release_cached
+    from data_pipelines_examples_spark.cache import (
+        internal_persist_scope,
+        persist_internal,
+    )
+
+    release_cached()
+
+    def make():
+        # IDENTICAL plan both times — shares one CacheManager entry
+        return spark.range(77).withColumn("v", F.col("id") % 5)
+
+    other = {}
+
+    def arm_other_thread():
+        df = persist_internal(make())
+        df.count()
+        other["df"] = df
+
+    with internal_persist_scope():
+        mine = persist_internal(make())
+        mine.count()
+        t = threading.Thread(target=arm_other_thread)
+        t.start()
+        t.join()
+    # scope exit must NOT have evicted the shared plan-keyed entry
+    assert _is_cached(other["df"]), (
+        "scope exit evicted a cache entry an equal-plan arm still owns"
+    )
+    assert release_cached() >= 1
+    assert not _is_cached(other["df"])
+
+
+def test_overlap_self_join_reserved_prefix_via_suffix_raises(spark):
+    """A non-key column whose SUFFIXED name lands in the reserved
+    namespace must also refuse (c='__self_join', suffix='_dup_x')."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipelines_examples_spark.operators.intervals import overlap_self_join
+
+    df = spark.createDataFrame(
+        [(1, "k1", "2023-01-01", "2023-01-09")],
+        "id bigint, k string, start string, end string",
+    ).select(
+        "id", "k",
+        F.col("start").cast("date"), F.col("end").cast("date"),
+        F.col("id").alias("__self_join"),
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        overlap_self_join(df, "k", "start", "end", suffix="_dup_x")
