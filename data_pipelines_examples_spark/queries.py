@@ -178,67 +178,73 @@ def _load_all() -> None:
 # _PROMOTED per the policy AND bump this to N+1. Forgetting entirely is
 # caught by the rolling-coverage alarm (every oracled entry green
 # within the last 3 graded rounds) in tests/test_grading_window.py.
-# ROUND-8 ROTATION (this window, computed by tools/plan_rotation.py on
-# the committed r1-r7 history): the only stale entries (last green r5,
-# deferred from r7 by design) are q103-q109 — they head the window. The
-# remaining 43 slots fill with r6-green entries oldest-first in catalog
-# order (q10-q64 band); the 5 r6-green leftovers (q65-q69) wait for r9
-# and everything displaced is green in CORRECTNESS_r07.
-_WINDOW_ROUND = 8
+# ROUND-8 ROTATION: the only stale entries (last green r5, deferred
+# from r7 by design) were q103-q109 — they headed the window; 43 slots
+# filled with r6-green entries oldest-first (q10-q64 band); the 5
+# r6-green leftovers (q65-q69) waited for r9. All 50 came back
+# hash-green in CORRECTNESS_r08.
+# ROUND-9 ROTATION (this window, computed by tools/plan_rotation.py on
+# the committed r1-r8 history): the only stale entries (last green r6,
+# deferred from r8 by design) are q65-q69 — they head the window. The
+# remaining 45 slots fill with r7-green entries oldest-first in catalog
+# order (q01-q23 band, then q70-q97); the 5 r7-green leftovers
+# (q98-q102) wait for round 10 and everything displaced is green in
+# CORRECTNESS_r08.
+_WINDOW_ROUND = 9
 
 _PROMOTED = [
-    # last driver-green r5 (stale — deferred from r7, must head this window)
-    "q103_ab_test_purchase_rate",
-    "q104_inverted_index",
-    "q105_revenue_share_of_region",
-    "q106_abc_customer_classes",
-    "q107_copurchase_rules",
-    "q108_event_transition_matrix",
-    "q109_overlap_join_binned",
-    # last driver-green r6, oldest-first (q65-q69 wait for r9)
-    "q10_scd_latest_event_per_user",
-    "q19_customer_running_spend",
-    "q21_acctbal_quartiles",
-    "q22_user_value_streaks",
-    "q24_region_revenue_rollup",
-    "q25_map_payload_roundtrip",
-    "q26_union_dedup_pairs",
-    "q27_distinct_users_by_type",
-    "q28_transitive_closure",
-    "q29_fiscal_date_functions",
-    "q30_group_max_join_back",
-    "q31_ngram_jaccard_pairs",
-    "q33_minhash_candidates",
-    "q34_simhash_pairs",
-    "q36_map_key_filter",
-    "q37_string_functions",
-    "q38_null_safe_join",
-    "q39_one_hot_segments",
-    "q40_sas_composite_shape",
-    "q41_approx_sliding_distinct",
-    "q44_hourly_rollup",
-    "q45_schema_evolution_union",
-    "q46_right_outer_fill",
-    "q42_embedding_dedup_pairs",
-    "q43_lsh_topk",
-    "q47_sql_text_pipeline",
-    "q48_ivf_topk_full_probe",
-    "q49_asof_latest_event_value",
-    "q50_region_nation_rollup",
-    "q51_status_pivot",
-    "q52_price_percentiles",
-    "q53_first_last_order_value",
-    "q54_filtered_aggregates",
-    "q55_shipping_priority",
-    "q56_vocab_top_tokens",
-    "q57_doclen_histogram",
-    "q58_training_mix",
-    "q59_redact_pii",
-    "q60_repetition_ratios",
-    "q61_grouping_sets_revenue",
-    "q62_duplicate_components",
-    "q63_chunk_documents",
-    "q64_pack_offsets",
+    # last driver-green r6 (stale — deferred from r8, must head this window)
+    "q65_epoch_shuffle",
+    "q66_quality_floor_filter",
+    "q67_unigram_surprisal",
+    "q68_materialized_sequences",
+    "q69_dedup_against_corpus",
+    # last driver-green r7, oldest-first (q98-q102 wait for round 10)
+    "q01_pricing_summary",
+    "q02_top_customers",
+    "q03_interval_collapse",
+    "q04_customers_without_orders",
+    "q05_latest_order_per_customer",
+    "q06_cumulative_daily_revenue",
+    "q07_salted_join_priority_volume",
+    "q08_part_unpivot",
+    "q09_json_shred_events",
+    "q11_sessionize_events",
+    "q12_sliding_distinct_users",
+    "q13_dedup_exact_documents",
+    "q14_text_profile",
+    "q15_embedding_topk",
+    "q16_size_band_join",
+    "q17_wildcard_rule_tiering",
+    "q18_open_not_fulfilled_custkeys",
+    "q20_order_lag_features",
+    "q23_overlapping_order_windows",
+    "q70_zorder_keys",
+    "q71_tfidf_top_terms",
+    "q72_bm25_topk",
+    "q73_cap_per_source",
+    "q74_leakage_free_split",
+    "q75_semantic_dedup_pairs",
+    "q76_length_bucketed_batches",
+    "q77_token_heavy_hitters",
+    "q78_bigram_surprisal",
+    "q79_dedup_corpus_lines",
+    "q80_duplicate_spans",
+    "q81_strip_duplicate_spans",
+    "q82_scd2_event_type_history",
+    "q83_apply_cdc_snapshot",
+    "q84_temporal_regime_join",
+    "q85_weighted_sample",
+    "q86_snapshot_diff_reconcile",
+    "q89_quarantine_orders",
+    "q90_winnowing_fingerprints",
+    "q91_bm25_batch_topk",
+    "q92_fuzzy_name_pairs",
+    "q93_hourly_resample_asof",
+    "q94_event_feed_gaps",
+    "q95_contamination_report",
+    "q96_budget_selection",
+    "q97_copurchase_pairs",
 ]
 # Nothing needs active demotion this round: the window is exactly
 # _PROMOTED (50 entries), and all other entries follow in registration
