@@ -47,8 +47,8 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-# (frame, ident of the thread that armed it)
-_TRACKED: list[tuple[DataFrame, int]] = []
+# (frame, ident of the thread that armed it, plan key at arm time)
+_TRACKED: list[tuple[DataFrame, int, object]] = []
 _LOCK = threading.RLock()
 # self-prune trigger; doubles past 128 so a registry that LEGITIMATELY
 # holds many live entries doesn't re-sweep (n JVM roundtrips) per arm
@@ -63,7 +63,16 @@ def _is_cached(df: DataFrame) -> bool:
 def _plan_key(df: DataFrame):
     """Semantic identity of the frame's analyzed plan — the key Spark's
     CacheManager dedupes cache entries by (approximated here by the
-    canonicalized plan's semanticHash). None when unavailable."""
+    canonicalized plan's semanticHash). None when unavailable.
+
+    Known limits, both benign: (a) under Spark CONNECT there is no
+    ``_jdf``, so every frame yields None and the equal-plan deferral is
+    DISABLED — a scope exit may then evict an entry an equal-plan arm
+    still wanted, forcing a silent recompute (perf-only; classic-mode
+    sessions, which this sandbox and the target clusters run, are
+    unaffected); (b) semanticHash is a hash, so a collision DEFERS an
+    unrelated frame's release to its owner's later drain — a bounded
+    leak window, never a premature eviction."""
     try:
         return df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:  # noqa: BLE001 — dead session / connect-only API
@@ -77,8 +86,12 @@ def persist_internal(
     :func:`release_cached`. Chain-friendly: ``df.transform(persist_internal)``."""
     global _PRUNE_AT
     df.persist(level)
+    # plan key captured AT ARM TIME (one extra py4j roundtrip next to
+    # persist()'s own) so scope exits can re-check equal-plan ownership
+    # UNDER the lock with no JVM calls — see internal_persist_scope
+    pk = _plan_key(df)
     with _LOCK:
-        _TRACKED.append((df, threading.get_ident()))
+        _TRACKED.append((df, threading.get_ident(), pk))
         do_prune = len(_TRACKED) > _PRUNE_AT
         snapshot = list(_TRACKED) if do_prune else None
     # Self-prune: a long-lived process that clears caches some other way
@@ -135,9 +148,18 @@ def internal_persist_scope(blocking: bool = False):
     recompute. Exit therefore skips frames whose plan is still
     registered to someone else; the surviving owner's own drain
     releases the shared entry (a deferred release, never a premature
-    one).
+    one). The equal-plan check re-reads the registry UNDER the lock
+    immediately before each unpersist (plan keys are captured at arm
+    time, so the locked re-check costs no JVM calls) — an equal-plan
+    arm registered at any point before the release is honored. The one
+    residual window: a concurrent ``persist_internal`` that has called
+    ``persist()`` but not yet appended its registry entry can still
+    lose the shared cache entry (its own drain then finds the frame
+    uncached and no-ops — a silent recompute on first consume,
+    perf-only, never corruption).
     """
     me = threading.get_ident()
+    global _PRUNE_AT
     with _LOCK:
         anchor = [entry[0] for entry in _TRACKED]
     before = {id(df) for df in anchor}
@@ -145,26 +167,29 @@ def internal_persist_scope(blocking: bool = False):
         yield
     finally:
         with _LOCK:
-            kept: list[tuple[DataFrame, int]] = []
-            to_release: list[DataFrame] = []
+            kept: list[tuple[DataFrame, int, object]] = []
+            to_release: list[tuple[DataFrame, object]] = []
             for entry in _TRACKED:
-                df, owner = entry
+                df, owner, pk = entry
                 if id(df) in before or owner != me:
                     kept.append(entry)
                 else:
-                    to_release.append(df)
+                    to_release.append((df, pk))
             _TRACKED[:] = kept
-        # plan probes + unpersist OUTSIDE the lock: py4j roundtrips and
-        # a blocking release shouldn't stall other threads' arms
-        kept_plans = {
-            k for k in (_plan_key(df) for df, _o in kept) if k is not None
-        }
-        for df in to_release:
+            _PRUNE_AT = max(128, 2 * len(_TRACKED))
+        # unpersist OUTSIDE the lock (py4j roundtrips and a blocking
+        # release shouldn't stall other threads' arms); the equal-plan
+        # re-check is a brief per-frame lock re-acquire over in-memory
+        # keys only
+        for df, pk in to_release:
             try:
-                if _plan_key(df) in kept_plans:
-                    # the cache entry is shared with a still-registered
-                    # arm — defer to that owner's drain
-                    continue
+                if pk is not None:
+                    with _LOCK:
+                        shared = any(e[2] == pk for e in _TRACKED)
+                    if shared:
+                        # the cache entry is shared with a still-
+                        # registered arm — defer to that owner's drain
+                        continue
                 if _is_cached(df):
                     df.unpersist(blocking)
             except Exception:  # noqa: BLE001 — a dead session's frames just drop
@@ -177,11 +202,16 @@ def release_cached(blocking: bool = False) -> int:
     across ALL threads; returns how many were released. Safe to call
     repeatedly (idempotent) and never touches caches the user created
     directly."""
+    global _PRUNE_AT
     with _LOCK:
         drained = list(_TRACKED)
         _TRACKED.clear()
+        # reset the self-prune ratchet: after a transient spike the old
+        # (doubled) threshold would otherwise let dead wrappers pile up
+        # to the spike's size before the next sweep fires
+        _PRUNE_AT = 128
     released = 0
-    for df, _owner in drained:
+    for df, _owner, _pk in drained:
         try:
             if _is_cached(df):
                 df.unpersist(blocking)

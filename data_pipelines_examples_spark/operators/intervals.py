@@ -134,6 +134,134 @@ def cap_intervals_per_key(
     return df.join(ok, keys, "left_semi").unionByName(null_rows).select(*cols)
 
 
+def _bin_explode(
+    df: DataFrame,
+    start: str,
+    end: str,
+    gap_days: int,
+    bin_days: int,
+    max_bins_per_interval: int,
+) -> DataFrame:
+    """Explode each interval into the ``bin_days``-wide epoch-day time
+    bins it covers (end extended by ``gap_days`` so a gap-tolerant
+    overlap still shares a bin), adding the bin as ``__bin``.
+
+    ``max_bins_per_interval`` is the corrupt-data fuse: the fan-out is
+    data-driven (span / bin_days), so one row whose end column carries
+    a corrupt far-future date would otherwise fan out into millions of
+    bin rows inside ONE task. Checked inline per row (``raise_error``
+    under a ``when`` — no extra pass, the branch is codegen'd)."""
+    s_day = F.datediff(F.col(start), F.lit("1970-01-01"))
+    e_day = F.datediff(F.date_add(F.col(end), gap_days), F.lit("1970-01-01"))
+    s_bin = F.floor(s_day / bin_days)
+    e_bin = F.floor(e_day / bin_days)
+    # abs(): sequence(start, stop) DESCENDS when start > stop (an
+    # inverted interval — corrupt start — covers the same bin SET,
+    # preserving theta parity), so a signed check would let a
+    # corrupt far-future START explode ungated
+    guarded_e = F.when(
+        F.abs(e_bin - s_bin) >= max_bins_per_interval,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"overlap_join_binned: interval [{start}, {end}] spans "
+                ),
+                (F.abs(e_bin - s_bin) + 1).cast("string"),
+                F.lit(
+                    f" bins at bin_days={bin_days}, over the "
+                    f"max_bins_per_interval={max_bins_per_interval} fuse — "
+                    "usually a corrupt end date; filter the input range, "
+                    "widen bin_days, or raise the fuse explicitly (row "
+                    "start day "
+                ),
+                s_day.cast("string"),
+                F.lit(", end day "),
+                e_day.cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long"),
+    ).otherwise(e_bin)
+    return df.withColumn("__bin", F.explode(F.sequence(s_bin, guarded_e)))
+
+
+def _cap_cobinned(
+    exploded: DataFrame,
+    keys: list[str],
+    cap: int,
+    mode: str,
+    what: str,
+    bin_days: int,
+) -> DataFrame:
+    """Hot-CELL population guard for the BINNED overlap join — the
+    bin-aware counterpart of :func:`cap_intervals_per_key`, applied
+    AFTER the bin explode. Binning exists precisely to make a hot key
+    runnable by spreading its pairs across (key, bin) reducers, so a
+    per-key pre-bin cap would refuse exactly the jobs the binned path
+    was built to survive; what actually bounds a binned reducer (and
+    its pair output) is the CO-BINNED population, counted here per
+    (key, bin) cell over the exploded frame.
+
+    ``mode='error'`` is parity-safe: identical rows or a loud refusal
+    naming the hot key, its bin, and the co-binned count — it only
+    fires on a cluster that genuinely lands ``cap`` intervals in ONE
+    ``bin_days``-wide cell. ``mode='cut'`` drops every interval of any
+    KEY owning an over-dense cell (whole keys, never partial bins —
+    cutting individual cells would silently drop some of a key's pairs
+    while keeping others, an output no oracle can mirror). NULL-key
+    rows bypass the guard untouched, as in the per-key guard: the
+    equi-join rejects them, so they can never pair-explode.
+    """
+    if mode not in ("cut", "error"):
+        raise ValueError(
+            f"_cap_cobinned: unknown mode {mode!r} (use 'cut' or 'error')"
+        )
+    cols = list(exploded.columns)
+    nonnull = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        nonnull = c if nonnull is None else (nonnull & c)
+    null_rows = exploded.filter(~nonnull)
+    ex = exploded.filter(nonnull)
+    cells = ex.groupBy(*keys, "__bin").agg(F.count("*").alias("__kb_n"))
+    if mode == "error":
+        checked = cells.withColumn(
+            "__kb_n",
+            F.when(
+                F.col("__kb_n") > cap,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"{what}: key ("),
+                        F.concat_ws(
+                            ",", *[F.col(k).cast("string") for k in keys]
+                        ),
+                        F.lit(") holds "),
+                        F.col("__kb_n").cast("string"),
+                        F.lit(" intervals co-binned in bin "),
+                        F.col("__bin").cast("string"),
+                        F.lit(
+                            f" (bin_days={bin_days}), over "
+                            f"max_intervals_per_key={cap} — a co-binned "
+                            "cluster this size lands quadratic pairs on one "
+                            "(key, bin) reducer, which binning cannot "
+                            "spread; shrink bin_days, pre-filter, cut "
+                            "(cap_mode='cut'), or raise the cap explicitly"
+                        ),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("__kb_n")),
+        )
+        # referencing the checked column keeps the raise_error branch
+        # alive under column pruning (same trick as the per-key guard)
+        guarded = ex.join(
+            checked.filter(F.col("__kb_n") >= 0).drop("__kb_n"),
+            keys + ["__bin"],
+            "left_semi",
+        )
+        return guarded.unionByName(null_rows).select(*cols)
+    hot = cells.filter(F.col("__kb_n") > cap).select(*keys).distinct()
+    return ex.join(hot, keys, "left_anti").unionByName(null_rows).select(*cols)
+
+
 DEFAULT_MAX_INTERVALS_PER_KEY = 100_000
 """Default hot-key ceiling for the overlap joins. A key holding K
 intervals implies up to K² comparisons AND output pairs in any overlap
@@ -232,16 +360,19 @@ def overlap_self_join(
     Guard semantics are unchanged: ``cap_mode='error'`` (default) never
     alters rows — identical output or a loud refusal naming the hot key.
 
-    ``binned=True`` routes through ``overlap_join_binned`` (the
-    time-binned scale path — row-identical for inner joins, hot keys
-    spread across their time axis); see that docstring for ``bin_days``
-    and the ``max_bins_per_interval`` corrupt-data fuse.
+    ``binned=True`` is the time-binned scale path — row-identical for
+    inner joins, hot keys spread across their time axis. There the
+    guard is BIN-AWARE: intervals explode into bins FIRST (one shared
+    explode feeds both join branches) and the cap applies per
+    (key, bin) CELL, not per key — a per-key pre-bin cap would refuse
+    exactly the hot keys binning exists to spread, while what actually
+    bounds a binned reducer is the co-binned population (see
+    ``_cap_cobinned``; ``overlap_join_binned`` documents ``bin_days``
+    and the ``max_bins_per_interval`` corrupt-data fuse). A genuinely
+    pathological cluster — ``max_intervals_per_key`` intervals landing
+    in ONE ``bin_days``-wide cell — still refuses loudly.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    if max_intervals_per_key is not None:
-        df = cap_intervals_per_key(
-            df, keys, max_intervals_per_key, cap_mode, "overlap_self_join"
-        )
     others = [c for c in df.columns if c not in keys]
     clash = [c for c in others if c + suffix in df.columns]
     if clash:
@@ -265,30 +396,68 @@ def overlap_self_join(
             "the reserved '__self_join_dup_' namespace; rename the column "
             "or pick another suffix"
         )
-    # keys are RE-ALIASED (not passed through): an alias mints a fresh
-    # exprId, so `left[k] == right[k]` in the join is a genuine
-    # cross-plan equality — a pass-through key keeps the left plan's
-    # exprId and the predicate silently collapses to trivially-true
-    # (cross-key pairs), which Spark only warns about
-    right = df.select(
-        *[F.col(k).alias(k) for k in keys],
-        *[F.col(c).alias(c + suffix) for c in others],
-    )
+    # keys (and, in the binned branch, every column) are RE-ALIASED on
+    # the right side, not passed through: an alias mints a fresh exprId,
+    # so `left[k] == right[k]` in the join is a genuine cross-plan
+    # equality — a pass-through key keeps the left plan's exprId and the
+    # predicate silently collapses to trivially-true (cross-key pairs),
+    # which Spark only warns about
     if binned:
-        out = overlap_join_binned(
-            df,
-            right,
-            keys,
-            start,
-            end,
-            start + suffix,
-            end + suffix,
-            bin_days=bin_days,
-            gap_days=gap_days,
-            max_bins_per_interval=max_bins_per_interval,
-            max_intervals_per_key=None,
+        if "__bin" in df.columns:
+            raise ValueError(
+                "overlap_self_join: input already has a '__bin' column — "
+                "it would be clobbered by the internal bin explode; "
+                "rename it first"
+            )
+        # ONE shared explode + ONE bin-aware guard feed both join
+        # branches (the self-join's whole point): the per-(key, bin)
+        # count aggregate is built once and the second reference
+        # becomes a ReusedExchange
+        base = _bin_explode(
+            df, start, end, gap_days, bin_days, max_bins_per_interval
+        )
+        if max_intervals_per_key is not None:
+            base = _cap_cobinned(
+                base, keys, max_intervals_per_key, cap_mode,
+                "overlap_self_join", bin_days,
+            )
+        lb = base
+        rb = base.select(
+            *[F.col(k).alias(k) for k in keys],
+            *[F.col(c).alias(c + suffix) for c in others],
+            F.col("__bin").alias("__bin" + suffix),
+        )
+        cond: Column | None = None
+        for k in keys:
+            c = lb[k] == rb[k]
+            cond = c if cond is None else (cond & c)
+        canonical_day = F.datediff(
+            F.greatest(lb[start], rb[start + suffix]), F.lit("1970-01-01")
+        )
+        cond = (
+            cond
+            & (lb["__bin"] == rb["__bin" + suffix])
+            & (lb[start] <= F.date_add(rb[end + suffix], gap_days))
+            & (rb[start + suffix] <= F.date_add(lb[end], gap_days))
+            & (lb["__bin"] == F.floor(canonical_day / bin_days))
+        )
+        out = lb.join(rb, cond, "inner")
+        names = (
+            list(df.columns)
+            + ["__self_join_dup___bin_l"]
+            + ["__self_join_dup_" + k for k in keys]
+            + [c + suffix for c in others]
+            + ["__self_join_dup___bin_r"]
         )
     else:
+        if max_intervals_per_key is not None:
+            df = cap_intervals_per_key(
+                df, keys, max_intervals_per_key, cap_mode, "overlap_self_join"
+            )
+        right = df.select(
+            *[F.col(k).alias(k) for k in keys],
+            *[F.col(c).alias(c + suffix) for c in others],
+        )
         out = overlap_join(
             df,
             right,
@@ -300,13 +469,14 @@ def overlap_self_join(
             gap_days=gap_days,
             max_intervals_per_key=None,
         )
-    # drop the right side's (equal-valued) key columns POSITIONALLY: in a
-    # self-join, `right[k]` can resolve to the left branch after Spark's
-    # ambiguity rewrite, silently dropping the wrong column — a positional
-    # toDF rename is unambiguous (join output is left.columns + right.columns)
-    names = list(df.columns) + [
-        ("__self_join_dup_" + c) if c in keys else c for c in right.columns
-    ]
+        names = list(df.columns) + [
+            ("__self_join_dup_" + c) if c in keys else c for c in right.columns
+        ]
+    # drop the right side's (equal-valued) key columns — and the binned
+    # branch's two internal bin columns — POSITIONALLY: in a self-join,
+    # `right[k]` can resolve to the left branch after Spark's ambiguity
+    # rewrite, silently dropping the wrong column — a positional toDF
+    # rename is unambiguous (join output is left.columns + right.columns)
     return out.toDF(*names).drop(
         *[n for n in names if n.startswith("__self_join_dup_")]
     )
@@ -357,59 +527,43 @@ def overlap_join_binned(
     30-day bin) only ever fires on corrupt data.
 
     ``max_intervals_per_key`` guards the OTHER data-driven explosion —
-    a skew-hot key whose K intervals imply K² output pairs, which
-    binning redistributes but cannot shrink; see
-    ``cap_intervals_per_key``. ON by default in error mode
-    (``DEFAULT_MAX_INTERVALS_PER_KEY`` — parity-safe: identical rows or
-    a loud refusal naming the hot key); ``None`` disables.
+    the quadratic pair output — at the granularity binning actually
+    works at: CO-BINNED intervals per (key, bin) cell, counted AFTER
+    the explode (a per-key pre-bin cap would refuse exactly the hot
+    keys the binned path exists to spread across their time axis; a
+    hot key is only unrunnable here when one ``bin_days``-wide cell
+    genuinely holds a quadratic cluster). ON by default in error mode
+    (``DEFAULT_MAX_INTERVALS_PER_KEY`` — parity-safe: identical rows
+    or a loud refusal naming the hot key, bin, and co-binned count);
+    ``cap_mode='cut'`` drops every interval of any KEY owning an
+    over-dense cell (whole keys, so the cut is oracle-mirrorable —
+    note the trigger differs from the unbinned per-key cut: a key
+    spread thinly over years survives here at any total count);
+    ``None`` disables. See ``_cap_cobinned``.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    for side, df in (("left", left), ("right", right)):
+        if "__bin" in df.columns:
+            raise ValueError(
+                f"overlap_join_binned: {side} input already has a '__bin' "
+                "column — it would be clobbered by the internal bin "
+                "explode; rename it first"
+            )
+    lb = _bin_explode(
+        left, left_start, left_end, gap_days, bin_days, max_bins_per_interval
+    )
+    rb = _bin_explode(
+        right, right_start, right_end, gap_days, bin_days, max_bins_per_interval
+    )
     if max_intervals_per_key is not None:
-        left = cap_intervals_per_key(
-            left, keys, max_intervals_per_key, cap_mode, "overlap_join_binned"
+        lb = _cap_cobinned(
+            lb, keys, max_intervals_per_key, cap_mode,
+            "overlap_join_binned", bin_days,
         )
-        right = cap_intervals_per_key(
-            right, keys, max_intervals_per_key, cap_mode, "overlap_join_binned"
+        rb = _cap_cobinned(
+            rb, keys, max_intervals_per_key, cap_mode,
+            "overlap_join_binned", bin_days,
         )
-
-    def _binned(df: DataFrame, start: str, end: str) -> DataFrame:
-        s_day = F.datediff(F.col(start), F.lit("1970-01-01"))
-        e_day = F.datediff(F.date_add(F.col(end), gap_days), F.lit("1970-01-01"))
-        s_bin = F.floor(s_day / bin_days)
-        e_bin = F.floor(e_day / bin_days)
-        # abs(): sequence(start, stop) DESCENDS when start > stop (an
-        # inverted interval — corrupt start — covers the same bin SET,
-        # preserving theta parity), so a signed check would let a
-        # corrupt far-future START explode ungated
-        guarded_e = F.when(
-            F.abs(e_bin - s_bin) >= max_bins_per_interval,
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"overlap_join_binned: interval [{start}, {end}] spans "
-                    ),
-                    (F.abs(e_bin - s_bin) + 1).cast("string"),
-                    F.lit(
-                        f" bins at bin_days={bin_days}, over the "
-                        f"max_bins_per_interval={max_bins_per_interval} fuse — "
-                        "usually a corrupt end date; filter the input range, "
-                        "widen bin_days, or raise the fuse explicitly (row "
-                        "start day "
-                    ),
-                    s_day.cast("string"),
-                    F.lit(", end day "),
-                    e_day.cast("string"),
-                    F.lit(")"),
-                )
-            ).cast("long"),
-        ).otherwise(e_bin)
-        return df.withColumn(
-            "__bin",
-            F.explode(F.sequence(s_bin, guarded_e)),
-        )
-
-    lb = _binned(left, left_start, left_end)
-    rb = _binned(right, right_start, right_end)
     cond: Column | None = None
     for k in keys:
         c = lb[k] == rb[k]

@@ -48,8 +48,32 @@ failure on a future seed.
   (9000). Stresses month/fiscal arithmetic, window RANGE frames, gap
   detection, and epoch-second conversions on negative values.
 
+- ``--replicate=K``: multiplicity-PRESERVING scale-up (the readable
+  bench rung — r8 verdict item 5). The ``--scale`` bootstrap draws K·n
+  rows from the SAME key domain, so both sides of every fact-fact FK
+  gain K× multiplicity and join workload grows K² (q07 measured 29×
+  wall at K=10 — dataset construction, not engine scaling). Replication
+  instead stamps K disjoint key universes: every key column shifts by
+  replica·stride (stride > the domain's max key, consistently across
+  ALL tables sharing the domain — events.user_id lives in the custkey
+  domain via q49's asof join), so per-key join multiplicity, window
+  partition sizes, and dup-group sizes are IDENTICAL to the source
+  while row counts grow K×: a linear-work scale-up, like TPC-H SF
+  growth. Content that would collide across replicas is decorrelated
+  deterministically: document/name text is Caesar-shifted by replica
+  (length-preserving — n_chars stays consistent; Levenshtein distances
+  within a replica are invariant under the bijective char map, and
+  cross-replica texts differ in every letter so fuzzy/ngram/minhash
+  families don't gain cross-replica pairs), and embedding vectors are
+  cyclically rotated by replica (norm-preserving; within-replica
+  geometry identical, cross-replica cosine ≈ isotropic noise).
+  nation/region stay single-copy (small enums — more customers per
+  nation is linear fan-out, and region-level aggregates keep their
+  5-row shape). Replica 0 is the identity, so the source is a subset.
+
 Usage:
     python tools/resample_testdata.py /root/testdata/sf0.001 /tmp/randsf [seed]
+    python tools/resample_testdata.py --replicate=10 /root/testdata/sf0.1 /tmp/sf1_replica
     python tools/resample_testdata.py --nulls /root/testdata/sf0.001 /tmp/nullsf [seed]
     python tools/resample_testdata.py --skew /root/testdata/sf0.001 /tmp/skewsf [seed]
     python tools/resample_testdata.py --strings /root/testdata/sf0.001 /tmp/strsf [seed]
@@ -109,6 +133,118 @@ def resample(
         idx = rng.randint(0, n, size=n * k)
         pq.write_table(t.take(pa.array(idx)), os.path.join(dst, name))
         counts[name] = len(set(idx))
+    return counts
+
+
+# --replicate: key domains (columns sharing one key space — a remap
+# must hit every member or an FK dangles; user_id is in the custkey
+# domain via q49's `o_custkey = user_id` asof join) and the content
+# columns decorrelated per replica.
+KEY_DOMAINS = {
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "custkey": [
+        ("customer", "c_custkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "docid": [("documents", "doc_id")],
+    "vecid": [("embeddings", "vec_id")],
+    "eventid": [("events", "event_id")],
+}
+REPLICATED = {
+    "lineitem", "orders", "events", "documents",
+    "embeddings", "customer", "part", "supplier",
+}
+CAESAR_COLS = {
+    "documents": ["text"],
+    "customer": ["c_name"],
+    "part": ["p_name"],
+    "supplier": ["s_name"],
+}
+
+
+def _caesar_table(shift: int) -> dict[int, int]:
+    """Bijective letter map: rotate a-z and A-Z by ``shift``. Length-
+    preserving (n_chars stays valid) and distance-preserving within a
+    replica; cross-replica texts differ in every letter."""
+    lo = "abcdefghijklmnopqrstuvwxyz"
+    hi = lo.upper()
+    s = shift % 26
+    return str.maketrans(lo + hi, lo[s:] + lo[:s] + hi[s:] + hi[:s])
+
+
+def replicate(src: str, dst: str, k: int) -> dict[str, int]:
+    """Stamp ``k`` disjoint key universes of every replicated table —
+    the multiplicity-preserving scale-up (see module docstring). Fully
+    deterministic: no RNG, replica 0 is the identity."""
+    if not 1 <= k <= 26:
+        # the Caesar decorrelation wraps at 26 — replica 26 would carry
+        # replica 0's text verbatim, silently re-coupling dedup pairs
+        raise ValueError(f"replicate: k must be in [1, 26], got {k}")
+    os.makedirs(dst, exist_ok=True)
+    domain_of = {}  # (table, column) -> domain name
+    for dom, members in KEY_DOMAINS.items():
+        for tbl, col in members:
+            domain_of[(tbl, col)] = dom
+    # stride per domain: > max key across EVERY member column
+    stride = {}
+    for dom, members in KEY_DOMAINS.items():
+        hi = 0
+        for tbl, col in members:
+            p = os.path.join(src, f"{tbl}.parquet")
+            if not os.path.exists(p):
+                continue
+            t = pq.read_table(p, columns=[col])
+            if t.num_rows:
+                import pyarrow.compute as pc
+
+                m = pc.max(t[col]).as_py()
+                if m is not None:
+                    hi = max(hi, int(m))
+        stride[dom] = hi + 1
+    counts = {}
+    for p in sorted(glob.glob(os.path.join(src, "*.parquet"))):
+        import pyarrow.compute as pc
+
+        name = os.path.basename(p)
+        stem = name.replace(".parquet", "")
+        t = pq.read_table(p)
+        if stem not in REPLICATED or t.num_rows == 0:
+            pq.write_table(t, os.path.join(dst, name))
+            counts[name] = t.num_rows
+            continue
+        replicas = []
+        for r in range(k):
+            cols = {}
+            trans = _caesar_table(r)
+            for field in t.schema:
+                arr = t[field.name].combine_chunks()
+                dom = domain_of.get((stem, field.name))
+                if dom is not None and r > 0:
+                    arr = pc.add(arr, pa.scalar(r * stride[dom], type=field.type))
+                elif field.name in CAESAR_COLS.get(stem, []) and r > 0:
+                    arr = pa.array(
+                        [
+                            None if v is None else v.translate(trans)
+                            for v in arr.to_pylist()
+                        ],
+                        type=field.type,
+                    )
+                elif stem == "embeddings" and field.name == "embedding" and r > 0:
+                    arr = pa.array(
+                        [
+                            None if v is None else (v[r % len(v):] + v[: r % len(v)])
+                            for v in arr.to_pylist()
+                        ],
+                        type=field.type,
+                    )
+                cols[field.name] = arr
+            replicas.append(pa.table(cols))
+        out = pa.concat_tables(replicas)
+        pq.write_table(out, os.path.join(dst, name))
+        counts[name] = out.num_rows
     return counts
 
 
@@ -352,6 +488,14 @@ if __name__ == "__main__":
     elif "--times" in sys.argv:
         inject_times(src, dst, int(args[2]) if len(args) > 2 else 17)
         print(f"time-injected {src} -> {dst}")
+    elif any(a.startswith("--replicate=") for a in sys.argv):
+        k = next(
+            int(a.split("=", 1)[1])
+            for a in sys.argv[1:]
+            if a.startswith("--replicate=")
+        )
+        for name, rows in replicate(src, dst, k).items():
+            print(f"{name}: {rows} rows ({k} replicas)")
     else:
         seed = int(args[2]) if len(args) > 2 else 20260814
         scale = next(
