@@ -184,6 +184,27 @@ def _bin_explode(
     return df.withColumn("__bin", F.explode(F.sequence(s_bin, guarded_e)))
 
 
+def _pin_cell_parallelism(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Force the exploded frame into a (keys, __bin) hash distribution
+    at the session's full shuffle parallelism — the binned join's
+    compute is QUADRATIC in each cell's row count while its bytes stay
+    tiny, and every byte-based planner decision gets that wrong: the
+    composed sf1-density gate measured a 20 MB orders table whose
+    binned self-join broadcast the exploded side and ran the ~10¹⁰
+    pair iterations of the hot key inside the ONE map task of a 20 MB
+    scan (hours, 2 cores busy); AQE's partition coalescing makes the
+    same mistake on the reduce side, merging cheap-bytes/expensive-
+    compute cells into a handful of reducers. An explicit numbered
+    repartition is the idiomatic escape hatch: its shuffle origin is
+    user-specified, so AQE neither coalesces it away nor converts the
+    join under it to a single-probe-task broadcast, and the join
+    reuses the distribution (same keys), so at scale this is the
+    exchange the join would have run anyway — hot cells spread across
+    the full reducer fleet."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *keys, "__bin")
+
+
 def _cap_cobinned(
     exploded: DataFrame,
     keys: list[str],
@@ -421,6 +442,7 @@ def overlap_self_join(
                 base, keys, max_intervals_per_key, cap_mode,
                 "overlap_self_join", bin_days,
             )
+        base = _pin_cell_parallelism(base, keys)
         lb = base
         rb = base.select(
             *[F.col(k).alias(k) for k in keys],
@@ -564,6 +586,8 @@ def overlap_join_binned(
             rb, keys, max_intervals_per_key, cap_mode,
             "overlap_join_binned", bin_days,
         )
+    lb = _pin_cell_parallelism(lb, keys)
+    rb = _pin_cell_parallelism(rb, keys)
     cond: Column | None = None
     for k in keys:
         c = lb[k] == rb[k]
