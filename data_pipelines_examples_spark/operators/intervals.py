@@ -442,6 +442,12 @@ def overlap_self_join(
                 base, keys, max_intervals_per_key, cap_mode,
                 "overlap_self_join", bin_days,
             )
+        # pin AFTER guarding, directly under the join: the guard's
+        # semi-join/union output carries no partitioning guarantee, so
+        # a pin above it would leave the join to insert its own
+        # AQE-coalescible exchange — the exact failure the pin exists
+        # to prevent (the guard's own aggregate exchange is tiny:
+        # map-side partial aggregation reduces it to cell counts)
         base = _pin_cell_parallelism(base, keys)
         lb = base
         rb = base.select(
@@ -586,6 +592,12 @@ def overlap_join_binned(
             rb, keys, max_intervals_per_key, cap_mode,
             "overlap_join_binned", bin_days,
         )
+    # pin AFTER guarding, directly under the join: the guard's
+    # semi-join/union output carries no partitioning guarantee, so a
+    # pin above it would leave the join to insert its own
+    # AQE-coalescible exchange — the exact failure the pin exists to
+    # prevent (the guard's own aggregate exchange is tiny: map-side
+    # partial aggregation reduces it to cell counts)
     lb = _pin_cell_parallelism(lb, keys)
     rb = _pin_cell_parallelism(rb, keys)
     cond: Column | None = None
