@@ -201,7 +201,13 @@ def _pin_cell_parallelism(df: DataFrame, keys: list[str]) -> DataFrame:
     reuses the distribution (same keys), so at scale this is the
     exchange the join would have run anyway — hot cells spread across
     the full reducer fleet."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # managed platforms set this to the literal "auto" (auto-
+        # optimized shuffle); fall back to the cluster's core-level
+        # parallelism rather than crashing the scale path at plan time
+        n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *keys, "__bin")
 
 

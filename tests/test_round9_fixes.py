@@ -169,11 +169,14 @@ def test_replicate_preserves_multiplicity(tmp_path):
     join workload K² — the r8 bench-rung readability caveat), keep every
     FK resolvable, keep unique keys unique, and decorrelate text across
     replicas without breaking the n_chars contract."""
+    import os
     import sys
 
     import duckdb
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), os.pardir, "tools")
+    )
     from resample_testdata import replicate
 
     import pytest as _pytest

@@ -166,13 +166,21 @@ CAESAR_COLS = {
 
 
 def _caesar_table(shift: int) -> dict[int, int]:
-    """Bijective letter map: rotate a-z and A-Z by ``shift``. Length-
-    preserving (n_chars stays valid) and distance-preserving within a
-    replica; cross-replica texts differ in every letter."""
+    """Bijective char map: rotate a-z, A-Z (by ``shift`` mod 26) and
+    0-9 (mod 10). Length-preserving (n_chars stays valid) and
+    distance-preserving within a replica; cross-replica texts differ
+    in every alphanumeric. Residual: a text with NO alphanumerics maps
+    to itself in every replica (measured zero such rows in the
+    generated testdata) — its replicas would re-couple as exact dups."""
     lo = "abcdefghijklmnopqrstuvwxyz"
     hi = lo.upper()
+    dg = "0123456789"
     s = shift % 26
-    return str.maketrans(lo + hi, lo[s:] + lo[:s] + hi[s:] + hi[:s])
+    d = shift % 10
+    return str.maketrans(
+        lo + hi + dg,
+        lo[s:] + lo[:s] + hi[s:] + hi[:s] + dg[d:] + dg[:d],
+    )
 
 
 def replicate(src: str, dst: str, k: int) -> dict[str, int]:
@@ -233,11 +241,23 @@ def replicate(src: str, dst: str, k: int) -> dict[str, int]:
                         type=field.type,
                     )
                 elif stem == "embeddings" and field.name == "embedding" and r > 0:
+                    # rotation r mod d decorrelates; when d divides r
+                    # (possible only for dim <= 25 under the k <= 26
+                    # cap) the rotation is the identity, so flip signs
+                    # instead — also norm- and geometry-preserving
+                    # (cos(-u,-v) == cos(u,v)); empty vectors pass
+                    # through (nothing to decorrelate)
+                    def _rot(v, _r=r):
+                        if v is None or len(v) == 0:
+                            return v
+                        k2 = _r % len(v)
+                        out = v[k2:] + v[:k2]
+                        if k2 == 0:
+                            out = [-x if x is not None else None for x in out]
+                        return out
+
                     arr = pa.array(
-                        [
-                            None if v is None else (v[r % len(v):] + v[: r % len(v)])
-                            for v in arr.to_pylist()
-                        ],
+                        [_rot(v) for v in arr.to_pylist()],
                         type=field.type,
                     )
                 cols[field.name] = arr

@@ -115,7 +115,20 @@ def main() -> int:
             )
         samples = []
         t0 = time.time()
-        while any(q.isActive for q in queries):
+        # a healthy file-source stream never self-terminates, and a
+        # failed one never reaches the last batch id — both need a
+        # deadline or the loop spins forever on `isActive`
+        deadline = t0 + next(
+            (
+                float(a.split("=", 1)[1])
+                for a in sys.argv
+                if a.startswith("--deadline-sec=")
+            ),
+            45 * 60,
+        )
+        while any(q.isActive for q in queries) and time.time() < deadline:
+            if any(q.exception() is not None for q in queries):
+                break  # a dead stream can never finish its batches
             done = all(
                 not q.status["isDataAvailable"]
                 and not q.status["isTriggerActive"]
@@ -147,6 +160,21 @@ def main() -> int:
 
         with cache._LOCK:
             reg_after = len(cache._TRACKED)
+        errs = [str(q.exception())[:200] for q in queries if q.exception()]
+        if not samples or errs:
+            # streams died before/ during the soak — emit a clean
+            # failing verdict instead of crashing the report path
+            print(
+                json.dumps(
+                    {
+                        "soak": "streaming-ingest",
+                        "ok": False,
+                        "errors": errs or ["no samples collected"],
+                        "wall_sec": round(time.time() - t0, 1),
+                    }
+                )
+            )
+            return 1
         rows = [
             spark.read.parquet(os.path.join(root, f"corpus{s}")).count()
             for s in (1, 2)
