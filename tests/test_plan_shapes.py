@@ -330,3 +330,35 @@ def test_sessionize_tie_collapse_single_exchange(spark):
     for name in ("q11_sessionize_events", "q22_user_value_streaks"):
         df = _QUERIES[name](spark, SF_SMOKE)
         assert count_shuffles(df) == 1, f"{name} grew a second exchange"
+
+
+def test_binned_overlap_join_pins_cell_parallelism(spark):
+    """The binned interval join's scale contract (r9): its (key, bin)
+    distribution is pinned via a NUMBERED repartition — the one shuffle
+    origin AQE neither coalesces nor broadcast-converts away. Without
+    it, byte-based planning ran a composed-density hot key's ~10¹⁰ pair
+    iterations inside one map task (measured: >35 min unfinished vs
+    31 s pinned). Also pin that no BroadcastNestedLoop appears and the
+    shared explode+guard subtree is built once (ReusedExchange)."""
+    import datetime as dt
+
+    from data_pipelines_examples_spark.operators.intervals import (
+        overlap_self_join,
+    )
+
+    rows = [
+        (
+            f"k{i % 5}",
+            i,
+            dt.date(2023, 1, 1 + i % 27),
+            dt.date(2023, 2, 1 + i % 27),
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k string, id int, s date, e date")
+    out = overlap_self_join(df, "k", "s", "e", binned=True, bin_days=30)
+    out.collect()  # executed plan — AQE decisions only exist at runtime
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
