@@ -405,8 +405,18 @@ def minhash_lsh_pairs(
 
     The only wide operation is the band-bucket join; band hashes are 64-bit
     so the shuffle is tiny relative to the corpus.
+
+    The signature table persists before the self-join: both join sides
+    consume it, and Spark does NOT collapse the two identical
+    shingle→hash→agg subtrees (ReuseExchange keys on canonicalized
+    exchange plans, which the alias split defeats — measured: the whole
+    fingerprint pipeline ran twice, 2 source scans, 0 reuse). The
+    persisted frame is num_hashes longs per doc — ids-only scale, same
+    MEMORY_AND_DISK honesty as ngram_jaccard_pairs' intermediates.
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_how)
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, hash_how
+    ).transform(persist_internal)
     banded = _band_buckets(sig, id_col, num_hashes, bands, hash_how)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -641,9 +651,18 @@ def simhash_pairs(
     ``bands`` chunks; docs sharing any chunk are candidates (pigeonhole: any
     pair within hamming distance < bands shares ≥1 chunk); verify with
     exact popcount of XOR.
+
+    Persists the fingerprint table ((id, long) — the smallest frame in
+    the pipeline) before the band self-join: both sides consume it and
+    the two identical explode→64-sum-agg subtrees are NOT collapsed by
+    ReuseExchange (measured 2 source scans / 0 reuse without the
+    persist; the band explode derived from the persisted frame is
+    narrow and costs nothing).
     """
     width = num_bits // bands
-    fp = simhash_fingerprints(df, id_col, text_col, num_bits, hash_how=hash_how)
+    fp = simhash_fingerprints(
+        df, id_col, text_col, num_bits, hash_how=hash_how
+    ).transform(persist_internal)
     banded = fp.select(
         id_col,
         "__fp",

@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import persist_internal
+
 
 def _rebalance(df: DataFrame) -> DataFrame:
     """Under-parallelism guard for the map-side scoring stages: a corpus
@@ -335,9 +337,14 @@ def embedding_dedup_pairs_lsh(
     # fold (see hyperplane_buckets_arrow) — 8×6×64 interpreted HOF lambda
     # evals/row was the dominant cost of the whole dedup at sf0.1.
     bucketer = hyperplane_buckets_arrow(planes_tables)
+    # Persisted before the self-join: both candidate sides consume this
+    # frame and Spark does not collapse the two identical subtrees
+    # (ReuseExchange misses them), so without the persist the Arrow
+    # signature UDF runs TWICE over every vector. (id, t, bkt) rows only
+    # — L ints per vector, ids-only scale.
     sigs = df.select(
         F.col(id_col), F.posexplode(bucketer(F.col(vec_col))).alias("t", "bkt")
-    )
+    ).transform(persist_internal)
     a = sigs.select(F.col(id_col).alias("id_a"), "t", "bkt")
     b = sigs.select(F.col(id_col).alias("id_b"), "t", "bkt")
     cand = (
