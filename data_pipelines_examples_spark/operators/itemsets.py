@@ -5,24 +5,26 @@ Two tiers, verified against each other:
 
 - ``cooccurrence_pairs``: EXACT pairwise co-occurrence counts with a
   support floor — the explainable workhorse (almost every production
-  "frequently bought together" is pairs). Self-join on the basket key
-  restricted to frequent items; fully SQL-replicable (oracle q97).
+  "frequently bought together" is pairs). Per-basket combination
+  explode restricted to frequent items; fully SQL-replicable (oracle
+  q97 — the oracle keeps the equivalent self-join form).
 - ``frequent_itemsets``: MLlib FP-Growth for itemsets of any size —
   tree-based, no candidate explosion (Han et al., SIGMOD 2000). Its
   size-2 output must agree exactly with ``cooccurrence_pairs`` at the
   same support, which is pytest-pinned.
 
-Scale notes: the pair self-join prunes to frequent items FIRST (classic
+Scale notes: pair generation prunes to frequent items FIRST (classic
 a-priori monotonicity — an infrequent item cannot be in a frequent
-pair), so the join fans out only over items that already passed the
-floor; hot baskets bound the per-basket pair fan-out quadratically, so
-``max_basket_size`` guards against degenerate baskets (a basket with a
-million items is a data bug, not a signal).
+pair), so the combination explode fans out only over items that
+already passed the floor; hot baskets bound the per-basket pair
+fan-out quadratically, so ``max_basket_size`` guards against
+degenerate baskets (a basket with a million items is a data bug, not a
+signal).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..cache import persist_internal
@@ -49,9 +51,18 @@ def _filtered_items(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
     if max_basket_size is not None:
-        sizes = items.groupBy("__b").agg(F.count("*").alias("__n"))
-        ok = sizes.filter(F.col("__n") <= max_basket_size).select("__b")
-        items = items.join(ok, "__b", "left_semi")
+        # Window count instead of a sizes-aggregate + semi join: one
+        # exchange on __b replaces an agg exchange AND a two-sided join
+        # exchange, and the persisted frame comes out hash-partitioned
+        # by __b — which the downstream per-basket collect_list reuses
+        # without re-shuffling.
+        items = (
+            items.withColumn(
+                "__n", F.count("*").over(Window.partitionBy("__b"))
+            )
+            .filter(F.col("__n") <= max_basket_size)
+            .drop("__n")
+        )
     # Multi-consumer pattern (same as ranking.py's tf table): the
     # frequency floor, the pair self-join's two sides, and (in
     # association_metrics) the denominators all consume this projection,
@@ -89,12 +100,35 @@ def _pairs_from_items(items: DataFrame, min_support: int) -> DataFrame:
         .select("__i")
     )
     pruned = items.join(freq, "__i", "left_semi")
-    a = pruned.select(F.col("__b"), F.col("__i").alias("item_a"))
-    b = pruned.select(F.col("__b"), F.col("__i").alias("item_b"))
+    # Pair generation by per-basket combination explode, not an a⋈b
+    # self-join on the basket key: the sorted item array emits each
+    # unordered pair ONCE (k·(k−1)/2 structs) instead of the join's k²
+    # rows filtered to half, and it costs one exchange (groupBy __b)
+    # where the join costs two (both sides hash by __b). Items are
+    # distinct within a basket and null items never survive the
+    # frequency semi join (null equi-keys don't match), so array_sort +
+    # adjacent slices reproduce exactly the join's item_a < item_b
+    # pairs. Per-basket fan-out is bounded by the max_basket_size guard.
+    baskets = pruned.groupBy("__b").agg(
+        F.array_sort(F.collect_list("__i")).alias("__xs")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "__xs",
+                    lambda x, i: F.transform(
+                        F.slice("__xs", i + F.lit(2), F.size("__xs")),
+                        lambda y: F.struct(
+                            x.alias("item_a"), y.alias("item_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
+    ).select("__p.item_a", "__p.item_b")
     return (
-        a.join(b, "__b")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        pairs.groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_baskets"))
         .filter(F.col("n_baskets") >= min_support)
     )
