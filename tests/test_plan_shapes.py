@@ -362,3 +362,53 @@ def test_binned_overlap_join_pins_cell_parallelism(spark):
     assert "REPARTITION_BY_NUM" in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
+
+
+def test_lsh_pair_selfjoins_consume_one_cached_frame(spark):
+    """r9: the minhash/simhash/embedding pair generators self-join a
+    derived signature frame, and Spark does NOT collapse the two
+    identical subtrees (ReuseExchange keys on canonicalized exchanges,
+    which the alias split defeats) — measured: the full signature
+    pipeline ran TWICE per query before the persist. Pin that BOTH
+    join sides read the persisted frame (>= 2 InMemoryTableScan), so a
+    refactor that drops the persist fails here, not in the bench."""
+    from data_pipelines_examples_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from data_pipelines_examples_spark.operators.similarity import (
+        embedding_dedup_pairs_lsh,
+    )
+    from data_pipelines_examples_spark.oracles import gauss_plane_tables
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    tables = gauss_plane_tables(n_tables=2, n_planes=4, dim=64, seed=1)
+    for df in (
+        minhash_lsh_pairs(d, num_hashes=8, bands=2),
+        simhash_pairs(d, max_hamming=3, bands=4, num_bits=64),
+        embedding_dedup_pairs_lsh(emb, tables, threshold=0.4),
+    ):
+        plan = physical_plan(df)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_cooccurrence_pairs_no_basket_selfjoin(spark):
+    """r9: pair generation is a per-basket combination explode, not an
+    a-b self-join on the basket key — each unordered pair is emitted
+    once (k(k-1)/2 structs) with ONE exchange where the join shuffled
+    both sides and emitted k^2 rows. Pin the cached items frame feeding
+    both consumers and the shuffle budget."""
+    from data_pipelines_examples_spark.operators.itemsets import (
+        cooccurrence_pairs,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    plan = physical_plan(pairs)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # pair structs come from the sorted-array explode, not a join filter
+    assert "item_a < item_b" not in plan.replace("#", " ").lower()
+    assert count_shuffles(pairs) <= 7, physical_plan(pairs)
