@@ -754,9 +754,17 @@ def duplicate_components(
             .agg(F.min("component").alias("component"))
         )
         # path halving: every label value is itself a node id, so chase
-        # one hop through the label table (left join: roots label
-        # themselves and always match; coalesce is belt-and-braces)
-        a, b = merged.alias("a"), merged.alias("b")
+        # one hop through a label table (left join: roots label
+        # themselves and always match; coalesce is belt-and-braces).
+        # The hop table is the MATERIALIZED previous state, not merged
+        # itself: a merged-merged self-join plans the union+groupBy
+        # subtree twice per iteration (Spark does not collapse the
+        # aliased duplicates), while state is a parquet scan. Labels
+        # one iteration old are still valid accelerants — halving only
+        # speeds convergence; correctness comes from the 1-hop min
+        # merge, whose stability (metric unchanged) implies labels are
+        # constant along every edge, i.e. true component minima.
+        a, b = merged.alias("a"), state.alias("b")
         return a.join(b, F.col("a.component") == F.col("b.id"), "left").select(
             F.col("a.id").alias("id"),
             F.least(
