@@ -112,21 +112,23 @@ def _pairs_from_items(items: DataFrame, min_support: int) -> DataFrame:
     baskets = pruned.groupBy("__b").agg(
         F.array_sort(F.collect_list("__i")).alias("__xs")
     )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "__xs",
-                    lambda x, i: F.transform(
-                        F.slice("__xs", i + F.lit(2), F.size("__xs")),
-                        lambda y: F.struct(
-                            x.alias("item_a"), y.alias("item_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("__p")
-    ).select("__p.item_a", "__p.item_b")
+    # Two chained explodes, NOT explode(flatten(transform(...))): the
+    # flatten form materializes the whole k(k-1)/2 pair array for one
+    # row before exploding — ~1.6 GB transient for a basket at the 10k
+    # guard cap. posexplode → suffix slice → explode streams pairs
+    # row-by-row inside one codegen stage with per-row memory bounded
+    # by the basket array itself.
+    pairs = (
+        baskets.select(
+            F.posexplode("__xs").alias("__i", "item_a"), F.col("__xs")
+        )
+        .select(
+            "item_a",
+            F.explode(
+                F.slice("__xs", F.col("__i") + F.lit(2), F.size("__xs"))
+            ).alias("item_b"),
+        )
+    )
     return (
         pairs.groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_baskets"))
