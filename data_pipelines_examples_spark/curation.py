@@ -59,9 +59,11 @@ def curate_corpus(
     ``quality``, and ``shuffle_key``.
 
     Cache lifecycle: this composition leaves NO library-internal
-    persists behind (pinned by tests/test_round7_fixes.py) — its only
-    persisting stage, ``duplicate_components``, parquet-materializes its
-    state and releases its edge cache before returning. Callers who
+    persists behind (pinned by tests/test_round7_fixes.py) —
+    ``duplicate_components`` parquet-materializes its state and releases
+    its edge cache before returning, and the near-dedup stage runs under
+    ``internal_persist_scope`` so the minhash signature persist drains
+    once the components are materialized. Callers who
     FURTHER compose the lazy result with persisting operators
     (``ngram_jaccard_pairs``, ``select_within_token_budget``, …) own the
     release: call ``data_pipelines_examples_spark.release_cached()``
@@ -110,8 +112,20 @@ def curate_corpus(
 
     exact = _n("exact_dedup", dedup_exact(floored, text_col, id_col=id_col))
 
-    pairs = minhash_lsh_pairs(exact, id_col, text_col, bands=minhash_bands)
-    near = _n("near_dedup", dedup_keep_canonical(exact, pairs, id_col))
+    # Scoped drain around the near-dedup stage: minhash_lsh_pairs arms a
+    # lazy signature persist (r9 — both sides of its band self-join
+    # consume it), and dedup_keep_canonical's fixpoint EXECUTES here,
+    # parquet-materializing the components. After that nothing in the
+    # returned lazy frame references the signature cache (near = docs
+    # anti-join parquet state), so the scope exit can release it —
+    # keeping this composition's no-leftover-persists contract.
+    from .cache import internal_persist_scope
+
+    with internal_persist_scope():
+        pairs = minhash_lsh_pairs(
+            exact, id_col, text_col, bands=minhash_bands
+        )
+        near = _n("near_dedup", dedup_keep_canonical(exact, pairs, id_col))
 
     if benchmark is not None:
         near = _n(
