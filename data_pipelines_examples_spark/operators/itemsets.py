@@ -55,11 +55,13 @@ def _filtered_items(
         # exchange on __b replaces an agg exchange AND a two-sided join
         # exchange, and the persisted frame comes out hash-partitioned
         # by __b — which the downstream per-basket collect_list reuses
-        # without re-shuffling.
+        # without re-shuffling. The null-basket filter preserves the
+        # semi-join form's semantics exactly (a null equi-key never
+        # matched, so guarded runs always dropped null baskets — and the
+        # q97/q107 oracles' JOIN USING(b) does the same).
         items = (
-            items.withColumn(
-                "__n", F.count("*").over(Window.partitionBy("__b"))
-            )
+            items.filter(F.col("__b").isNotNull())
+            .withColumn("__n", F.count("*").over(Window.partitionBy("__b")))
             .filter(F.col("__n") <= max_basket_size)
             .drop("__n")
         )

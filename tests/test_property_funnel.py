@@ -160,3 +160,31 @@ def test_association_metrics_denominators_respect_guard(spark, rows, max_basket)
         assert abs(r["confidence"] - r["n_both"] / r["n_antecedent"]) < 1e-12
         expected_lift = (r["n_both"] / r["n_antecedent"]) / (item_n[r["consequent"]] / nb)
         assert abs(r["lift"] - expected_lift) < 1e-12
+
+
+def test_cooccurrence_null_basket_matches_semijoin_semantics(spark):
+    """r9: the size guard moved from a sizes-aggregate + semi join to a
+    window count. A null basket key never matched the semi join's equi
+    keys (and the q97/q107 oracles' JOIN USING(b) drops it the same
+    way), so guarded runs must keep dropping null-basket rows — pin that
+    the window form does, while null ITEMS still reach the denominators
+    exactly as before (they die in the frequency semi join, never in the
+    basket filter)."""
+    from data_pipelines_examples_spark.operators.itemsets import (
+        cooccurrence_pairs,
+    )
+
+    rows = [
+        (None, "a"), (None, "b"),          # null basket: must not pair
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, None), (3, "a"),               # null item: never pairs
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in cooccurrence_pairs(
+            df, "basket", "item", min_support=2, max_basket_size=10
+        ).collect()
+    }
+    assert got == {("a", "b"): 2}, got
