@@ -190,61 +190,66 @@ def _load_all() -> None:
 # order (q01-q23 band, then q70-q97); the 5 r7-green leftovers
 # (q98-q102) wait for round 10 and everything displaced is green in
 # CORRECTNESS_r08.
-_WINDOW_ROUND = 9
+# ROUND-10 ROTATION (this window, computed by tools/plan_rotation.py on
+# the committed r1-r9 history): the only stale entries (last green r7,
+# deferred from r9 by design) are q98-q102 — they head the window. The
+# remaining 45 slots fill with r8-green entries oldest-first in catalog
+# order (q10-q64 band, then q103-q104); the 5 r8-green leftovers
+# (q105-q109) wait for round 11 and everything displaced is green in
+# CORRECTNESS_r09.
+_WINDOW_ROUND = 10
 
 _PROMOTED = [
-    # last driver-green r6 (stale — deferred from r8, must head this window)
-    "q65_epoch_shuffle",
-    "q66_quality_floor_filter",
-    "q67_unigram_surprisal",
-    "q68_materialized_sequences",
-    "q69_dedup_against_corpus",
-    # last driver-green r7, oldest-first (q98-q102 wait for round 10)
-    "q01_pricing_summary",
-    "q02_top_customers",
-    "q03_interval_collapse",
-    "q04_customers_without_orders",
-    "q05_latest_order_per_customer",
-    "q06_cumulative_daily_revenue",
-    "q07_salted_join_priority_volume",
-    "q08_part_unpivot",
-    "q09_json_shred_events",
-    "q11_sessionize_events",
-    "q12_sliding_distinct_users",
-    "q13_dedup_exact_documents",
-    "q14_text_profile",
-    "q15_embedding_topk",
-    "q16_size_band_join",
-    "q17_wildcard_rule_tiering",
-    "q18_open_not_fulfilled_custkeys",
-    "q20_order_lag_features",
-    "q23_overlapping_order_windows",
-    "q70_zorder_keys",
-    "q71_tfidf_top_terms",
-    "q72_bm25_topk",
-    "q73_cap_per_source",
-    "q74_leakage_free_split",
-    "q75_semantic_dedup_pairs",
-    "q76_length_bucketed_batches",
-    "q77_token_heavy_hitters",
-    "q78_bigram_surprisal",
-    "q79_dedup_corpus_lines",
-    "q80_duplicate_spans",
-    "q81_strip_duplicate_spans",
-    "q82_scd2_event_type_history",
-    "q83_apply_cdc_snapshot",
-    "q84_temporal_regime_join",
-    "q85_weighted_sample",
-    "q86_snapshot_diff_reconcile",
-    "q89_quarantine_orders",
-    "q90_winnowing_fingerprints",
-    "q91_bm25_batch_topk",
-    "q92_fuzzy_name_pairs",
-    "q93_hourly_resample_asof",
-    "q94_event_feed_gaps",
-    "q95_contamination_report",
-    "q96_budget_selection",
-    "q97_copurchase_pairs",
+    "q98_normalize_text",  # stale
+    "q99_corpus_checksum",  # stale
+    "q100_pseudonymized_order_counts",  # stale
+    "q101_event_funnel",  # stale
+    "q102_retention_cohorts",  # stale
+    "q10_scd_latest_event_per_user",  # green r8
+    "q19_customer_running_spend",  # green r8
+    "q21_acctbal_quartiles",  # green r8
+    "q22_user_value_streaks",  # green r8
+    "q24_region_revenue_rollup",  # green r8
+    "q25_map_payload_roundtrip",  # green r8
+    "q26_union_dedup_pairs",  # green r8
+    "q27_distinct_users_by_type",  # green r8
+    "q28_transitive_closure",  # green r8
+    "q29_fiscal_date_functions",  # green r8
+    "q30_group_max_join_back",  # green r8
+    "q31_ngram_jaccard_pairs",  # green r8
+    "q33_minhash_candidates",  # green r8
+    "q34_simhash_pairs",  # green r8
+    "q36_map_key_filter",  # green r8
+    "q37_string_functions",  # green r8
+    "q38_null_safe_join",  # green r8
+    "q39_one_hot_segments",  # green r8
+    "q40_sas_composite_shape",  # green r8
+    "q41_approx_sliding_distinct",  # green r8
+    "q44_hourly_rollup",  # green r8
+    "q45_schema_evolution_union",  # green r8
+    "q46_right_outer_fill",  # green r8
+    "q42_embedding_dedup_pairs",  # green r8
+    "q43_lsh_topk",  # green r8
+    "q47_sql_text_pipeline",  # green r8
+    "q48_ivf_topk_full_probe",  # green r8
+    "q49_asof_latest_event_value",  # green r8
+    "q50_region_nation_rollup",  # green r8
+    "q51_status_pivot",  # green r8
+    "q52_price_percentiles",  # green r8
+    "q53_first_last_order_value",  # green r8
+    "q54_filtered_aggregates",  # green r8
+    "q55_shipping_priority",  # green r8
+    "q56_vocab_top_tokens",  # green r8
+    "q57_doclen_histogram",  # green r8
+    "q58_training_mix",  # green r8
+    "q59_redact_pii",  # green r8
+    "q60_repetition_ratios",  # green r8
+    "q61_grouping_sets_revenue",  # green r8
+    "q62_duplicate_components",  # green r8
+    "q63_chunk_documents",  # green r8
+    "q64_pack_offsets",  # green r8
+    "q103_ab_test_purchase_rate",  # green r8
+    "q104_inverted_index",  # green r8
 ]
 # Nothing needs active demotion this round: the window is exactly
 # _PROMOTED (50 entries), and all other entries follow in registration
