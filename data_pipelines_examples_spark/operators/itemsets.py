@@ -101,7 +101,17 @@ def _pairs_from_items(items: DataFrame, min_support: int) -> DataFrame:
         .filter(F.col("__c") >= min_support)
         .select("__i")
     )
-    pruned = items.join(freq, "__i", "left_semi")
+    # Null baskets must not pair even when the size guard is off
+    # (max_basket_size=None skips _filtered_items' isNotNull filter):
+    # the a⋈b self-join this explode replaces never matched a null
+    # equi-key, but groupBy("__b") groups NULL as a real basket and
+    # would emit pairs from it. The filter sits here, not in
+    # _filtered_items, so the unguarded path's confidence/lift
+    # denominators keep counting null-basket (basket, item) rows —
+    # exactly the old self-join form's semantics.
+    pruned = items.filter(F.col("__b").isNotNull()).join(
+        freq, "__i", "left_semi"
+    )
     # Pair generation by per-basket combination explode, not an a⋈b
     # self-join on the basket key: the sorted item array emits each
     # unordered pair ONCE (k·(k−1)/2 structs) instead of the join's k²

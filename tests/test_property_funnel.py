@@ -188,3 +188,44 @@ def test_cooccurrence_null_basket_matches_semijoin_semantics(spark):
         ).collect()
     }
     assert got == {("a", "b"): 2}, got
+
+
+def test_cooccurrence_null_basket_unguarded(spark):
+    """r10 (ADVICE): with max_basket_size=None the guard branch — and
+    its isNotNull filter — never runs, but the old a⋈b self-join still
+    never matched a null basket key, so the combination explode must
+    not pair null-basket rows either. The unguarded denominators, by
+    contrast, DO keep counting null-basket (basket, item) rows, exactly
+    like the self-join form: the filter lives in _pairs_from_items, not
+    _filtered_items."""
+    from data_pipelines_examples_spark.operators.itemsets import (
+        association_metrics,
+        cooccurrence_pairs,
+    )
+
+    rows = [
+        (None, "a"), (None, "b"),          # null basket: must not pair
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in cooccurrence_pairs(
+            df, "basket", "item", min_support=2, max_basket_size=None
+        ).collect()
+    }
+    assert got == {("a", "b"): 2}, got
+    # unguarded denominators preserve self-join semantics: the null
+    # basket counts toward n_antecedent (a appears in 3 baskets incl.
+    # the null one) and the distinct-basket total (3)
+    rules = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_metrics(
+            df, "basket", "item", min_support=2, max_basket_size=None
+        ).collect()
+    }
+    r = rules[("a", "b")]
+    assert r["n_both"] == 2 and r["n_antecedent"] == 3
+    assert abs(r["confidence"] - 2 / 3) < 1e-12
+    assert abs(r["lift"] - (2 / 3) / (3 / 3)) < 1e-12
