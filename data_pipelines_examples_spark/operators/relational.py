@@ -46,16 +46,25 @@ def salted_join(
     dim: DataFrame,
     on: str | list[str],
     how: str = "inner",
-    salt_n: int = 16,
+    salt_n: int | None = None,
     salt_col: str = "__salt",
 ) -> DataFrame:
     """Skew-mitigating join: salt the fact side with a uniform random int in
     [0, salt_n), replicate the dim side ×salt_n (cross join against
     ``spark.range(salt_n)``), and join on (keys..., salt).
 
-    Result is row-identical to the unsalted join; the hot key's rows are
-    spread over ``salt_n`` shuffle partitions. salt_n=16 matches the
-    reference's fan-out.
+    Result is row-identical to the unsalted join for ANY salt_n (the dim
+    side carries every salt value, so each fact row matches exactly its
+    unsalted matches); the hot key's rows are spread over ``salt_n``
+    shuffle partitions. The default ``salt_n=None`` resolves to
+    ``max(16, defaultParallelism)``: a hot key can occupy at most salt_n
+    reducers, so a fan-out below the cluster's parallelism leaves cores
+    idle during the skewed stage — on a 1000-executor cluster a fixed 16
+    caps the hot key at 16 tasks. 16 is kept as the documented FLOOR
+    because it is the reference's fixed fan-out
+    (sas_conversion_with_manual_salt_skewed_join.sql:30, sized for its
+    fixed cluster) and because replicating the dim below 16× buys no
+    meaningful replication savings.
 
     Only fact-preserving join types are allowed: with the dim replicated
     ×salt_n, right/full outer would emit every UNMATCHED dim row once per
@@ -69,6 +78,8 @@ def salted_join(
         )
     keys = [on] if isinstance(on, str) else list(on)
     spark = fact.sparkSession
+    if salt_n is None:
+        salt_n = max(16, spark.sparkContext.defaultParallelism)
     salt_ids = spark.range(salt_n).select(F.col("id").cast("int").alias(salt_col))
     salted_fact = fact.withColumn(salt_col, (F.rand(seed=42) * salt_n).cast("int"))
     # Dim replication is a broadcast of a small cross product — never a shuffle.

@@ -504,13 +504,14 @@ def q06_cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q07_salted_join_priority_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join — row-identical to the plain join, hot keys spread
-    over 16 salt partitions (reference:
+    over max(16, defaultParallelism) salt partitions (r10: the fan-out
+    tracks cluster parallelism; the reference's fixed 16 is the floor —
     notebooks/databricks/sql/sas_conversion_with_manual_salt_skewed_join.sql:161-206)."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    joined = salted_join(li, o, "o_orderkey", salt_n=16)
+    joined = salted_join(li, o, "o_orderkey")
     return (
         joined.groupBy("o_orderpriority")
         .agg(_dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_items"))

@@ -179,7 +179,7 @@ def q40_sas_composite_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    joined = salted_join(li, o, "o_orderkey", salt_n=16).withColumnRenamed(
+    joined = salted_join(li, o, "o_orderkey").withColumnRenamed(
         "o_orderkey", "l_orderkey"
     )
     long_df = unpivot(

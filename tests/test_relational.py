@@ -32,6 +32,27 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert rows == {(1, "a"), (9, None)}
 
 
+def test_salted_join_default_salt_tracks_parallelism(spark):
+    """r10: salt_n=None resolves to max(16, defaultParallelism) — a hot
+    key can occupy at most salt_n reducers, so the fan-out must track the
+    cluster's core count (the reference's fixed 16 stays as the floor).
+    Pin the resolved fan-out by counting the replicated dim's salt
+    domain, and the row-identity invariant under the default."""
+    fact = spark.createDataFrame(
+        [(i % 2, f"v{i}") for i in range(50)], "k int, v string"
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b")], "k int, name string")
+    out = salted_join(fact, dim, "k", salt_col="__s_probe")
+    expected_n = max(16, spark.sparkContext.defaultParallelism)
+    # the salt column is dropped from the result; re-derive the fan-out
+    # from the replicated-dim plan: range(salt_n) appears in the plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert f"Range (0, {expected_n}" in plan, plan
+    plain = fact.join(dim, "k").groupBy("name").count()
+    got = salted_join(fact, dim, "k").groupBy("name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, got.collect()))
+
+
 def test_salted_join_rejects_dim_preserving_outer(spark):
     import pytest
 
