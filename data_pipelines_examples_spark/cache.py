@@ -85,12 +85,23 @@ def persist_internal(
     """Persist an operator-internal frame and register it for
     :func:`release_cached`. Chain-friendly: ``df.transform(persist_internal)``."""
     global _PRUNE_AT
-    df.persist(level)
-    # plan key captured AT ARM TIME (one extra py4j roundtrip next to
-    # persist()'s own) so scope exits can re-check equal-plan ownership
-    # UNDER the lock with no JVM calls — see internal_persist_scope
-    pk = _plan_key(df)
+    # The ARM IS ATOMIC: persist() and the registry append happen under
+    # one lock acquisition (r10 — closes the last documented race: a
+    # persist() that had not yet appended its entry could lose the
+    # shared cache entry to a concurrent scope exit's equal-plan check,
+    # which saw no registered owner and unpersisted the plan). Releases
+    # hold the same lock across their check+unpersist, so an armed
+    # frame is either visible to the check or not yet persisted —
+    # never cached-but-unregistered. Cost: the lock spans two py4j
+    # roundtrips (persist + semanticHash) per arm; arms are per
+    # operator call, not per row, so contention is negligible next to
+    # the silent full recompute the race could cause.
     with _LOCK:
+        df.persist(level)
+        # plan key captured AT ARM TIME so scope exits can re-check
+        # equal-plan ownership with no JVM calls — see
+        # internal_persist_scope
+        pk = _plan_key(df)
         _TRACKED.append((df, threading.get_ident(), pk))
         do_prune = len(_TRACKED) > _PRUNE_AT
         snapshot = list(_TRACKED) if do_prune else None
@@ -151,12 +162,16 @@ def internal_persist_scope(blocking: bool = False):
     one). The equal-plan check re-reads the registry UNDER the lock
     immediately before each unpersist (plan keys are captured at arm
     time, so the locked re-check costs no JVM calls) — an equal-plan
-    arm registered at any point before the release is honored. The one
-    residual window: a concurrent ``persist_internal`` that has called
-    ``persist()`` but not yet appended its registry entry can still
-    lose the shared cache entry (its own drain then finds the frame
-    uncached and no-ops — a silent recompute on first consume,
-    perf-only, never corruption).
+    arm registered at any point before the release is honored, and the
+    unpersist itself runs under the SAME lock acquisition as the check
+    (r10): since :func:`persist_internal` arms atomically (persist +
+    append under one lock hold), a concurrent arm is either fully
+    visible to the check — and deferred to — or has not persisted yet
+    and will re-create the cache entry after the release. The old
+    cached-but-unregistered window is gone. A ``blocking=True`` exit
+    holds the lock while executors free storage — acceptable because
+    scopes drain between logical units, where a stalled concurrent arm
+    is rarer and cheaper than the silent recompute the race caused.
     """
     me = threading.get_ident()
     global _PRUNE_AT
@@ -177,21 +192,21 @@ def internal_persist_scope(blocking: bool = False):
                     to_release.append((df, pk))
             _TRACKED[:] = kept
             _PRUNE_AT = max(128, 2 * len(_TRACKED))
-        # unpersist OUTSIDE the lock (py4j roundtrips and a blocking
-        # release shouldn't stall other threads' arms); the equal-plan
-        # re-check is a brief per-frame lock re-acquire over in-memory
-        # keys only
+        # per-frame lock re-acquire spanning the equal-plan check AND
+        # the unpersist (r10): check-then-unpersist outside the lock
+        # left a window where an arm registered between them lost the
+        # shared entry. Arms also persist under this lock, so the pair
+        # is race-free; the lock is released between frames to bound
+        # any single hold.
         for df, pk in to_release:
             try:
-                if pk is not None:
-                    with _LOCK:
-                        shared = any(e[2] == pk for e in _TRACKED)
-                    if shared:
+                with _LOCK:
+                    if pk is not None and any(e[2] == pk for e in _TRACKED):
                         # the cache entry is shared with a still-
                         # registered arm — defer to that owner's drain
                         continue
-                if _is_cached(df):
-                    df.unpersist(blocking)
+                    if _is_cached(df):
+                        df.unpersist(blocking)
             except Exception:  # noqa: BLE001 — a dead session's frames just drop
                 pass
         del anchor  # held until here so no `before` id could be recycled
@@ -211,11 +226,19 @@ def release_cached(blocking: bool = False) -> int:
         # to the spike's size before the next sweep fires
         _PRUNE_AT = 128
     released = 0
-    for df, _owner, _pk in drained:
+    # same per-frame locked check+unpersist as the scope exit (r10): a
+    # concurrent arm that re-registered an equal plan AFTER the clear
+    # above owns the shared cache entry now — skip it and let that
+    # arm's own drain release it; holding the lock across the pair
+    # excludes the arm-between-check-and-unpersist race.
+    for df, _owner, pk in drained:
         try:
-            if _is_cached(df):
-                df.unpersist(blocking)
-                released += 1
+            with _LOCK:
+                if pk is not None and any(e[2] == pk for e in _TRACKED):
+                    continue
+                if _is_cached(df):
+                    df.unpersist(blocking)
+                    released += 1
         except Exception:  # noqa: BLE001 — a dead session's frames just drop
             pass
     return released

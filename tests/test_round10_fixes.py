@@ -1,0 +1,109 @@
+"""Round-10 fixes, pinned.
+
+1. cache.py's last documented race is closed (VERDICT r9 #6): the arm
+   (persist + registry append) and every release (equal-plan check +
+   unpersist) are mutually exclusive critical sections under the one
+   registry lock, so a cached-but-unregistered frame can no longer lose
+   its shared cache entry to a concurrent drain. Pinned as a LOCK
+   INVARIANT (persist/unpersist only run while the registry lock is
+   owned) plus a cross-thread behavioral check.
+2. salted_join's parallelism-aware default is pinned in
+   tests/test_relational.py; the itemsets unguarded null-basket fix in
+   tests/test_property_funnel.py.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import functions as F
+
+try:  # PySpark 4: concrete instances are the classic DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame
+except ImportError:  # pragma: no cover — PySpark 3 fallback
+    from pyspark.sql import DataFrame
+
+
+def test_arm_and_release_hold_registry_lock(spark, monkeypatch):
+    """The race-freedom argument is exactly this invariant: persist()
+    inside persist_internal and unpersist() inside both drains run while
+    the registry lock is OWNED, so an arm is either fully visible to a
+    release's equal-plan check or strictly after the unpersist (where it
+    re-creates the cache entry). Wrap the JVM calls and assert lock
+    ownership at each call site."""
+    from data_pipelines_examples_spark import cache
+
+    cache.release_cached()
+    calls = {"persist": 0, "unpersist": 0}
+    real_persist = DataFrame.persist
+    real_unpersist = DataFrame.unpersist
+
+    def pinned_persist(self, *a, **kw):
+        assert cache._LOCK._is_owned(), "persist() outside the registry lock"
+        calls["persist"] += 1
+        return real_persist(self, *a, **kw)
+
+    def pinned_unpersist(self, *a, **kw):
+        assert cache._LOCK._is_owned(), "unpersist() outside the registry lock"
+        calls["unpersist"] += 1
+        return real_unpersist(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "persist", pinned_persist)
+    monkeypatch.setattr(DataFrame, "unpersist", pinned_unpersist)
+
+    df = cache.persist_internal(spark.range(20).select((F.col("id") * 7).alias("v")))
+    df.count()
+    assert calls["persist"] == 1
+    # scope-exit path
+    with cache.internal_persist_scope():
+        cache.persist_internal(spark.range(5).select((F.col("id") + 99).alias("w"))).count()
+    # global-drain path
+    assert cache.release_cached() >= 1
+    assert calls["unpersist"] >= 2
+
+
+def test_concurrent_arm_survives_global_drain(spark, monkeypatch):
+    """Cross-thread behavioral form of the closed race: an equal-plan
+    arm that starts DURING release_cached's unpersist must either be
+    deferred to (still-registered check) or serialized strictly after
+    the unpersist, re-creating the cache entry — in both orderings the
+    armer ends up with a CACHED frame, never the silent-recompute state
+    the old window allowed. The unpersist is slowed under the lock to
+    force the overlap deterministically."""
+    import time
+
+    from data_pipelines_examples_spark import cache
+
+    cache.release_cached()
+    plan = spark.range(100).select((F.col("id") * 11).alias("v"))
+    first = cache.persist_internal(plan.filter("v > 22"))
+    first.count()
+
+    real_unpersist = DataFrame.unpersist
+    in_unpersist = threading.Event()
+
+    def slow_unpersist(self, *a, **kw):
+        in_unpersist.set()
+        time.sleep(0.4)  # widen the window the arm must NOT slip into
+        return real_unpersist(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "unpersist", slow_unpersist)
+
+    holder = {}
+
+    def late_arm():
+        in_unpersist.wait(timeout=10)
+        # blocks on the registry lock until the drain's critical
+        # section completes, then persists — re-creating the entry
+        holder["df"] = cache.persist_internal(plan.filter("v > 22"))
+
+    t = threading.Thread(target=late_arm)
+    t.start()
+    cache.release_cached(blocking=True)
+    t.join(timeout=30)
+    assert not t.is_alive()
+    assert cache._is_cached(holder["df"]), (
+        "equal-plan arm overlapping a global drain lost its cache entry"
+    )
+    monkeypatch.setattr(DataFrame, "unpersist", real_unpersist)
+    assert cache.release_cached() >= 1
