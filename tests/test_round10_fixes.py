@@ -107,3 +107,87 @@ def test_concurrent_arm_survives_global_drain(spark, monkeypatch):
     )
     monkeypatch.setattr(DataFrame, "unpersist", real_unpersist)
     assert cache.release_cached() >= 1
+
+
+def test_replicate_past_caesar_wrap(tmp_path):
+    """r10 (VERDICT item 4): --replicate=K now supports K in (26, 100]
+    for the 100x rung. Pins for the 26+ regime: (a) every pair of
+    replica char tables agrees on at most _MAX_LETTER_AGREEMENT
+    lowercase letters (full pairwise derangement is pigeonhole-
+    impossible past 26 tables; the bound keeps any real text from
+    colliding across replicas and caps cross-replica shared grams),
+    (b) embedding transforms are pairwise distinct orthogonal maps (no
+    exact cross-replica vector dups), and (c) the core dataset
+    invariants (K x rows, constant per-key multiplicity, linear join
+    workload) hold across the wrap."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), os.pardir, "tools")
+    )
+    from resample_testdata import _MAX_LETTER_AGREEMENT, _char_tables, replicate
+
+    # (a) bounded pairwise agreement, across the Caesar/permutation
+    # boundary included; replicas 0-25 stay full derangements (Caesar)
+    tables = _char_tables(30)
+    lo = "abcdefghijklmnopqrstuvwxyz"
+    for i in range(len(tables)):
+        for j in range(i + 1, len(tables)):
+            a, b = lo.translate(tables[i]), lo.translate(tables[j])
+            agree = sum(a[n] == b[n] for n in range(26))
+            cap = 0 if j < 26 else _MAX_LETTER_AGREEMENT
+            assert agree <= cap, (i, j, agree)
+    # determinism: same k -> same tables
+    assert _char_tables(30) == tables
+
+    dst = str(tmp_path / "repl28")
+    counts = replicate("/root/testdata/sf0.001", dst, 28)
+    con = duckdb.connect()
+    for tbl in ("orders", "lineitem", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {tbl}_s AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{tbl}.parquet'"
+        )
+        con.execute(
+            f"CREATE VIEW {tbl}_r AS SELECT * FROM '{dst}/{tbl}.parquet'"
+        )
+    one = lambda q: con.execute(q).fetchone()[0]  # noqa: E731
+    # (c) rows grow exactly 28x; multiplicity constant; join linear
+    assert counts["orders.parquet"] == 28 * one("SELECT count(*) FROM orders_s")
+    q = "SELECT max(n) FROM (SELECT count(*) n FROM {v} GROUP BY l_orderkey)"
+    assert one(q.format(v="lineitem_s")) == one(q.format(v="lineitem_r"))
+    jq = "SELECT count(*) FROM {l} l JOIN {o} o ON l.l_orderkey = o.o_orderkey"
+    assert one(jq.format(l="lineitem_r", o="orders_r")) == 28 * one(
+        jq.format(l="lineitem_s", o="orders_s")
+    )
+    # (a') no text dup group larger than the source's largest
+    assert 0 == one(
+        "SELECT count(*) FROM (SELECT text FROM documents_r GROUP BY text "
+        "HAVING count(*) > (SELECT max(c) FROM "
+        "(SELECT count(*) c FROM documents_s GROUP BY text)))"
+    )
+    assert 0 == one(
+        "SELECT count(*) FROM documents_r WHERE n_chars <> length(text)"
+    )
+    # (b) embeddings: no exact cross-replica vector dups beyond the
+    # source's own dup structure, and norms preserved (orthogonal maps)
+    assert 0 == one(
+        "SELECT count(*) FROM (SELECT embedding FROM embeddings_r "
+        "GROUP BY embedding HAVING count(*) > (SELECT max(c) FROM "
+        "(SELECT count(*) c FROM embeddings_s GROUP BY embedding)))"
+    )
+    src_norms = one(
+        "SELECT round(sum(sqrt(list_sum(list_transform(embedding, x -> x*x)))), 2) "
+        "FROM embeddings_s"
+    )
+    rep_norms = one(
+        "SELECT round(sum(sqrt(list_sum(list_transform(embedding, x -> x*x)))), 2) "
+        "FROM embeddings_r"
+    )
+    assert abs(rep_norms - 28 * src_norms) < max(1e-4 * abs(rep_norms), 0.5), (
+        rep_norms,
+        src_norms,
+    )

@@ -181,8 +181,11 @@ def test_replicate_preserves_multiplicity(tmp_path):
 
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match=r"\[1, 26\]"):
-        replicate("/root/testdata/sf0.001", str(tmp_path / "x"), 27)
+    with _pytest.raises(ValueError, match=r"\[1, 100\]"):
+        # r10 raised the cap from 26 (Caesar wrap) to 100 (two decades)
+        # via seeded pairwise-deranged permutations — see
+        # test_round10_fixes.py for the 26+ decorrelation pins
+        replicate("/root/testdata/sf0.001", str(tmp_path / "x"), 101)
 
     dst = str(tmp_path / "repl")
     counts = replicate("/root/testdata/sf0.001", dst, 3)

@@ -67,6 +67,17 @@ failure on a future seed.
   families don't gain cross-replica pairs), and embedding vectors are
   cyclically rotated by replica (norm-preserving; within-replica
   geometry identical, cross-replica cosine ≈ isotropic noise).
+  Replicas 26+ (r10, for the 100× rung): Caesar wraps at 26, so text
+  switches to SEEDED ALPHABET PERMUTATIONS, re-seeded until every pair
+  of replica tables (including the Caesar ones) agrees on at most 3
+  lowercase letters (full pairwise derangement is pigeonhole-impossible
+  past 26 tables; ≤3 agreement still forbids any real text from
+  colliding across replicas — pinned by the dup-group invariant) — and
+  embeddings compose the rotation with a deterministic sign-flip
+  bitmask (flip coordinate i iff bit i of replica//dim + 1 is set):
+  sign-flips are orthogonal, so within-replica inner products are
+  untouched, and (rotation, mask) pairs are distinct across all
+  replicas for dim ≥ 8, so no two replicas apply the same transform.
   nation/region stay single-copy (small enums — more customers per
   nation is linear fan-out, and region-level aggregates keep their
   5-row shape). Replica 0 is the identity, so the source is a subset.
@@ -183,14 +194,69 @@ def _caesar_table(shift: int) -> dict[int, int]:
     )
 
 
+_MAX_LETTER_AGREEMENT = 3
+
+
+def _char_tables(k: int) -> list[dict[int, int]]:
+    """One bijective char map per replica. Replicas 0-25 keep the exact
+    Caesar maps (byte-compatible with the r9 rung; distinct shifts
+    differ on EVERY letter). Replicas 26+ draw seeded alphabet
+    permutations, deterministically re-seeded until the candidate
+    agrees with every earlier table on at most _MAX_LETTER_AGREEMENT
+    lowercase letters.
+
+    Why the bound is 3 and not 0: full pairwise derangement is
+    IMPOSSIBLE past 26 tables — at each alphabet position the 26
+    Caesar maps already use all 26 letters (pigeonhole), so any new
+    permutation agrees with SOME earlier table somewhere. Agreement
+    <= 3 is the sufficient guarantee: two replicas' copies of a text
+    collide only if every letter of the text falls in their <= 3-letter
+    agreement set (no generated document does — the dup-group
+    invariant is pinned in test_round10_fixes.py), and cross-replica
+    shared n-grams are limited to grams drawn entirely from that tiny
+    set, far below any near-dup candidate threshold. Digits are
+    permuted per replica (no pairwise bound — Caesar's own digit map
+    wraps mod 10) and uppercase mirrors lowercase."""
+    import random
+
+    lo = "abcdefghijklmnopqrstuvwxyz"
+    dg = "0123456789"
+    lo_maps: list[str] = []
+    dg_maps: list[str] = []
+    for r in range(min(k, 26)):
+        s, d = r % 26, r % 10
+        lo_maps.append(lo[s:] + lo[:s])
+        dg_maps.append(dg[d:] + dg[:d])
+    seed = 0
+    while len(lo_maps) < k:
+        rng = random.Random(f"replica-perm-{len(lo_maps)}-{seed}")
+        cand = "".join(rng.sample(lo, 26))
+        if all(
+            sum(cand[i] == prev[i] for i in range(26)) <= _MAX_LETTER_AGREEMENT
+            for prev in lo_maps
+        ):
+            lo_maps.append(cand)
+            dg_maps.append("".join(rng.sample(dg, 10)))
+        else:
+            seed += 1
+    return [
+        str.maketrans(lo + lo.upper() + dg, m + m.upper() + dm)
+        for m, dm in zip(lo_maps, dg_maps)
+    ]
+
+
 def replicate(src: str, dst: str, k: int) -> dict[str, int]:
     """Stamp ``k`` disjoint key universes of every replicated table —
     the multiplicity-preserving scale-up (see module docstring). Fully
-    deterministic: no RNG, replica 0 is the identity."""
-    if not 1 <= k <= 26:
-        # the Caesar decorrelation wraps at 26 — replica 26 would carry
-        # replica 0's text verbatim, silently re-coupling dedup pairs
-        raise ValueError(f"replicate: k must be in [1, 26], got {k}")
+    deterministic: replica 0 is the identity; replicas 26+ use seeded
+    (but deterministically re-seeded) permutations, so the same (src,
+    k) always produces byte-identical output."""
+    if not 1 <= k <= 100:
+        # 100 = two decades above the source — the strongest
+        # constant-multiplicity scaling evidence the sandbox produces;
+        # past that the permutation search and pylist text conversion
+        # costs outgrow the evidence value
+        raise ValueError(f"replicate: k must be in [1, 100], got {k}")
     os.makedirs(dst, exist_ok=True)
     domain_of = {}  # (table, column) -> domain name
     for dom, members in KEY_DOMAINS.items():
@@ -224,9 +290,10 @@ def replicate(src: str, dst: str, k: int) -> dict[str, int]:
             counts[name] = t.num_rows
             continue
         replicas = []
+        tables = _char_tables(k)
         for r in range(k):
             cols = {}
-            trans = _caesar_table(r)
+            trans = tables[r]
             for field in t.schema:
                 arr = t[field.name].combine_chunks()
                 dom = domain_of.get((stem, field.name))
@@ -241,18 +308,33 @@ def replicate(src: str, dst: str, k: int) -> dict[str, int]:
                         type=field.type,
                     )
                 elif stem == "embeddings" and field.name == "embedding" and r > 0:
-                    # rotation r mod d decorrelates; when d divides r
-                    # (possible only for dim <= 25 under the k <= 26
-                    # cap) the rotation is the identity, so flip signs
-                    # instead — also norm- and geometry-preserving
-                    # (cos(-u,-v) == cos(u,v)); empty vectors pass
-                    # through (nothing to decorrelate)
+                    # r < 26 (unchanged, byte-compatible with the r9
+                    # rung): rotation r mod d decorrelates; when d
+                    # divides r the rotation is the identity, so flip
+                    # all signs instead — norm- and geometry-preserving
+                    # (cos(-u,-v) == cos(u,v)). r >= 26 (r10): compose
+                    # the rotation with a sign-flip bitmask — flip
+                    # coordinate i iff bit i of (r // d + 1) is set.
+                    # Sign-flips are orthogonal (within-replica inner
+                    # products untouched) and the (r % d, r // d) pair
+                    # is distinct per replica, so for d >= 8 no replica
+                    # repeats another's transform (mask < 2^d - 1 for
+                    # k <= 100, so it also never collides with the
+                    # all-flip d|r case above). Empty vectors pass
+                    # through (nothing to decorrelate).
                     def _rot(v, _r=r):
                         if v is None or len(v) == 0:
                             return v
-                        k2 = _r % len(v)
+                        d = len(v)
+                        k2 = _r % d
                         out = v[k2:] + v[:k2]
-                        if k2 == 0:
+                        if _r >= 26:
+                            mask = _r // d + 1
+                            out = [
+                                -x if x is not None and (mask >> i) & 1 else x
+                                for i, x in enumerate(out)
+                            ]
+                        elif k2 == 0:
                             out = [-x if x is not None else None for x in out]
                         return out
 
