@@ -230,6 +230,14 @@ def main() -> None:
             continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        # Drop this query's py4j plan handles NOW (outside any timed
+        # region) so the JVM ContextCleaner can reclaim its broadcast
+        # relations before the next query allocates: at the 100x replica
+        # rung the accumulated broadcasts of ~16 queries OOM the shared
+        # 8g local JVM if their Python references linger until a lazy GC.
+        import gc
+
+        gc.collect()
     # closing sample so the LAST block is bracketed too
     canary_timeline[str(len(bench_queries))] = _block_canary()
 

@@ -50,6 +50,16 @@ PROFILES: dict[str, dict[str, str]] = {
         "spark.sql.shuffle.partitions": "32",
         "spark.sql.autoBroadcastJoinThreshold": str(50 * 1024 * 1024),
         "spark.driver.memory": "8g",
+        # Local mode shares ONE 8g JVM between driver and executors, so
+        # executed broadcast relations (hundreds of MB in-heap at the
+        # 100x replica rung) must be reclaimed promptly once their
+        # Python handles drop; the ContextCleaner only frees a broadcast
+        # after a JVM GC proves it unreachable, and the default periodic
+        # GC (30min) can lag an entire bench run. Measured: the 34-query
+        # 100x sweep OOMed a shared session around query 16 at the
+        # default; 2min keeps it alive. Irrelevant on a real cluster
+        # (executors own their heaps), harmless to leave set.
+        "spark.cleaner.periodicGC.interval": "2min",
         "spark.ui.enabled": "false",
         "spark.ui.showConsoleProgress": "false",
     },

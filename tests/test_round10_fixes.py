@@ -191,3 +191,15 @@ def test_replicate_past_caesar_wrap(tmp_path):
         rep_norms,
         src_norms,
     )
+
+
+def test_local_profile_sets_periodic_gc():
+    """The 100x replica sweep OOMed a shared 8g local JVM once ~16 queries
+    of executed broadcast relations accumulated (ContextCleaner frees a
+    broadcast only after a JVM GC proves it unreachable; the 30min default
+    periodic GC outlasts a whole bench run). The local profile pins a 2min
+    periodic GC — empirically the difference between OOM-at-q24 and a
+    zero-OOM 34-query session on the 100x rung (BENCH_SF1_REPLICA100.json)."""
+    from data_pipelines_examples_spark.session import PROFILES
+
+    assert PROFILES["local"]["spark.cleaner.periodicGC.interval"] == "2min"
