@@ -477,11 +477,16 @@ def pq_adc_topk(
         term = F.element_at(lut_col, F.col(code_col)[s] + 1)
         dist = term if dist is None else dist + term
     scored = encoded.select(F.col(id_col), dist.alias("approx_dist"))
+    # Global top-k WITHOUT a global window (same shape as bm25_topk,
+    # ranking.py): ranking every scored row with an unpartitioned
+    # row_number would single-partition the whole candidate set — at
+    # billion-vector scale an IVF probe still holds millions of codes.
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # heaps, k rows to the driver); only those k rows see the window.
+    # Identical output: (approx_dist, id) is already a total order.
+    top = scored.orderBy(F.col("approx_dist").asc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("approx_dist").asc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def ivf_pq_index(

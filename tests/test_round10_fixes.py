@@ -203,3 +203,26 @@ def test_local_profile_sets_periodic_gc():
     from data_pipelines_examples_spark.session import PROFILES
 
     assert PROFILES["local"]["spark.cleaner.periodicGC.interval"] == "2min"
+
+
+def test_pq_adc_topk_avoids_global_window(spark):
+    """pq_adc_topk must compile its global top-k to TakeOrderedAndProject
+    (per-partition heaps), never an unpartitioned row_number window over
+    every scored row — at billion-vector scale an IVF probe's candidate
+    set is still millions of codes, and a global window single-partitions
+    all of them (the bm25_topk pattern, ranking.py)."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_examples_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    books = pq_train(emb, m=4, k=4)
+    out = pq_adc_topk(pq_encode(emb, books), emb.first()["embedding"], books, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
