@@ -53,6 +53,88 @@ def cumulative_sum(
     return df
 
 
+def global_cumulative_sum(
+    df: DataFrame,
+    value_col: str,
+    order_by: str | Column | list[str | Column],
+    out_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact GLOBAL running total without a global window — the 100 TB
+    form of ``cumulative_sum(partition_by=None)``.
+
+    An unpartitioned window moves every row to ONE partition (Spark's
+    WindowExec warning is literal), which is fine for a post-aggregation
+    frame bounded by a dimension (q06's one-row-per-date) and fatal for
+    an unbounded one (a customer dimension at 9 B rows). This computes
+    the identical prefix sum distributed, the classic two-phase scan:
+
+    1. range-partition on the total order (``repartitionByRange`` keeps
+       partition i's keys entirely before partition i+1's),
+    2. per-partition running sums — a window PARTITIONED by the range
+       partition id, so every core works,
+    3. per-partition totals (one row per partition — bounded by the
+       shuffle parallelism, so ITS tiny prefix window may legally run
+       single-partition) become broadcast offsets added back per row.
+
+    ``value_col`` must be an EXACT type (decimal/integral): the offset
+    addition re-associates the sum, which is only value-identical when
+    addition is associative — rejected for float/double rather than
+    silently emitting order-dependent prefix sums. ``order_by`` must be
+    a TOTAL order (same contract as ``cumulative_sum``); the ranged
+    frame is persisted so the offsets and the rows provably read the
+    same partition boundaries.
+    """
+    field = df.schema[value_col].dataType.typeName()
+    if field in ("double", "float"):
+        raise ValueError(
+            f"global_cumulative_sum needs an exact value type, got {field}: "
+            "the distributed offset addition re-associates the sum, which "
+            "changes float results — accumulate in decimal and cast after"
+        )
+    orders = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
+    orders = [F.col(o) if isinstance(o, str) else o for o in orders]
+    out_col = out_col or f"{value_col}_cum"
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    part = (
+        df.repartitionByRange(n, *orders)
+        .withColumn("__pid", F.spark_partition_id())
+        .transform(persist_internal)
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*orders)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("__local", F.sum(value_col).over(w_local))
+    totals = part.groupBy("__pid").agg(
+        F.sum(value_col).alias("__t"), F.count(value_col).alias("__n")
+    )
+    # offset = sum over STRICTLY PRIOR partitions (frame ends at -1);
+    # __pn tracks whether any prior non-null value exists, because the
+    # window-sum contract this must replicate returns NULL until the
+    # first non-null value — coalescing blindly would turn that NULL
+    # prefix into 0.
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__pn"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__local").isNull() & (F.col("__pn") == 0), F.lit(None)
+            ).otherwise(F.coalesce(F.col("__local"), F.lit(0)) + F.col("__off")),
+        )
+        .drop("__pid", "__local", "__off", "__pn")
+    )
+
+
 def lag_features(
     df: DataFrame,
     value_col: str,

@@ -1325,13 +1325,14 @@ def q105_revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT o_custkey AS c_custkey,
-             CAST(SUM(TRY_CAST(nullif(o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             CAST(SUM(TRY_CAST(nullif(o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             SUM(TRY_CAST(nullif(o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS rev_dec
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
       SELECT c_custkey, revenue,
-             SUM(revenue) OVER (ORDER BY revenue DESC, c_custkey)
-               / SUM(revenue) OVER () AS cum_share
+             CAST(SUM(rev_dec) OVER (ORDER BY revenue DESC, c_custkey) AS DOUBLE)
+               / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS cum_share
       FROM rev
     )
     SELECT c_custkey, revenue,
@@ -1344,22 +1345,38 @@ def q105_revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q106_abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto classification: customers by cumulative revenue
     share (A = first 80%, B = to 95%, C = tail) — the merchandising
-    segmentation. The global cumsum runs over the AGGREGATED customer
-    dimension (bounded), never raw orders; the share is a ratio of
-    decimal-exact sums, so the class boundaries cannot drift between
-    engines."""
+    segmentation. A customer dimension is NOT bounded at 100 TB, so the
+    global running total goes through ``global_cumulative_sum``
+    (range-partitioned distributed prefix sum — every core works, no
+    single-partition window over the dimension) and the grand total
+    through an aggregate broadcast, not an empty window. Both the cum
+    and the total accumulate DECIMAL (exact, associative — the
+    distributed re-association is value-identical, and the oracle's
+    sequential window sum of the same decimals matches bit-for-bit
+    after the shared cast to double)."""
     o = _t(spark, sf_dir, "orders")
+    from .operators.windows import global_cumulative_sum
     from .queries import _dsum
 
     rev = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
-        _dsum("o_totalprice").alias("revenue")
+        _dsum("o_totalprice").alias("revenue"),
+        F.sum(F.col("o_totalprice").try_cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("rev_dec"),
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-    total = Window.partitionBy()
-    cum_share = F.sum("revenue").over(w) / F.sum("revenue").over(total)
-    return rev.withColumn(
-        "abc_class",
-        F.when(cum_share <= 0.8, "A").when(cum_share <= 0.95, "B").otherwise("C"),
+    cum = global_cumulative_sum(
+        rev, "rev_dec", [F.col("revenue").desc(), F.col("c_custkey")], out_col="__cum"
+    )
+    total = rev.agg(F.sum("rev_dec").alias("__total"))
+    out = cum.join(F.broadcast(total))
+    cum_share = F.col("__cum").cast("double") / F.col("__total").cast("double")
+    return out.select(
+        "c_custkey",
+        "revenue",
+        F.when(cum_share <= 0.8, "A")
+        .when(cum_share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
     )
 
 

@@ -226,3 +226,64 @@ def test_pq_adc_topk_avoids_global_window(spark):
     out = pq_adc_topk(pq_encode(emb, books), emb.first()["embedding"], books, k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_global_cumulative_sum_matches_single_window(spark):
+    """global_cumulative_sum (range-partitioned distributed prefix sum)
+    must be row-identical to the naive unpartitioned-window form on exact
+    types — including NULL handling (NULL until the first non-null value
+    in the total order) and all-NULL leading prefixes."""
+    import decimal
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_pipelines_examples_spark.operators.windows import (
+        cumulative_sum,
+        global_cumulative_sum,
+    )
+
+    rows = []
+    for i in range(500):
+        # leading NULLs in the total order (k sorts ascending): k 0..9 null
+        v = None if i < 10 else decimal.Decimal(f"{(i * 37) % 100}.{i % 10:01d}")
+        rows.append((i, v))
+    df = spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.DecimalType(18, 4)),
+        ]),
+    ).repartition(7)
+
+    naive = cumulative_sum(df, "v", "k").select("k", F.col("v_cum").alias("cum"))
+    dist = global_cumulative_sum(df, "v", "k", out_col="cum", num_partitions=8).select(
+        "k", F.col("cum").cast("decimal(28,4)").alias("cum")
+    )
+    n = naive.collect()
+    d = dist.collect()
+    assert sorted((r["k"], r["cum"]) for r in n) == sorted(
+        (r["k"], r["cum"]) for r in d
+    )
+
+
+def test_global_cumulative_sum_rejects_float():
+    from data_pipelines_examples_spark.operators.windows import global_cumulative_sum
+    import pytest as _pytest
+    from data_pipelines_examples_spark.session import get_session
+
+    spark = get_session("test")
+    df = spark.createDataFrame([(1, 1.5)], "k long, v double")
+    with _pytest.raises(ValueError, match="exact value type"):
+        global_cumulative_sum(df, "v", "k")
+
+
+def test_q106_plan_has_no_unpartitioned_data_window(spark):
+    """q106's customer-dimension cumsum must range-partition, not funnel
+    the dimension through one WindowExec partition; the only unpartitioned
+    window allowed is the per-range-partition offsets table (one row per
+    shuffle partition, bounded by construction)."""
+    import __spark_entry__ as mod
+
+    df = mod.queries()["q106_abc_customer_classes"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower().replace("_", ""), plan[:2000]
