@@ -387,14 +387,30 @@ def dedup_against_corpus(
     return new.join(kill, id_col, "left_anti")
 
 
+def derive_bands(num_hashes: int, target_jaccard: float = 0.5) -> int:
+    """Band count whose LSH detection threshold sits nearest the target.
+
+    Banded minhash with b bands of r = num_hashes/b rows catches pairs
+    above s* ≈ (1/b)^(1/r) with high probability; the knob is the
+    THRESHOLD, not bucket occupancy — band keys live in a 64-bit hash
+    space, so random bucket collisions stay ~0 at any corpus size and
+    candidates track true duplicates (unlike hyperplane LSH, where
+    ``derive_n_planes`` must scale P with log2(n)). Picks the divisor of
+    num_hashes minimizing |s*(b) − target|: num_hashes=32, target 0.5 →
+    b=8 (s*≈0.59), the reference parametrization."""
+    divisors = [b for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+    return min(divisors, key=lambda b: abs((1.0 / b) ** (b / num_hashes) - target_jaccard))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | str = "auto",
     shingle_n: int = 3,
     hash_how: str = "xxhash64",
+    target_jaccard: float = 0.5,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + banded LSH.
 
@@ -413,7 +429,16 @@ def minhash_lsh_pairs(
     fingerprint pipeline ran twice, 2 source scans, 0 reuse). The
     persisted frame is num_hashes longs per doc — ids-only scale, same
     MEMORY_AND_DISK honesty as ngram_jaccard_pairs' intermediates.
+
+    ``bands="auto"`` (default since r11) derives the band count from
+    (num_hashes, target_jaccard) via ``derive_bands`` — at the defaults
+    this resolves to the reference's b=8. Pass explicit bands for exact
+    replication (the oracle entries pin bands=8).
     """
+    if isinstance(bands, str):
+        if bands != "auto":
+            raise ValueError(f"bands must be an int or 'auto', got {bands!r}")
+        bands = derive_bands(num_hashes, target_jaccard)
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n, hash_how
     ).transform(persist_internal)

@@ -312,9 +312,59 @@ def embedding_dedup_pairs(
     )
 
 
+#: Expected vectors per (table, bucket) the auto mode holds constant —
+#: the 24–39 band tools/bench_lsh_ladder.py measured as the flat-cost
+#: operating range across three decades (P=6 at ~2k vectors, 9 at ~20k,
+#: 13 at ~200k all land here).
+LSH_TARGET_OCCUPANCY = 32
+
+
+def derive_n_planes(n_vectors: int, target_occupancy: int = LSH_TARGET_OCCUPANCY) -> int:
+    """Planes-per-table that holds expected bucket occupancy ~constant.
+
+    Expected occupancy is n / 2^P, so candidate pairs per bucket grow
+    ~occupancy² — a FIXED P is not scale-invariant (the r10 ladder's
+    measured property: P frozen at 6 under a 100× corpus is ~2.8 B
+    candidates). P = round(log2(n / occupancy)) re-derives the ladder's
+    manual cells exactly: 2k→6, 20k→9, 200k→13."""
+    import math
+
+    if n_vectors <= target_occupancy:
+        return 1
+    return max(1, round(math.log2(n_vectors / target_occupancy)))
+
+
+def auto_plane_tables(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    target_occupancy: int = LSH_TARGET_OCCUPANCY,
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """Occupancy-scaled hyperplane tables derived from the corpus itself.
+
+    Costs ONE extra cheap aggregate (count + first vector length, a
+    single job over the id/size projection — no payload collected); the
+    planes then hold expected bucket occupancy at ``target_occupancy``
+    regardless of corpus size. Use explicit tables instead when a result
+    must be replicated exactly (the q42 oracle pins P=6 for that
+    reason)."""
+    from ..oracles import gauss_plane_tables  # local: avoid module cycle
+
+    row = df.agg(
+        F.count("*").alias("n"), F.first(F.size(F.col(vec_col))).alias("dim")
+    ).first()
+    if not row["n"]:
+        raise ValueError("auto_plane_tables: empty corpus — no dimension to read")
+    n_planes = derive_n_planes(row["n"], target_occupancy)
+    return gauss_plane_tables(
+        n_tables=n_tables, n_planes=n_planes, dim=row["dim"], seed=seed
+    )
+
+
 def embedding_dedup_pairs_lsh(
     df: DataFrame,
-    planes_tables: list[list[list[float]]],
+    planes_tables: list[list[list[float]]] | str = "auto",
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -331,8 +381,17 @@ def embedding_dedup_pairs_lsh(
     (n_tables, planes_per_table).
 
     Returns (id_a, id_b, cosine_sim) with id_a < id_b, cosine ≥ threshold.
+
+    ``planes_tables="auto"`` (the default API path since r11) derives
+    occupancy-scaled tables from the corpus via ``auto_plane_tables`` —
+    fixed plane counts are not scale-invariant (candidates ~ n²/2^P).
+    Pass explicit tables only for exact replication (oracles, A/B).
     """
     df = _rebalance(df)
+    if isinstance(planes_tables, str):
+        if planes_tables != "auto":
+            raise ValueError(f"planes_tables must be a list or 'auto', got {planes_tables!r}")
+        planes_tables = auto_plane_tables(df, vec_col=vec_col)
     # Signature stage: Arrow-vectorized, bit-identical to the expression
     # fold (see hyperplane_buckets_arrow) — 8×6×64 interpreted HOF lambda
     # evals/row was the dominant cost of the whole dedup at sf0.1.

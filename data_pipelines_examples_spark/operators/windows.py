@@ -95,9 +95,16 @@ def global_cumulative_sum(
     orders = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
     orders = [F.col(o) if isinstance(o, str) else o for o in orders]
     out_col = out_col or f"{value_col}_cum"
-    n = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    if num_partitions:
+        n = num_partitions
+    else:
+        # "spark.sql.shuffle.partitions" is not always numeric ("auto"
+        # under some managed runtimes' adaptive coalescing) — degrade to
+        # the cluster's default parallelism rather than ValueError
+        try:
+            n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        except ValueError:
+            n = df.sparkSession.sparkContext.defaultParallelism or 200
     part = (
         df.repartitionByRange(n, *orders)
         .withColumn("__pid", F.spark_partition_id())

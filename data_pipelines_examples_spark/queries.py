@@ -85,8 +85,22 @@ def _dsum(col, scale_in: int = 4):
     Oracles mirror with SQL TRY_CAST. Found by the --floats differential
     axis (tools/resample_testdata.py); detection belongs in a DQ rule,
     not in silent aggregate behavior."""
+    return _dec_sum(col, scale_in).cast("double")
+
+
+def _dec_sum(col, scale_in: int = 4):
+    """The exact-decimal half of ``_dsum``: elementwise try_cast to
+    DECIMAL(18,scale), decimal SUM, NO final double cast — for callers
+    that keep accumulating exactly (e.g. a distributed prefix sum over
+    the per-group sums, q106) and cast to double only at the very end.
+    Spark widens the result to DECIMAL(28,4); do NOT downcast it back to
+    the element type — a silent non-ANSI overflow NULL at scale is the
+    only thing that buys. NaN/±inf handling is the try_cast contract
+    documented on ``_dsum``; this helper is the single code path both
+    share, so the convention is stated once rather than re-derived at
+    call sites."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.try_cast(f"decimal(18,{scale_in})")).cast("double")
+    return F.sum(c.try_cast(f"decimal(18,{scale_in})"))
 
 
 def query(name: str, oracle: str | None):
@@ -197,59 +211,68 @@ def _load_all() -> None:
 # order (q10-q64 band, then q103-q104); the 5 r8-green leftovers
 # (q105-q109) wait for round 11 and everything displaced is green in
 # CORRECTNESS_r09.
-_WINDOW_ROUND = 10
+# ROUND-11 ROTATION (this window, computed by tools/plan_rotation.py on
+# the committed r1-r10 history): the only stale entries (last green r8,
+# deferred from r10 by design) are q105-q109 — they head the window,
+# which also driver-grades q106 (distributed cumsum, landed r10) and
+# q109 (binned+pinned plan, landed r9) for the first time under their
+# current plans. The remaining 45 slots fill with r9-green entries
+# oldest-first in catalog order (q01-q23 band, then q65-q92); the 5
+# r9-green leftovers (q93-q97) wait for round 12 and everything
+# displaced is green in CORRECTNESS_r10.
+_WINDOW_ROUND = 11
 
 _PROMOTED = [
-    "q98_normalize_text",  # stale
-    "q99_corpus_checksum",  # stale
-    "q100_pseudonymized_order_counts",  # stale
-    "q101_event_funnel",  # stale
-    "q102_retention_cohorts",  # stale
-    "q10_scd_latest_event_per_user",  # green r8
-    "q19_customer_running_spend",  # green r8
-    "q21_acctbal_quartiles",  # green r8
-    "q22_user_value_streaks",  # green r8
-    "q24_region_revenue_rollup",  # green r8
-    "q25_map_payload_roundtrip",  # green r8
-    "q26_union_dedup_pairs",  # green r8
-    "q27_distinct_users_by_type",  # green r8
-    "q28_transitive_closure",  # green r8
-    "q29_fiscal_date_functions",  # green r8
-    "q30_group_max_join_back",  # green r8
-    "q31_ngram_jaccard_pairs",  # green r8
-    "q33_minhash_candidates",  # green r8
-    "q34_simhash_pairs",  # green r8
-    "q36_map_key_filter",  # green r8
-    "q37_string_functions",  # green r8
-    "q38_null_safe_join",  # green r8
-    "q39_one_hot_segments",  # green r8
-    "q40_sas_composite_shape",  # green r8
-    "q41_approx_sliding_distinct",  # green r8
-    "q44_hourly_rollup",  # green r8
-    "q45_schema_evolution_union",  # green r8
-    "q46_right_outer_fill",  # green r8
-    "q42_embedding_dedup_pairs",  # green r8
-    "q43_lsh_topk",  # green r8
-    "q47_sql_text_pipeline",  # green r8
-    "q48_ivf_topk_full_probe",  # green r8
-    "q49_asof_latest_event_value",  # green r8
-    "q50_region_nation_rollup",  # green r8
-    "q51_status_pivot",  # green r8
-    "q52_price_percentiles",  # green r8
-    "q53_first_last_order_value",  # green r8
-    "q54_filtered_aggregates",  # green r8
-    "q55_shipping_priority",  # green r8
-    "q56_vocab_top_tokens",  # green r8
-    "q57_doclen_histogram",  # green r8
-    "q58_training_mix",  # green r8
-    "q59_redact_pii",  # green r8
-    "q60_repetition_ratios",  # green r8
-    "q61_grouping_sets_revenue",  # green r8
-    "q62_duplicate_components",  # green r8
-    "q63_chunk_documents",  # green r8
-    "q64_pack_offsets",  # green r8
-    "q103_ab_test_purchase_rate",  # green r8
-    "q104_inverted_index",  # green r8
+    "q105_revenue_share_of_region",  # stale
+    "q106_abc_customer_classes",  # stale
+    "q107_copurchase_rules",  # stale
+    "q108_event_transition_matrix",  # stale
+    "q109_overlap_join_binned",  # stale
+    "q01_pricing_summary",  # green r9
+    "q02_top_customers",  # green r9
+    "q03_interval_collapse",  # green r9
+    "q04_customers_without_orders",  # green r9
+    "q05_latest_order_per_customer",  # green r9
+    "q06_cumulative_daily_revenue",  # green r9
+    "q07_salted_join_priority_volume",  # green r9
+    "q08_part_unpivot",  # green r9
+    "q09_json_shred_events",  # green r9
+    "q11_sessionize_events",  # green r9
+    "q12_sliding_distinct_users",  # green r9
+    "q13_dedup_exact_documents",  # green r9
+    "q14_text_profile",  # green r9
+    "q15_embedding_topk",  # green r9
+    "q16_size_band_join",  # green r9
+    "q17_wildcard_rule_tiering",  # green r9
+    "q18_open_not_fulfilled_custkeys",  # green r9
+    "q20_order_lag_features",  # green r9
+    "q23_overlapping_order_windows",  # green r9
+    "q65_epoch_shuffle",  # green r9
+    "q66_quality_floor_filter",  # green r9
+    "q67_unigram_surprisal",  # green r9
+    "q68_materialized_sequences",  # green r9
+    "q69_dedup_against_corpus",  # green r9
+    "q70_zorder_keys",  # green r9
+    "q71_tfidf_top_terms",  # green r9
+    "q72_bm25_topk",  # green r9
+    "q73_cap_per_source",  # green r9
+    "q74_leakage_free_split",  # green r9
+    "q75_semantic_dedup_pairs",  # green r9
+    "q76_length_bucketed_batches",  # green r9
+    "q77_token_heavy_hitters",  # green r9
+    "q78_bigram_surprisal",  # green r9
+    "q79_dedup_corpus_lines",  # green r9
+    "q80_duplicate_spans",  # green r9
+    "q81_strip_duplicate_spans",  # green r9
+    "q82_scd2_event_type_history",  # green r9
+    "q83_apply_cdc_snapshot",  # green r9
+    "q84_temporal_regime_join",  # green r9
+    "q85_weighted_sample",  # green r9
+    "q86_snapshot_diff_reconcile",  # green r9
+    "q89_quarantine_orders",  # green r9
+    "q90_winnowing_fingerprints",  # green r9
+    "q91_bm25_batch_topk",  # green r9
+    "q92_fuzzy_name_pairs",  # green r9
 ]
 # Nothing needs active demotion this round: the window is exactly
 # _PROMOTED (50 entries), and all other entries follow in registration
@@ -458,13 +481,13 @@ def q05_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS order_date,
-             CAST(SUM(TRY_CAST(nullif(o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev_dec,
+             SUM(TRY_CAST(nullif(o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4))) AS rev_dec,
              COUNT(*) AS n_orders
       FROM orders GROUP BY 1
     )
     SELECT order_date, CAST(rev_dec AS DOUBLE) AS daily_rev, n_orders,
-           CAST(CAST(SUM(rev_dec) OVER (ORDER BY order_date
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS DOUBLE) AS cum_rev
+           CAST(SUM(rev_dec) OVER (ORDER BY order_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev
     FROM daily
     """,
 )
@@ -473,12 +496,14 @@ def q06_cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     # the running total must accumulate DECIMAL (order-independent exact
     # sum); only the final projection converts to double for the driver
+    # rev_dec stays at Spark's widened DECIMAL(28,4) and the running sum
+    # widens further — no downcast back to the element type anywhere: at
+    # 100 TB the cumulative total WILL exceed DECIMAL(18,4)'s 10^14, and
+    # a non-ANSI downcast silently NULLs it (ADVICE r10's q106 class)
     daily = (
         o.groupBy(F.to_date("o_orderdate").alias("order_date"))
         .agg(
-            F.sum(F.col("o_totalprice").try_cast("decimal(18,4)"))
-            .cast("decimal(18,4)")
-            .alias("rev_dec"),
+            _dec_sum("o_totalprice").alias("rev_dec"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -487,7 +512,7 @@ def q06_cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_date",
         F.col("rev_dec").cast("double").alias("daily_rev"),
         "n_orders",
-        F.col("rev_dec_cum").cast("decimal(18,4)").cast("double").alias("cum_rev"),
+        F.col("rev_dec_cum").cast("double").alias("cum_rev"),
     )
 
 

@@ -24,11 +24,11 @@ from .queries import _dsum, _t, query
     "q19_customer_running_spend",
     """
     SELECT o_custkey, o_orderkey,
-           CAST(CAST(SUM(TRY_CAST(nullif(o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4)))
+           CAST(SUM(TRY_CAST(nullif(o_totalprice, CAST('NaN' AS DOUBLE)) AS DECIMAL(18,4)))
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey, o_totalprice NULLS LAST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(18,4)) AS DOUBLE) AS spend_cum
+                AS DOUBLE) AS spend_cum
     FROM orders
     """,
 )
@@ -57,7 +57,11 @@ def q19_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_custkey",
         "o_orderkey",
-        F.col("spend_cum").cast("decimal(18,4)").cast("double").alias("spend_cum"),
+        # widened-decimal cum straight to double — downcasting the
+        # running sum back to (18,4) is the silent-overflow-at-scale
+        # pattern ADVICE r10 flagged on q106 (Spark non-ANSI NULLs,
+        # DuckDB keeps full precision)
+        F.col("spend_cum").cast("double").alias("spend_cum"),
     )
 
 

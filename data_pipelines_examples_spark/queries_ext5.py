@@ -1356,13 +1356,15 @@ def q106_abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the shared cast to double)."""
     o = _t(spark, sf_dir, "orders")
     from .operators.windows import global_cumulative_sum
-    from .queries import _dsum
+    from .queries import _dec_sum, _dsum
 
+    # rev_dec stays at Spark's widened DECIMAL(28,4) — no downcast back
+    # to (18,4): at 100 TB a per-customer sum can overflow the element
+    # type, and a non-ANSI downcast would silently NULL it while the
+    # DuckDB oracle keeps DECIMAL(38,4) full precision.
     rev = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         _dsum("o_totalprice").alias("revenue"),
-        F.sum(F.col("o_totalprice").try_cast("decimal(18,4)"))
-        .cast("decimal(18,4)")
-        .alias("rev_dec"),
+        _dec_sum("o_totalprice").alias("rev_dec"),
     )
     cum = global_cumulative_sum(
         rev, "rev_dec", [F.col("revenue").desc(), F.col("c_custkey")], out_col="__cum"

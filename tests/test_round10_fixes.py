@@ -281,9 +281,31 @@ def test_q106_plan_has_no_unpartitioned_data_window(spark):
     """q106's customer-dimension cumsum must range-partition, not funnel
     the dimension through one WindowExec partition; the only unpartitioned
     window allowed is the per-range-partition offsets table (one row per
-    shuffle partition, bounded by construction)."""
+    shuffle partition, bounded by construction). Checks node-by-node, not
+    just that a range exchange exists somewhere: a regression that
+    reintroduces the global window ALONGSIDE the range shuffle must trip."""
+    import re
+
     import __spark_entry__ as mod
 
     df = mod.queries()["q106_abc_customer_classes"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower().replace("_", ""), plan[:2000]
+    window_lines = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+    # exactly the two windows of the distributed prefix sum: the per-range-
+    # partition running sum and the bounded offsets prefix (one row per
+    # shuffle partition)
+    assert len(window_lines) == 2, "\n".join(window_lines)
+    # every window whose spec touches the customer-dimension total order
+    # (revenue/c_custkey) must be PARTITIONED by the range-partition id —
+    # i.e. the toString carries a non-empty partition-spec bracket group
+    # [__pid#N] between the expressions and the order spec
+    dim_windows = [ln for ln in window_lines if "revenue#" in ln]
+    assert dim_windows, "\n".join(window_lines)
+    for ln in dim_windows:
+        assert re.search(r"\], \[__pid#\d+\], \[", ln), ln
+    # and the one window that IS allowed to run unpartitioned is the
+    # offsets prefix over per-partition totals, never dimension rows
+    for ln in window_lines:
+        if not re.search(r"\], \[[^\]]+\], \[", ln):  # two bracket groups only
+            assert "__t#" in ln and "revenue#" not in ln, ln
