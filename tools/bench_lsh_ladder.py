@@ -29,12 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     sf_dir = sys.argv[1]
-    n_planes = int(sys.argv[2])
+    planes_arg = sys.argv[2]  # an int, or "auto" (r11: the default API path)
     label = sys.argv[3] if len(sys.argv) > 3 else os.path.basename(sf_dir.rstrip("/"))
 
     from pyspark.sql import functions as F
 
     from data_pipelines_examples_spark.operators.similarity import (
+        derive_n_planes,
         embedding_dedup_pairs_lsh,
         hyperplane_buckets_arrow,
     )
@@ -43,12 +44,16 @@ def main() -> None:
     from data_pipelines_examples_spark.session import get_session
 
     spark = get_session("bench-lsh-ladder")
-    planes = gauss_plane_tables(n_tables=8, n_planes=n_planes, dim=_EMB_DIM, seed=7)
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     n_vec = emb.count()  # also warms the parquet footer / JVM
+    # "auto" = the occupancy-scaled derivation the operator itself uses by
+    # default; an explicit int replicates a manual cell. Same plane seed
+    # either way, so auto-vs-manual cells with equal P are identical runs.
+    n_planes = derive_n_planes(n_vec) if planes_arg == "auto" else int(planes_arg)
+    planes = gauss_plane_tables(n_tables=8, n_planes=n_planes, dim=_EMB_DIM, seed=7)
 
     # Candidate-pair audit: exact sum of c*(c-1)/2 over (table, bucket)
     # occupancies for this P — the work the verify stage would face.
@@ -83,6 +88,7 @@ def main() -> None:
                 "label": label,
                 "n_vectors": n_vec,
                 "n_planes": n_planes,
+                "planes_arg": planes_arg,
                 "expected_occupancy": round(n_vec / (2**n_planes), 1),
                 "candidate_pairs": int(audit["pairs"]),
                 "max_bucket": int(audit["max_bucket"]),
