@@ -36,7 +36,7 @@ def curate_corpus(
     mix_rates: dict[str, int] | None = None,
     mix_alpha: float | None = None,
     shuffle_seed: int = 7,
-    minhash_bands: int = 8,
+    minhash_bands: int | str = "auto",
     collect_stats: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Run the standard curation recipe; returns (curated_df, stats).
@@ -48,7 +48,13 @@ def curate_corpus(
        ``source_col``, skew-proof salted selection), if given
     3. exact dedup (hash-groupBy, min id wins)
     4. near dedup: MinHash-LSH pairs → connected components → keep each
-       cluster's canonical doc
+       cluster's canonical doc. ``minhash_bands="auto"`` (default since
+       r12, matching the underlying ``minhash_lsh_pairs`` discipline)
+       derives the band count from the signature width and target
+       Jaccard — at the defaults it resolves to the reference's b=8, so
+       this is safe here because a one-shot composition persists no
+       band-table artifact across runs (contrast ``dedup_against_corpus``
+       / streaming ingest, where bands must stay FIXED across deltas)
     5. decontamination vs ``benchmark`` (13-gram overlap), if given
     6. mixing: explicit ``mix_rates`` (deterministic stratified modulo
        sampling) or ``mix_alpha`` (temperature mixing, kept shares ∝

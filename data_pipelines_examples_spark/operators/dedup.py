@@ -356,6 +356,13 @@ def dedup_against_corpus(
     existing side's band table is a materialize-once artifact: persist
     (id, band, bh) at ingest time and each delta joins against it
     directly — signatures for the old corpus are never recomputed.
+
+    ``bands`` is deliberately a FIXED int here (no "auto", unlike
+    ``minhash_lsh_pairs``): band hashes are only comparable when both
+    sides were banded identically, and the persisted existing-side band
+    table bakes its band count in at ingest time — an occupancy- or
+    corpus-derived band count would silently change across deltas and
+    invalidate the artifact. Re-band the whole corpus to change bands.
     """
     ns = _band_buckets(
         minhash_signatures(new, id_col, text_col, num_hashes, shingle_n, hash_how),

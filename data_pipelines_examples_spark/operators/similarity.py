@@ -348,14 +348,25 @@ def auto_plane_tables(
     planes then hold expected bucket occupancy at ``target_occupancy``
     regardless of corpus size. Use explicit tables instead when a result
     must be replicated exactly (the q42 oracle pins P=6 for that
-    reason)."""
+    reason).
+
+    The dimension probe skips null embeddings (``ignorenulls``) and
+    raises if every embedding is null — but it still reads ONE row's
+    size, so a corpus with MIXED dimensions is a caller bug this probe
+    cannot see; the signature stage would fold short vectors silently."""
     from ..oracles import gauss_plane_tables  # local: avoid module cycle
 
     row = df.agg(
-        F.count("*").alias("n"), F.first(F.size(F.col(vec_col))).alias("dim")
+        F.count("*").alias("n"),
+        F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("dim"),
     ).first()
     if not row["n"]:
         raise ValueError("auto_plane_tables: empty corpus — no dimension to read")
+    if row["dim"] is None:
+        raise ValueError(
+            f"auto_plane_tables: every {vec_col!r} value is null — "
+            "no dimension to derive hyperplanes from"
+        )
     n_planes = derive_n_planes(row["n"], target_occupancy)
     return gauss_plane_tables(
         n_tables=n_tables, n_planes=n_planes, dim=row["dim"], seed=seed
@@ -368,6 +379,9 @@ def embedding_dedup_pairs_lsh(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 8,
+    target_occupancy: int = LSH_TARGET_OCCUPANCY,
+    seed: int = 7,
 ) -> DataFrame:
     """Near-duplicate pairs via multi-table hyperplane LSH — the 100 TB
     dedup path (mirrors ``minhash_lsh_pairs``' bucketed shape).
@@ -385,13 +399,27 @@ def embedding_dedup_pairs_lsh(
     ``planes_tables="auto"`` (the default API path since r11) derives
     occupancy-scaled tables from the corpus via ``auto_plane_tables`` —
     fixed plane counts are not scale-invariant (candidates ~ n²/2^P).
-    Pass explicit tables only for exact replication (oracles, A/B).
+    ``n_tables`` / ``target_occupancy`` / ``seed`` tune that derivation
+    and are ignored when explicit tables are passed. Pass explicit
+    tables only for exact replication (oracles, A/B).
+
+    Scan honesty: the auto path runs ONE eager aggregate over the
+    un-persisted input AT CALL TIME (count + one vector's size — ids
+    and sizes only, no payload) before the lazy signature plan is
+    built, i.e. one extra source scan vs explicit tables. Persist the
+    input first if its lineage is expensive to recompute.
     """
     df = _rebalance(df)
     if isinstance(planes_tables, str):
         if planes_tables != "auto":
             raise ValueError(f"planes_tables must be a list or 'auto', got {planes_tables!r}")
-        planes_tables = auto_plane_tables(df, vec_col=vec_col)
+        planes_tables = auto_plane_tables(
+            df,
+            vec_col=vec_col,
+            n_tables=n_tables,
+            target_occupancy=target_occupancy,
+            seed=seed,
+        )
     # Signature stage: Arrow-vectorized, bit-identical to the expression
     # fold (see hyperplane_buckets_arrow) — 8×6×64 interpreted HOF lambda
     # evals/row was the dominant cost of the whole dedup at sf0.1.

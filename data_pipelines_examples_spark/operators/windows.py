@@ -100,11 +100,18 @@ def global_cumulative_sum(
     else:
         # "spark.sql.shuffle.partitions" is not always numeric ("auto"
         # under some managed runtimes' adaptive coalescing) — degrade to
-        # the cluster's default parallelism rather than ValueError
+        # the cluster's default parallelism rather than ValueError. The
+        # same managed runtimes typically run Spark Connect, where
+        # sparkContext itself raises — degrade once more to Spark's own
+        # shuffle-partitions default rather than fail on exactly the
+        # runtime this fallback targets.
         try:
             n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
         except ValueError:
-            n = df.sparkSession.sparkContext.defaultParallelism or 200
+            try:
+                n = df.sparkSession.sparkContext.defaultParallelism or 200
+            except Exception:
+                n = 200
     part = (
         df.repartitionByRange(n, *orders)
         .withColumn("__pid", F.spark_partition_id())

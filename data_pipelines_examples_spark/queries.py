@@ -220,59 +220,66 @@ def _load_all() -> None:
 # oldest-first in catalog order (q01-q23 band, then q65-q92); the 5
 # r9-green leftovers (q93-q97) wait for round 12 and everything
 # displaced is green in CORRECTNESS_r10.
-_WINDOW_ROUND = 11
+# ROUND-12 ROTATION (this window, computed by tools/plan_rotation.py on
+# the committed r1-r11 history): the only stale entries (last green r9,
+# deferred from r11 by design) are q93-q97 — they head the window. The
+# remaining 45 slots fill with r10-green entries oldest-first in
+# catalog order (q10-q64 band, then q98-q99); the 5 r10-green leftovers
+# (q100-q104) wait for round 13 and everything displaced is green in
+# CORRECTNESS_r11.
+_WINDOW_ROUND = 12
 
 _PROMOTED = [
-    "q105_revenue_share_of_region",  # stale
-    "q106_abc_customer_classes",  # stale
-    "q107_copurchase_rules",  # stale
-    "q108_event_transition_matrix",  # stale
-    "q109_overlap_join_binned",  # stale
-    "q01_pricing_summary",  # green r9
-    "q02_top_customers",  # green r9
-    "q03_interval_collapse",  # green r9
-    "q04_customers_without_orders",  # green r9
-    "q05_latest_order_per_customer",  # green r9
-    "q06_cumulative_daily_revenue",  # green r9
-    "q07_salted_join_priority_volume",  # green r9
-    "q08_part_unpivot",  # green r9
-    "q09_json_shred_events",  # green r9
-    "q11_sessionize_events",  # green r9
-    "q12_sliding_distinct_users",  # green r9
-    "q13_dedup_exact_documents",  # green r9
-    "q14_text_profile",  # green r9
-    "q15_embedding_topk",  # green r9
-    "q16_size_band_join",  # green r9
-    "q17_wildcard_rule_tiering",  # green r9
-    "q18_open_not_fulfilled_custkeys",  # green r9
-    "q20_order_lag_features",  # green r9
-    "q23_overlapping_order_windows",  # green r9
-    "q65_epoch_shuffle",  # green r9
-    "q66_quality_floor_filter",  # green r9
-    "q67_unigram_surprisal",  # green r9
-    "q68_materialized_sequences",  # green r9
-    "q69_dedup_against_corpus",  # green r9
-    "q70_zorder_keys",  # green r9
-    "q71_tfidf_top_terms",  # green r9
-    "q72_bm25_topk",  # green r9
-    "q73_cap_per_source",  # green r9
-    "q74_leakage_free_split",  # green r9
-    "q75_semantic_dedup_pairs",  # green r9
-    "q76_length_bucketed_batches",  # green r9
-    "q77_token_heavy_hitters",  # green r9
-    "q78_bigram_surprisal",  # green r9
-    "q79_dedup_corpus_lines",  # green r9
-    "q80_duplicate_spans",  # green r9
-    "q81_strip_duplicate_spans",  # green r9
-    "q82_scd2_event_type_history",  # green r9
-    "q83_apply_cdc_snapshot",  # green r9
-    "q84_temporal_regime_join",  # green r9
-    "q85_weighted_sample",  # green r9
-    "q86_snapshot_diff_reconcile",  # green r9
-    "q89_quarantine_orders",  # green r9
-    "q90_winnowing_fingerprints",  # green r9
-    "q91_bm25_batch_topk",  # green r9
-    "q92_fuzzy_name_pairs",  # green r9
+    "q93_hourly_resample_asof",  # stale
+    "q94_event_feed_gaps",  # stale
+    "q95_contamination_report",  # stale
+    "q96_budget_selection",  # stale
+    "q97_copurchase_pairs",  # stale
+    "q10_scd_latest_event_per_user",  # green r10
+    "q19_customer_running_spend",  # green r10
+    "q21_acctbal_quartiles",  # green r10
+    "q22_user_value_streaks",  # green r10
+    "q24_region_revenue_rollup",  # green r10
+    "q25_map_payload_roundtrip",  # green r10
+    "q26_union_dedup_pairs",  # green r10
+    "q27_distinct_users_by_type",  # green r10
+    "q28_transitive_closure",  # green r10
+    "q29_fiscal_date_functions",  # green r10
+    "q30_group_max_join_back",  # green r10
+    "q31_ngram_jaccard_pairs",  # green r10
+    "q33_minhash_candidates",  # green r10
+    "q34_simhash_pairs",  # green r10
+    "q36_map_key_filter",  # green r10
+    "q37_string_functions",  # green r10
+    "q38_null_safe_join",  # green r10
+    "q39_one_hot_segments",  # green r10
+    "q40_sas_composite_shape",  # green r10
+    "q41_approx_sliding_distinct",  # green r10
+    "q44_hourly_rollup",  # green r10
+    "q45_schema_evolution_union",  # green r10
+    "q46_right_outer_fill",  # green r10
+    "q42_embedding_dedup_pairs",  # green r10
+    "q43_lsh_topk",  # green r10
+    "q47_sql_text_pipeline",  # green r10
+    "q48_ivf_topk_full_probe",  # green r10
+    "q49_asof_latest_event_value",  # green r10
+    "q50_region_nation_rollup",  # green r10
+    "q51_status_pivot",  # green r10
+    "q52_price_percentiles",  # green r10
+    "q53_first_last_order_value",  # green r10
+    "q54_filtered_aggregates",  # green r10
+    "q55_shipping_priority",  # green r10
+    "q56_vocab_top_tokens",  # green r10
+    "q57_doclen_histogram",  # green r10
+    "q58_training_mix",  # green r10
+    "q59_redact_pii",  # green r10
+    "q60_repetition_ratios",  # green r10
+    "q61_grouping_sets_revenue",  # green r10
+    "q62_duplicate_components",  # green r10
+    "q63_chunk_documents",  # green r10
+    "q64_pack_offsets",  # green r10
+    "q98_normalize_text",  # green r10
+    "q99_corpus_checksum",  # green r10
 ]
 # Nothing needs active demotion this round: the window is exactly
 # _PROMOTED (50 entries), and all other entries follow in registration

@@ -57,7 +57,14 @@ def ingest_batch(
     return), so the internal persists armed by minhash_lsh_pairs /
     dedup_keep_canonical are scope-drained on exit — without this, a
     long-running stream leaks one set of cached frames PER MICRO-BATCH
-    (the r7-verdict drain-audit's one real gap)."""
+    (the r7-verdict drain-audit's one real gap).
+
+    ``bands`` is deliberately a FIXED int (no "auto"): every batch's
+    band buckets must be comparable with the PERSISTED band table at
+    ``bands_path``, whose band count was baked in by the first batch —
+    a corpus-derived band count would drift as the stream grows and
+    silently stop matching the artifact. Re-band the corpus offline to
+    change it (same contract as ``dedup_against_corpus``)."""
     from ..cache import internal_persist_scope
 
     with internal_persist_scope():
