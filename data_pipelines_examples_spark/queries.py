@@ -50,9 +50,32 @@ def _ensure_confs(spark: SparkSession) -> None:
             pass
 
 
+# Lazy-plan memo for table opens (r13). ``spark.read.parquet`` costs a
+# schema-inference pass (file listing + footer reads + several py4j round
+# trips) on EVERY call — measured ~0.3 s per open on this host, paid per
+# table per query per bench run. The memo stores the LAZY DataFrame (a
+# plan, never data): every action over it still scans the parquet inputs
+# — nothing is persisted, so clearCache/release_cached semantics are
+# unchanged and no result or intermediate is ever reused across runs.
+# Keyed by (session, dir, table, dir-mtime): a regenerated testdata dir
+# gets a fresh scan plan (the file index inside a plan is pinned at
+# read time — same as before, but the mtime key bounds cross-call
+# staleness), and a new SparkSession never sees another session's plans.
+_TABLE_PLANS: dict[tuple, DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (spark, sf_dir, name, mtime)
+    cached = _TABLE_PLANS.get(key)
+    if cached is not None:
+        return cached
     _ensure_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events":
         # Normalize ts to session-TZ TimestampType regardless of how the
         # parquet stores it: TIMESTAMP(NANOS) files arrive as long nanos
@@ -64,6 +87,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         else:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_PLANS[key] = df
     return df
 
 

@@ -67,6 +67,54 @@ def test_simhash_pairs(spark):
     assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
 
 
+def test_simhash_swar_matches_naive_votes(spark):
+    """The SWAR packed-counter aggregation (r13) must be bit-identical to
+    the naive one-±1-sum-per-bit formulation on BOTH hash paths,
+    including odd num_bits (one unpaired lane) and the empty-text
+    single-""-gram case."""
+    from data_pipelines_examples_spark.functions.hashing import hash64
+    from data_pipelines_examples_spark.operators.dedup import (
+        shingle_rows,
+        simhash_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        DOCS + [(5, ""), (6, "one"), (7, "a b a b a b a")],
+        "doc_id int, text string",
+    )
+
+    def naive(df, num_bits, hash_how):
+        exploded = shingle_rows(df, "doc_id", "text", 2).withColumn(
+            "__h", hash64(F.col("__g"), how=hash_how)
+        )
+        votes = exploded.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(F.col("__h").isNull(), 0)
+                    .when(
+                        F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                    )
+                    .otherwise(-1)
+                ).alias(f"__v{i}")
+                for i in range(num_bits)
+            ]
+        )
+        fp = F.lit(0).cast("long")
+        for i in range(num_bits):
+            fp = F.shiftleft(fp, 1) + (F.col(f"__v{i}") > 0).cast("long")
+        return votes.select("doc_id", fp.alias("__fp"))
+
+    for hash_how, num_bits in (("xxhash64", 64), ("portable", 60), ("xxhash64", 7)):
+        want = {r["doc_id"]: r["__fp"] for r in naive(docs, num_bits, hash_how).collect()}
+        got = {
+            r["doc_id"]: r["__fp"]
+            for r in simhash_fingerprints(
+                docs, num_bits=num_bits, shingle_n=2, hash_how=hash_how
+            ).collect()
+        }
+        assert got == want, (hash_how, num_bits)
+
+
 def test_token_count(spark):
     df = spark.createDataFrame([("a b  c",), ("single",)], "text string")
     got = [r[0] for r in df.select(token_count("text")).collect()]
