@@ -912,13 +912,38 @@ def duplicate_spans(
         F.col("__i"),
         F.xxhash64(F.array_join(F.slice("__ws", F.col("__i"), k), " ")).alias("__h"),
     )
-    dup = (
-        wins.groupBy("__h")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("__h")
+    # Single-pass duplicated-window discovery (r13): the old
+    # countDistinct-then-join-back form consumed ``wins`` twice, and
+    # Spark does not collapse the two subtrees — the ENTIRE upstream
+    # (corpus scan, canonical-text aggregation, window explode + hash)
+    # ran twice (measured: 2 source scans in q80's plan). Grouping the
+    # (id, start) occurrences per window hash in ONE aggregation and
+    # filtering on the distinct-doc count post-agg discovers duplicates
+    # and keeps their positions in the same shuffle: one corpus pass,
+    # one exchange (carrying (hash, id, start) — same triples the old
+    # join-back shuffled), no join. Output rows are identical; nulls in
+    # ``id_col`` are excluded from the distinct count exactly as
+    # countDistinct excluded them. A window duplicated across D docs
+    # builds a D-element list in one agg buffer — ObjectHashAggregate
+    # falls back to sort-based spilling if a pathological window is
+    # shared by millions of docs (the join form emitted the same D rows).
+    grouped = wins.groupBy("__h").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__i").alias("i"))).alias(
+            "__occ"
+        )
     )
-    hits = wins.join(dup, "__h").select(id_col, "__i")
+    nd = F.size(
+        F.array_distinct(
+            F.filter(
+                F.transform(F.col("__occ"), lambda s: s["id"]), lambda x: x.isNotNull()
+            )
+        )
+    )
+    hits = (
+        grouped.filter(nd >= min_docs)
+        .select(F.explode("__occ").alias("__o"))
+        .select(F.col("__o.id").alias(id_col), F.col("__o.i").alias("__i"))
+    )
     w = Window.partitionBy(id_col).orderBy("__i")
     isl = hits.withColumn(
         "__brk",

@@ -95,6 +95,17 @@ def brute_force_topk(
     )
 
 
+def _lit_double_array(values: list[float]) -> Column:
+    """Double-array literal built from ONE parsed SQL string. The
+    ``F.array(*[F.lit(float(x)) ...])`` form costs a py4j round trip per
+    element — for 64-dim planes that is ~65 JVM calls per literal and was
+    the dominant driver-side build cost of ``lsh_topk`` (measured ~0.5 s
+    per query build). ``repr(float)`` round-trips exactly and the ``D``
+    suffix is Spark's double-literal syntax, so the folded values are
+    bit-identical to the ``F.lit`` form."""
+    return F.expr("array(" + ", ".join(f"{float(x)!r}D" for x in values) + ")")
+
+
 def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: bit i = sign(vec · plane_i).
 
@@ -112,7 +123,7 @@ def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """
     bucket = F.lit(0).cast("long")
     for plane in planes:
-        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        plane_col = _lit_double_array(plane)
         bit = (dot(vec_col, plane_col) > 0).cast("long")
         bucket = F.shiftleft(bucket, 1) + bit
     return bucket
@@ -233,7 +244,7 @@ def _nearest_centroids(vec_col: Column, centroids: list[list[float]], n: int) ->
     expressions: per-centroid distance structs, array_sort, slice."""
     dists = []
     for i, c in enumerate(centroids):
-        cc = F.array(*[F.lit(float(x)) for x in c])
+        cc = _lit_double_array(c)
         d2 = F.aggregate(
             F.zip_with(vec_col, cc, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -350,26 +361,44 @@ def auto_plane_tables(
     must be replicated exactly (the q42 oracle pins P=6 for that
     reason).
 
-    The dimension probe skips null embeddings (``ignorenulls``) and
-    raises if every embedding is null — but it still reads ONE row's
-    size, so a corpus with MIXED dimensions is a caller bug this probe
-    cannot see; the signature stage would fold short vectors silently."""
+    The dimension probe skips null embeddings and raises if every
+    embedding is null; min/max vector sizes ride the SAME single
+    aggregate (r13 ADVICE — one-job cost), so a corpus with MIXED
+    dimensions now raises instead of silently folding short vectors in
+    the signature stage. The size guard compares against ``dim > 0``
+    rather than NULL so it stays robust under
+    ``spark.sql.legacy.sizeOfNull=true`` (where size(NULL) is -1)."""
     from ..oracles import gauss_plane_tables  # local: avoid module cycle
 
+    # size() only ever evaluates on non-null vectors, so the probe is
+    # immune to spark.sql.legacy.sizeOfNull=true (size(NULL) = -1).
+    valid = F.when(F.col(vec_col).isNotNull(), F.size(F.col(vec_col)))
     row = df.agg(
         F.count("*").alias("n"),
-        F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("dim"),
+        F.min(valid).alias("dim_min"),
+        F.max(valid).alias("dim_max"),
     ).first()
     if not row["n"]:
         raise ValueError("auto_plane_tables: empty corpus — no dimension to read")
-    if row["dim"] is None:
+    if row["dim_min"] is None:
         raise ValueError(
             f"auto_plane_tables: every {vec_col!r} value is null — "
             "no dimension to derive hyperplanes from"
         )
+    if row["dim_min"] != row["dim_max"]:
+        raise ValueError(
+            f"auto_plane_tables: mixed {vec_col!r} dimensions "
+            f"({row['dim_min']}..{row['dim_max']}) — the signature stage "
+            "would silently fold short vectors; fix the corpus first"
+        )
+    if row["dim_min"] <= 0:
+        raise ValueError(
+            f"auto_plane_tables: every {vec_col!r} value is empty — "
+            "no dimension to derive hyperplanes from"
+        )
     n_planes = derive_n_planes(row["n"], target_occupancy)
     return gauss_plane_tables(
-        n_tables=n_tables, n_planes=n_planes, dim=row["dim"], seed=seed
+        n_tables=n_tables, n_planes=n_planes, dim=row["dim_min"], seed=seed
     )
 
 
@@ -409,6 +438,13 @@ def embedding_dedup_pairs_lsh(
     built, i.e. one extra source scan vs explicit tables. Persist the
     input first if its lineage is expensive to recompute.
     """
+    # The rebalanced frame feeds only the Arrow signature stage (which
+    # wants the cluster's parallelism for its batched numpy work); the
+    # verification sides below join FROM the raw input — routing them
+    # through the rebalance would shuffle every embedding payload a
+    # second time purely to change a partitioning the join immediately
+    # discards (r13: removed 2 Exchange nodes carrying vectors).
+    raw = df
     df = _rebalance(df)
     if isinstance(planes_tables, str):
         if planes_tables != "auto":
@@ -448,12 +484,12 @@ def embedding_dedup_pairs_lsh(
     # table. (An unrolled codegen dot was also measured — slower: the
     # 64-term expression lands in the join condition twice and blows the
     # codegen method budget.)
-    va = df.select(
+    va = raw.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
         norm(F.col(vec_col)).alias("__na"),
     )
-    vb = df.select(
+    vb = raw.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
         norm(F.col(vec_col)).alias("__nb"),

@@ -22,6 +22,7 @@ cascade O(1 shuffle) instead of the reference's O(N joins).
 
 from __future__ import annotations
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
@@ -108,9 +109,13 @@ def global_cumulative_sum(
         try:
             n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
         except ValueError:
+            # Narrow catch (r13 ADVICE): only the Spark-Connect failure
+            # modes (no sparkContext attribute / not-implemented) degrade
+            # to the default — an unrelated session failure must surface,
+            # not silently pin n=200.
             try:
                 n = df.sparkSession.sparkContext.defaultParallelism or 200
-            except Exception:
+            except (AttributeError, NotImplementedError, PySparkNotImplementedError):
                 n = 200
     part = (
         df.repartitionByRange(n, *orders)

@@ -388,10 +388,18 @@ def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     notebooks/databricks/python/usage_analysis.py:181-207 top-N battery)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # Aggregate the fact BEFORE attaching dim attributes (r13, guide
+    # §2.3): the exchange then carries (custkey, partial sums) instead of
+    # (custkey, name, partial sums) and the agg hash map keys one bigint
+    # instead of (bigint, string). c_custkey is the customer PK and the
+    # join is inner on it, so grouping by custkey then joining is
+    # row-identical to joining then grouping by (custkey, name).
+    per_cust = o.groupBy("o_custkey").agg(
+        _dsum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders")
+    )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(_dsum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "revenue", "n_orders")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(10)
     )

@@ -260,11 +260,20 @@ def q24_region_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").try_cast("decimal(18,4)")
         * (F.lit(1) - F.col("l_discount").try_cast("decimal(18,4)"))
     ).cast("decimal(18,4)")
+    # Dimension pre-collapse (r13, guide §3.1): customer⋈nation⋈region
+    # folds into ONE broadcast (c_custkey → r_name) among the tiny dims
+    # before it ever touches the fact, so each fact row pays a single
+    # dim-hash probe instead of three chained ones, and two
+    # BroadcastExchange builds drop out of the fact path. Inner joins on
+    # the same keys — row-identical output.
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
         .groupBy("r_name")
         .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
         .orderBy("r_name")

@@ -95,3 +95,28 @@ def test_minhash_auto_bands_matches_explicit_default(spark):
     explicit = minhash_lsh_pairs(docs, num_hashes=32, bands=8, shingle_n=3)
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, explicit.collect()))
     spark.catalog.clearCache()
+
+
+def test_auto_plane_tables_rejects_mixed_and_degenerate_dims(spark):
+    """r13 ADVICE: the one-job dimension probe must raise on mixed
+    vector dimensions (silently folded short vectors before), on
+    all-null, and on all-empty corpora."""
+    import pytest
+
+    mixed = spark.createDataFrame(
+        [(1, [0.1] * 4), (2, [0.2] * 3)], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="mixed"):
+        auto_plane_tables(mixed)
+
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="null"):
+        auto_plane_tables(allnull)
+
+    empty_vecs = spark.createDataFrame(
+        [(1, []), (2, [])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        auto_plane_tables(empty_vecs)
