@@ -298,8 +298,12 @@ def minhash_signatures(
             for k in range(1, num_hashes)
         ],
     )
+    # id_col is an IDENTIFIER, not an expression: backtick-quote it so
+    # names needing quoting (spaces, dots, hyphens) pass through
+    # selectExpr exactly as the old select(id_col) accepted them
     return mins.selectExpr(
-        id_col, f"array({', '.join(f'__m{k}' for k in range(num_hashes))}) AS __sig"
+        f"`{id_col}`",
+        f"array({', '.join(f'__m{k}' for k in range(num_hashes))}) AS __sig",
     )
 
 
@@ -505,45 +509,56 @@ def ngram_jaccard_pairs(
     concentrates candidates on whichever common grams hash low — measured
     4× more candidates than frequency order on the test corpus.)
 
-    Shuffle profile (6 exchanges total, none carrying document bodies —
-    the first is the (id, gram) set-dedup, see the cost note below):
-    gram DF count (groupBy gram) → per-doc sorted-gram-array aggregation
-    (groupBy id; the sort/prefix-slice happen INSIDE the agg row, replacing
+    Shuffle profile (4 exchanges total, none carrying document bodies):
+    one gram-keyed aggregation producing (gram, distinct-doc set) — the
+    set IS the set-dedup, its size IS the document frequency — → per-doc
+    sorted-gram-array aggregation (groupBy id over the re-exploded
+    postings; the sort/prefix-slice happen INSIDE the agg row, replacing
     two window passes) → candidate join on prefix grams (size-ratio filter
     applied inline before the pair dedup — Jaccard ≥ t forces
     min(|A|,|B|) ≥ ⌈t·max(|A|,|B|)⌉, which kills most spurious
     candidates before they cost anything) → two keyed joins that attach
     the gram arrays for exact array_intersect verification.
 
-    The two reused intermediates (exploded gram table, per-doc gram
-    arrays) persist MEMORY_AND_DISK: at corpus scale they exceed executor
-    memory, and a memory-only cache would silently evict and recompute
-    them mid-join. Past single-machine scale, replace the persists with an
-    explicit parquet staging write of ``docs`` (grams are then derived
-    once); and past ~10^7 docs prefer ``minhash_lsh_pairs`` — exact
-    Jaccard is the verification twin, LSH is the 100 TB path.
+    The reused intermediate (per-doc gram arrays) persists
+    MEMORY_AND_DISK: at corpus scale it exceeds executor memory, and a
+    memory-only cache would silently evict and recompute it mid-join.
+    Past single-machine scale, replace the persist with an explicit
+    parquet staging write of ``docs`` (grams are then derived once); and
+    past ~10^7 docs prefer ``minhash_lsh_pairs`` — exact Jaccard is the
+    verification twin, LSH is the 100 TB path (a gram carried by a large
+    fraction of a 10^7-doc corpus also concentrates that fraction's ids
+    in one ``collect_set`` buffer below — the same corpus-size ceiling,
+    reached via memory instead of candidate count).
     """
-    # distinct (id, gram): a doc's shingle SET. shingle_rows dedups per
-    # input row, but a doc_id appearing on multiple rows (re-crawled
-    # corpora, replayed batches) would otherwise inflate gram counts —
-    # document frequencies double, |A| counts multiset size while
-    # array_intersect is set-valued, and jaccard silently shrinks
-    # (found by bootstrap-resample differential testing vs DuckDB).
-    # Cost honesty: this distinct IS one extra exchange on (id, gram) vs
-    # the pre-fix code. The alternative (countDistinct for gram_df +
-    # collect_set for docs) plans the same (g,id) exchange inside the
-    # distinct-aggregate AND ships the larger non-deduped table to both
-    # consumers; measured A/B at sf0.1 (order-controlled, min-of-2):
-    # 1.90s vs 1.97s — indistinguishable here, and distinct-first wins
-    # at scale because every downstream exchange carries the deduped set.
-    p = (
+    # ONE gram-keyed aggregation replaces the r13 chain of distinct →
+    # groupBy(gram) count → join-back (r14, guide §2.3/§2.4): the
+    # per-gram collect_set(id) deduplicates (id, gram) — a doc_id
+    # appearing on multiple rows (re-crawled corpora, replayed batches)
+    # would otherwise inflate gram counts (found by bootstrap-resample
+    # differential testing vs DuckDB) — while size(set) IS the document
+    # frequency the old groupBy counted, and re-exploding the set
+    # reproduces the old join's (gram, df, id) rows exactly. Map-side
+    # partial collect_set collapses duplicate (gram, id) pairs before
+    # the exchange just as the old partial-distinct did, so the one
+    # remaining exchange carries the same deduped volume — but the old
+    # shape paid two MORE exchanges of that table (the (id, gram)
+    # distinct and the join-back's gram-side repartition) plus the
+    # join itself and a persist of the posting table, all deleted here.
+    # Null ids: collect_set drops them, exactly like the old
+    # gram-count path never let them reach the output (a null id never
+    # wins id_a < id_b), so pair results are unchanged.
+    grams = (
         shingle_rows(df, id_col, text_col, shingle_n)
-        .distinct()
-        .transform(persist_internal)
+        .groupBy("__g")
+        .agg(F.collect_set(F.col(id_col)).alias("__ids"))
     )
-    gram_df = p.groupBy("__g").agg(F.count("*").alias("__df"))
     docs = (
-        p.join(gram_df, "__g")
+        grams.select(
+            "__g",
+            F.size("__ids").alias("__df"),
+            F.explode("__ids").alias(id_col),
+        )
         .groupBy(id_col)
         .agg(
             F.array_sort(
@@ -693,7 +708,8 @@ def simhash_fingerprints(
         terms.append(
             f"shiftleft(CAST(coalesce(2 * {s}, 0) > __cnt AS BIGINT), {num_bits - 1 - i})"
         )
-    return votes.selectExpr(id_col, "(" + " | ".join(terms) + ") AS __fp")
+    # backtick-quote: id_col is an identifier, not a SQL expression
+    return votes.selectExpr(f"`{id_col}`", "(" + " | ".join(terms) + ") AS __fp")
 
 
 def simhash_pairs(
@@ -912,37 +928,34 @@ def duplicate_spans(
         F.col("__i"),
         F.xxhash64(F.array_join(F.slice("__ws", F.col("__i"), k), " ")).alias("__h"),
     )
-    # Single-pass duplicated-window discovery (r13): the old
-    # countDistinct-then-join-back form consumed ``wins`` twice, and
-    # Spark does not collapse the two subtrees — the ENTIRE upstream
-    # (corpus scan, canonical-text aggregation, window explode + hash)
-    # ran twice (measured: 2 source scans in q80's plan). Grouping the
-    # (id, start) occurrences per window hash in ONE aggregation and
-    # filtering on the distinct-doc count post-agg discovers duplicates
-    # and keeps their positions in the same shuffle: one corpus pass,
-    # one exchange (carrying (hash, id, start) — same triples the old
-    # join-back shuffled), no join. Output rows are identical; nulls in
-    # ``id_col`` are excluded from the distinct count exactly as
-    # countDistinct excluded them. A window duplicated across D docs
-    # builds a D-element list in one agg buffer — ObjectHashAggregate
-    # falls back to sort-based spilling if a pathological window is
-    # shared by millions of docs (the join form emitted the same D rows).
-    grouped = wins.groupBy("__h").agg(
-        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__i").alias("i"))).alias(
-            "__occ"
-        )
-    )
-    nd = F.size(
-        F.array_distinct(
-            F.filter(
-                F.transform(F.col("__occ"), lambda s: s["id"]), lambda x: x.isNotNull()
-            )
-        )
+    # Single-pass duplicated-window discovery (r13) with BOUNDED
+    # per-group state (r14). The r13 form grouped every occurrence of a
+    # window hash into one collect_list agg buffer — one corpus pass
+    # instead of the old countDistinct-then-join-back's two (measured:
+    # 2 source scans), but a pathological window shared by millions of
+    # docs (boilerplate text) concentrated all its (id, start) structs
+    # in a single in-memory array that no spill path can split (sort-
+    # based agg fallback spills GROUPS, not one group's buffer). Same
+    # discovery over the same single exchange, expressed with window
+    # functions instead (guide §2.3/§5): dense_rank over (hash, id
+    # nulls-last) gives every distinct doc id a rank, so the max rank
+    # among non-null rows IS the distinct-doc count — and WindowExec
+    # buffers each hash's rows in a spillable UnsafeRow buffer, never
+    # an agg array, so per-group state is disk-bounded. Occurrences
+    # flow through as rows (no collect, no explode). Nulls in
+    # ``id_col`` sort last and are excluded from the rank max exactly
+    # as countDistinct/array_distinct excluded them, while their
+    # occurrence rows are kept, as before.
+    w_rank = Window.partitionBy("__h").orderBy(F.col(id_col).asc_nulls_last())
+    w_all = Window.partitionBy("__h")
+    marked = wins.withColumn(
+        "__dr",
+        F.when(F.col(id_col).isNotNull(), F.dense_rank().over(w_rank)),
     )
     hits = (
-        grouped.filter(nd >= min_docs)
-        .select(F.explode("__occ").alias("__o"))
-        .select(F.col("__o.id").alias(id_col), F.col("__o.i").alias("__i"))
+        marked.withColumn("__nd", F.max("__dr").over(w_all))
+        .filter(F.col("__nd") >= min_docs)
+        .select(id_col, "__i")
     )
     w = Window.partitionBy(id_col).orderBy("__i")
     isl = hits.withColumn(

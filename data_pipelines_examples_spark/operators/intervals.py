@@ -231,12 +231,16 @@ def _cap_cobinned(
     ``mode='error'`` is parity-safe: identical rows or a loud refusal
     naming the hot key, its bin, and the co-binned count — it only
     fires on a cluster that genuinely lands ``cap`` intervals in ONE
-    ``bin_days``-wide cell. ``mode='cut'`` drops every interval of any
-    KEY owning an over-dense cell (whole keys, never partial bins —
-    cutting individual cells would silently drop some of a key's pairs
-    while keeping others, an output no oracle can mirror). NULL-key
-    rows bypass the guard untouched, as in the per-key guard: the
-    equi-join rejects them, so they can never pair-explode.
+    ``bin_days``-wide cell. Callers must PIN the frame by
+    (keys, __bin) before an error-mode guard — the window count then
+    rides the pin's exchange and preserves its partitioning.
+    ``mode='cut'`` drops every interval of any KEY owning an
+    over-dense cell (whole keys, never partial bins — cutting
+    individual cells would silently drop some of a key's pairs while
+    keeping others, an output no oracle can mirror); its anti-join
+    output carries no partitioning, so callers pin AFTER a cut.
+    NULL-key rows bypass the guard untouched, as in the per-key
+    guard: the equi-join rejects them, so they can never pair-explode.
     """
     if mode not in ("cut", "error"):
         raise ValueError(
@@ -247,44 +251,49 @@ def _cap_cobinned(
     for k in keys:
         c = F.col(k).isNotNull()
         nonnull = c if nonnull is None else (nonnull & c)
+    if mode == "error":
+        # Window count over the (keys, __bin) cell instead of a
+        # cells-aggregate + semi join (r14, guide §2.4): callers pin
+        # the exploded frame by (keys, __bin) FIRST, so this count is
+        # one sort inside the pin's exchange — the guard's aggregate
+        # exchange AND the join-back exchange are gone, rows flow
+        # through in place (no null split / union), and the pin's
+        # partitioning survives for the join to reuse. The filter on
+        # the guard column keeps the raise_error branch alive under
+        # column pruning (same trick as the per-key guard); null-key
+        # rows never satisfy ``nonnull``, so they bypass untouched.
+        kb_n = F.count("*").over(Window.partitionBy(*keys, "__bin"))
+        guard = F.when(
+            nonnull & (kb_n > cap),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{what}: key ("),
+                    F.concat_ws(
+                        ",", *[F.col(k).cast("string") for k in keys]
+                    ),
+                    F.lit(") holds "),
+                    kb_n.cast("string"),
+                    F.lit(" intervals co-binned in bin "),
+                    F.col("__bin").cast("string"),
+                    F.lit(
+                        f" (bin_days={bin_days}), over "
+                        f"max_intervals_per_key={cap} — a co-binned "
+                        "cluster this size lands quadratic pairs on one "
+                        "(key, bin) reducer, which binning cannot "
+                        "spread; shrink bin_days, pre-filter, cut "
+                        "(cap_mode='cut'), or raise the cap explicitly"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        return (
+            exploded.withColumn("__kb_guard", guard)
+            .filter(F.col("__kb_guard") >= 0)
+            .select(*cols)
+        )
     null_rows = exploded.filter(~nonnull)
     ex = exploded.filter(nonnull)
     cells = ex.groupBy(*keys, "__bin").agg(F.count("*").alias("__kb_n"))
-    if mode == "error":
-        checked = cells.withColumn(
-            "__kb_n",
-            F.when(
-                F.col("__kb_n") > cap,
-                F.raise_error(
-                    F.concat(
-                        F.lit(f"{what}: key ("),
-                        F.concat_ws(
-                            ",", *[F.col(k).cast("string") for k in keys]
-                        ),
-                        F.lit(") holds "),
-                        F.col("__kb_n").cast("string"),
-                        F.lit(" intervals co-binned in bin "),
-                        F.col("__bin").cast("string"),
-                        F.lit(
-                            f" (bin_days={bin_days}), over "
-                            f"max_intervals_per_key={cap} — a co-binned "
-                            "cluster this size lands quadratic pairs on one "
-                            "(key, bin) reducer, which binning cannot "
-                            "spread; shrink bin_days, pre-filter, cut "
-                            "(cap_mode='cut'), or raise the cap explicitly"
-                        ),
-                    )
-                ).cast("long"),
-            ).otherwise(F.col("__kb_n")),
-        )
-        # referencing the checked column keeps the raise_error branch
-        # alive under column pruning (same trick as the per-key guard)
-        guarded = ex.join(
-            checked.filter(F.col("__kb_n") >= 0).drop("__kb_n"),
-            keys + ["__bin"],
-            "left_semi",
-        )
-        return guarded.unionByName(null_rows).select(*cols)
     hot = cells.filter(F.col("__kb_n") > cap).select(*keys).distinct()
     return ex.join(hot, keys, "left_anti").unionByName(null_rows).select(*cols)
 
@@ -437,24 +446,30 @@ def overlap_self_join(
                 "rename it first"
             )
         # ONE shared explode + ONE bin-aware guard feed both join
-        # branches (the self-join's whole point): the per-(key, bin)
-        # count aggregate is built once and the second reference
-        # becomes a ReusedExchange
+        # branches (the self-join's whole point). Error mode (the
+        # default): pin FIRST, then guard — the guard is a window
+        # count that rides the pin's exchange and preserves its
+        # partitioning, so the plan has exactly one exchange under the
+        # join (r14; the old cells-aggregate + semi-join guard cost two
+        # more). Cut mode: guard first (its anti-join output carries no
+        # partitioning guarantee), then pin directly under the join —
+        # a pin above the cut would leave the join to insert its own
+        # AQE-coalescible exchange, the exact failure the pin exists
+        # to prevent.
         base = _bin_explode(
             df, start, end, gap_days, bin_days, max_bins_per_interval
         )
-        if max_intervals_per_key is not None:
+        if max_intervals_per_key is not None and cap_mode == "cut":
             base = _cap_cobinned(
                 base, keys, max_intervals_per_key, cap_mode,
                 "overlap_self_join", bin_days,
             )
-        # pin AFTER guarding, directly under the join: the guard's
-        # semi-join/union output carries no partitioning guarantee, so
-        # a pin above it would leave the join to insert its own
-        # AQE-coalescible exchange — the exact failure the pin exists
-        # to prevent (the guard's own aggregate exchange is tiny:
-        # map-side partial aggregation reduces it to cell counts)
         base = _pin_cell_parallelism(base, keys)
+        if max_intervals_per_key is not None and cap_mode != "cut":
+            base = _cap_cobinned(
+                base, keys, max_intervals_per_key, cap_mode,
+                "overlap_self_join", bin_days,
+            )
         lb = base
         rb = base.select(
             *[F.col(k).alias(k) for k in keys],
@@ -589,7 +604,15 @@ def overlap_join_binned(
     rb = _bin_explode(
         right, right_start, right_end, gap_days, bin_days, max_bins_per_interval
     )
-    if max_intervals_per_key is not None:
+    # Error mode (the default): pin FIRST, then guard — the window-
+    # count guard rides the pin's exchange and preserves its
+    # partitioning (one exchange per side under the join; the old
+    # cells-aggregate + semi-join guard cost two more each). Cut mode:
+    # guard first (its anti-join output carries no partitioning
+    # guarantee), then pin directly under the join — a pin above the
+    # cut would leave the join to insert its own AQE-coalescible
+    # exchange, the exact failure the pin exists to prevent.
+    if max_intervals_per_key is not None and cap_mode == "cut":
         lb = _cap_cobinned(
             lb, keys, max_intervals_per_key, cap_mode,
             "overlap_join_binned", bin_days,
@@ -598,14 +621,17 @@ def overlap_join_binned(
             rb, keys, max_intervals_per_key, cap_mode,
             "overlap_join_binned", bin_days,
         )
-    # pin AFTER guarding, directly under the join: the guard's
-    # semi-join/union output carries no partitioning guarantee, so a
-    # pin above it would leave the join to insert its own
-    # AQE-coalescible exchange — the exact failure the pin exists to
-    # prevent (the guard's own aggregate exchange is tiny: map-side
-    # partial aggregation reduces it to cell counts)
     lb = _pin_cell_parallelism(lb, keys)
     rb = _pin_cell_parallelism(rb, keys)
+    if max_intervals_per_key is not None and cap_mode != "cut":
+        lb = _cap_cobinned(
+            lb, keys, max_intervals_per_key, cap_mode,
+            "overlap_join_binned", bin_days,
+        )
+        rb = _cap_cobinned(
+            rb, keys, max_intervals_per_key, cap_mode,
+            "overlap_join_binned", bin_days,
+        )
     cond: Column | None = None
     for k in keys:
         c = lb[k] == rb[k]

@@ -49,7 +49,7 @@ def _filtered_items(
     understates both ratios whenever the size guard fires."""
     items = df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    )
     if max_basket_size is not None:
         # Window count instead of a sizes-aggregate + semi join: one
         # exchange on __b replaces an agg exchange AND a two-sided join
@@ -59,12 +59,28 @@ def _filtered_items(
         # semi-join form's semantics exactly (a null equi-key never
         # matched, so guarded runs always dropped null baskets — and the
         # q97/q107 oracles' JOIN USING(b) does the same).
+        # The explicit repartition("__b") BEFORE the distinct (r14,
+        # guide §2.4) makes the (basket, item) set-dedup ride the SAME
+        # basket-keyed exchange the window needs anyway: hash(__b)
+        # clusters every (__b, __i) group, so the distinct aggregate and
+        # the window both run exchange-free on top of it — one exchange
+        # where the distinct-first form paid two ((__b, __i) for the
+        # dedup, then __b for the window). The bytes are the q22 trade
+        # in reverse and it wins here: the raw (basket, item) stream is
+        # near-unique per pair (a basket rarely repeats an item), so
+        # the map-side partial dedup the old first exchange bought
+        # removed almost nothing, while the second exchange re-shipped
+        # the whole deduped table.
         items = (
             items.filter(F.col("__b").isNotNull())
+            .repartition("__b")
+            .distinct()
             .withColumn("__n", F.count("*").over(Window.partitionBy("__b")))
             .filter(F.col("__n") <= max_basket_size)
             .drop("__n")
         )
+    else:
+        items = items.distinct()
     # Multi-consumer pattern (same as ranking.py's tf table): the
     # frequency floor, the pair self-join's two sides, and (in
     # association_metrics) the denominators all consume this projection,

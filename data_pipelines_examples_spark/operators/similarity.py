@@ -102,7 +102,18 @@ def _lit_double_array(values: list[float]) -> Column:
     the dominant driver-side build cost of ``lsh_topk`` (measured ~0.5 s
     per query build). ``repr(float)`` round-trips exactly and the ``D``
     suffix is Spark's double-literal syntax, so the folded values are
-    bit-identical to the ``F.lit`` form."""
+    bit-identical to the ``F.lit`` form. Non-finite elements are
+    rejected loudly: ``repr(nan)``/``repr(inf)`` do not parse as SQL
+    double literals, and a plane/centroid containing them is a caller
+    bug that deserves a named error, not an opaque ParseException."""
+    import math
+
+    bad = [x for x in values if not math.isfinite(float(x))]
+    if bad:
+        raise ValueError(
+            f"_lit_double_array: non-finite element(s) {bad[:3]} — planes/"
+            "centroids must be finite floats"
+        )
     return F.expr("array(" + ", ".join(f"{float(x)!r}D" for x in values) + ")")
 
 

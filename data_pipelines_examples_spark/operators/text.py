@@ -215,17 +215,26 @@ def unigram_surprisal(
         .agg(F.count("*").alias("__c"))
         .transform(persist_internal)
     )
-    totals = vocab.agg(
-        F.sum("__c").alias("__n"), F.count("*").alias("__v")
-    ).first()
-    # SUM over an empty vocab is NULL — an empty corpus must yield an
-    # empty result frame, not a driver-side TypeError (empty date
-    # partitions are routine); max(denom, 1) keeps the literal finite
-    n_total, v_size = totals["__n"] or 0, totals["__v"]
-    denom = max(float(n_total + smoothing * v_size), 1.0)
-    surprisal = -F.log2((F.col("__c") + F.lit(float(smoothing))) / F.lit(denom))
+    # totals ride a broadcast 1-row aggregate (the tfidf pattern), NOT a
+    # driver-side .first(): the eager form ran a full tokenize+vocab job
+    # at PLAN-BUILD time — a second job round trip per call (measured
+    # ~1.2 s of q67's bench wall) — where the lazy crossJoin folds it
+    # into the one real job (r14, guide §1.2). The arithmetic sequence
+    # is unchanged: double(n) + smoothing·double(v) is exactly the
+    # Python float(n_total + smoothing * v_size) the literal computed,
+    # and greatest(·, 1.0) mirrors the old max(denom, 1.0) — on an
+    # empty corpus SUM is NULL, greatest ignores it, and the join is
+    # empty anyway.
+    totals = vocab.agg(F.sum("__c").alias("__n"), F.count("*").alias("__v"))
+    denom = F.greatest(
+        F.col("__n").cast("double")
+        + F.lit(float(smoothing)) * F.col("__v").cast("double"),
+        F.lit(1.0),
+    )
+    surprisal = -F.log2((F.col("__c") + F.lit(float(smoothing))) / denom)
     return (
         toks.join(vocab, "__t")
+        .crossJoin(F.broadcast(totals))
         .select(F.col(id_col), surprisal.alias("__s"))
         .groupBy(id_col)
         .agg(

@@ -15,6 +15,7 @@ side-by-side at sf=0.01 and hash-compares values, so:
 from __future__ import annotations
 
 import os
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -57,24 +58,54 @@ def _ensure_confs(spark: SparkSession) -> None:
 # plan, never data): every action over it still scans the parquet inputs
 # — nothing is persisted, so clearCache/release_cached semantics are
 # unchanged and no result or intermediate is ever reused across runs.
-# Keyed by (session, dir, table, dir-mtime): a regenerated testdata dir
-# gets a fresh scan plan (the file index inside a plan is pinned at
-# read time — same as before, but the mtime key bounds cross-call
-# staleness), and a new SparkSession never sees another session's plans.
-_TABLE_PLANS: dict[tuple, DataFrame] = {}
+# Keyed by (session, dir, table, mtime): a regenerated testdata dir gets
+# a fresh scan plan (the file index inside a plan is pinned at read time
+# — same as before, but the mtime key bounds cross-call staleness), and
+# a new SparkSession never sees another session's plans. r14 hardening
+# (r13 ADVICE): the session key is a WeakKeyDictionary, so a stopped
+# session's plans (and their JVM-side references) drop with it instead
+# of pinning for the process lifetime, and the mtime is the MAX over
+# the path and any part files inside a directory table — a single part
+# file overwritten in place without adding/removing entries bumps its
+# own mtime even when the directory's is unchanged.
+_TABLE_PLANS: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    path = os.path.join(sf_dir, f"{name}.parquet")
+def _table_mtime(path: str) -> float | None:
     try:
         mtime = os.path.getmtime(path)
     except OSError:
-        mtime = None
-    key = (spark, sf_dir, name, mtime)
-    cached = _TABLE_PLANS.get(key)
+        return None
+    if os.path.isdir(path):
+        try:
+            with os.scandir(path) as it:
+                for entry in it:
+                    try:
+                        mtime = max(mtime, entry.stat().st_mtime)
+                    except OSError:
+                        pass
+        except OSError:
+            pass
+    return mtime
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # confs are correctness-critical (UTC, ANSI off, nanosAsLong) and the
+    # external driver may reset session confs between queries — reapply
+    # unconditionally (a handful of conf.set round trips), memo hit or not
+    _ensure_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    mtime = _table_mtime(path)
+    per_session = _TABLE_PLANS.get(spark)
+    if per_session is None:
+        per_session = {}
+        _TABLE_PLANS[spark] = per_session
+    key = (sf_dir, name, mtime)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
-    _ensure_confs(spark)
     df = spark.read.parquet(path)
     if name == "events":
         # Normalize ts to session-TZ TimestampType regardless of how the
@@ -87,7 +118,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         else:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    _TABLE_PLANS[key] = df
+    per_session[key] = df
     return df
 
 

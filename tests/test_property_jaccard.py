@@ -101,3 +101,29 @@ def test_simhash_always_pairs_identical_shingle_sets(spark, corpus, bands):
         assert (2 * k, 2 * k + 1) in got, distinct[k]
     # hamming==0 pairs are exact fingerprint matches by definition
     assert all(r["hamming"] == 0 for r in out)
+
+
+def test_ngram_jaccard_duplicate_docid_rows_count_once(spark):
+    # r14 single-pass posting aggregation: collect_set(id) per gram must
+    # keep the r13 distinct-(id, gram) semantics — a doc_id spanning
+    # multiple input rows (re-crawled corpus, replayed batch) contributes
+    # its gram SET once: document frequencies don't double, |A| is the
+    # union size, and jaccard matches the set model.
+    from data_pipelines_examples_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "a b c d e"),
+        (1, "a b c d e"),          # exact replay of doc 1
+        (2, "a b c"),
+        (2, "c d e"),              # doc 2 split across two rows
+        (3, "a b c d e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(df, shingle_n=2, threshold=0.5).collect()
+    }
+    # doc1 grams = doc3 grams = {a b, b c, c d, d e}; doc2 = {a b, b c, c d, d e}
+    # (union of "a b c" -> {a b, b c} and "c d e" -> {c d, d e}) — all three
+    # docs share the identical 4-gram set, J = 1.0 for every pair.
+    assert got == {(1, 2): 1.0, (1, 3): 1.0, (2, 3): 1.0}

@@ -288,3 +288,74 @@ def test_pseudonymize_suffix_drops_raw_column(spark):
     df = spark.createDataFrame([(1, "x")], "k int, v string")
     out = pseudonymize(df, ["k"], seed=5, suffix="_token")
     assert set(out.columns) == {"k_token", "v"}  # raw k gone
+
+
+def test_duplicate_spans_hot_window_bounded_state(spark):
+    # r14 guard: a window hash shared by MANY docs must not concentrate
+    # its occurrences in one aggregation buffer (the r13 collect_list
+    # form built a D-element array in a single agg buffer that no spill
+    # path can split). The window formulation keeps per-group state in
+    # WindowExec's spillable row buffer. Functional pin: a 2000-doc
+    # hot window — plus a repeated-within-doc window and a sub-min_docs
+    # window — must match the naive countDistinct-then-join-back form.
+    from pyspark.sql import functions as F
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [(i, f"doc{i}a doc{i}b {shared} doc{i}c") for i in range(2000)]
+    # doc 9001 repeats the shared run twice (two occurrences, one doc)
+    rows.append((9001, f"{shared} mid{shared.replace('w', 'x')} {shared}"))
+    # docs 9002/9003 share a DIFFERENT window seen by only those two
+    rows.append((9002, "p1 p2 p3 p4 p5 p6 p7 p8 tail9002"))
+    rows.append((9003, "head9003 p1 p2 p3 p4 p5 p6 p7 p8"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    k, min_docs = 8, 3
+
+    got = duplicate_spans(df, k=k, min_docs=min_docs)
+
+    # naive reference: window hashes -> countDistinct(doc) -> join back
+    ws = df.select(
+        F.col("doc_id"),
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__ws"),
+    ).filter(F.size("__ws") >= k)
+    wins = ws.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("__ws") - (k - 1))).alias("__i"),
+        F.col("__ws"),
+    ).select(
+        "doc_id",
+        "__i",
+        F.xxhash64(F.array_join(F.slice("__ws", F.col("__i"), k), " ")).alias("__h"),
+    )
+    freq = (
+        wins.groupBy("__h")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    hits = wins.join(freq, "__h").select("doc_id", "__i")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("__i")
+    isl = hits.withColumn(
+        "__brk",
+        F.when(F.col("__i") - F.lag("__i").over(w) <= k, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn("__island", F.sum("__brk").over(w))
+    expected = isl.groupBy("doc_id", "__island").agg(
+        F.min("__i").alias("span_start"),
+        (F.max("__i") + (k - 1)).alias("span_end"),
+        (F.max("__i") - F.min("__i") + k).alias("span_tokens"),
+        F.count("*").alias("n_windows"),
+    ).drop("__island")
+
+    got_rows = sorted(map(tuple, got.collect()))
+    exp_rows = sorted(map(tuple, expected.collect()))
+    assert got_rows == exp_rows
+    assert len(got_rows) == 2002  # 2000 hot docs + 2 spans in doc 9001
+    # the 9002/9003 pair is below min_docs=3 and must not appear
+    assert not any(r[0] in (9002, 9003) for r in got_rows)
+    # plan pin: discovery is window-based, no per-hash collect_list buffer
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "collect_list" not in plan
+    assert "dense_rank" in plan

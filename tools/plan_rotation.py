@@ -48,15 +48,49 @@ def history() -> tuple[int, dict[str, int]]:
     return latest, last_green
 
 
+def frozen_rounds() -> set[int]:
+    """Rounds during which the rotation clock was PAUSED: optimization
+    rounds (PERF_r*.json ``optimization_round: true``) hold the graded
+    surface fixed by their brief — rotating _PROMOTED there would make
+    previously-graded queries disappear from the round's CORRECTNESS
+    artifact, which the optimization driver treats as a regression. The
+    driver still grades the frozen window, so these rounds appear in
+    the correctness history without advancing the rotation schedule."""
+    frozen: set[int] = set()
+    for name in sorted(os.listdir(REPO)):
+        m = re.fullmatch(r"PERF_r(\d+)\.json", name)
+        if not m:
+            continue
+        try:
+            with open(os.path.join(REPO, name)) as f:
+                if json.load(f).get("optimization_round"):
+                    frozen.add(int(m.group(1)))
+        except (OSError, ValueError):
+            pass
+    return frozen
+
+
 def main() -> None:
     from data_pipelines_examples_spark import queries as cat
 
     latest, last_green = history()
+    frozen = frozen_rounds()
+    # rotation-eligible graded rounds, newest first: the staleness
+    # references skip frozen (optimization) rounds so a paused clock
+    # does not mark half the catalog overdue
+    eligible = [
+        r
+        for r in range(latest, 0, -1)
+        if r not in frozen
+        and os.path.exists(os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json"))
+    ]
+    newest_rotatable = eligible[0] if eligible else latest
+    prev_rotatable = eligible[1] if len(eligible) > 1 else newest_rotatable - 1
     oracled = [n for n in cat.queries() if n in cat.oracle_sql()]
-    stale = [n for n in oracled if last_green.get(n, 0) < latest - 1]
-    # fill with non-fresh entries (not green in the newest round),
-    # oldest-green first, catalog order within a round
-    fresh = {n for n in oracled if last_green.get(n, 0) >= latest}
+    stale = [n for n in oracled if last_green.get(n, 0) < prev_rotatable]
+    # fill with non-fresh entries (not green in the newest rotation-
+    # eligible round), oldest-green first, catalog order within a round
+    fresh = {n for n in oracled if last_green.get(n, 0) >= newest_rotatable}
     fill = [
         n
         for n in sorted(
